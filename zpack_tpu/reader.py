@@ -1,0 +1,209 @@
+"""Archive reader.
+
+Parity model: ``zpack_reader`` and its init/open paths
+(reference: lib/zpack_read.c:225-296,642-713; API in lib/zpack.h:335-472).
+
+Init modes mirror the reference's four:
+  * :meth:`Reader.open` — from a path (zpack_init_reader, lib/zpack_read.c:642)
+  * :meth:`Reader.from_file` — from an open binary file object
+    (zpack_init_reader_cfile, lib/zpack_read.c:656)
+  * :meth:`Reader.from_memory` with ``shared=False`` — copies the buffer
+    (zpack_init_reader_memory, lib/zpack_read.c:663)
+  * :meth:`Reader.from_memory` with ``shared=True`` — zero-copy view
+    (zpack_init_reader_memory_shared, lib/zpack_read.c:672)
+
+Thread-safety contract matches the reference (lib/zpack.h:335-341):
+memory-backed readers are safe for concurrent reads; file-backed are not.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import BinaryIO, Iterable
+
+from . import constants as C
+from .codecs import get_codec
+from .codecs.xxh3 import xxh3_64
+from .errors import (
+    FileNotFoundInArchiveError,
+    FileTooSmallError,
+    HashMismatchError,
+    Result,
+    TruncatedError,
+    ZPackError,
+)
+from .format import records
+
+
+class _FileSource:
+    def __init__(self, f: BinaryIO):
+        self.f = f
+
+    def size(self) -> int:
+        pos = self.f.tell()
+        self.f.seek(0, os.SEEK_END)
+        n = self.f.tell()
+        self.f.seek(pos)
+        return n
+
+    def read_at(self, offset: int, size: int) -> bytes:
+        try:
+            self.f.seek(offset)
+        except (OSError, ValueError) as e:
+            raise ZPackError(Result.ERROR_SEEK_FAILED, str(e)) from e
+        return self.f.read(size)
+
+
+class _MemorySource:
+    def __init__(self, buf):
+        self.buf = memoryview(buf)
+
+    def size(self) -> int:
+        return len(self.buf)
+
+    def read_at(self, offset: int, size: int) -> bytes:
+        return bytes(self.buf[offset : offset + size])
+
+
+class Reader:
+    def __init__(self, source, *, owns_file: bool = False, shared: bool = False):
+        self._source = source
+        self._owns_file = owns_file
+        self.buffer_shared = shared
+        self.version: int = 0
+        self.file_entries: list[records.FileEntry] = []
+        self.comp_size = 0
+        self.uncomp_size = 0
+        self.file_size = 0
+        self.cdr_offset = 0
+        self.eocdr_offset = 0
+        self.last_return: int | None = None
+        self._read_archive()
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def open(cls, path: str | os.PathLike) -> "Reader":
+        try:
+            f = open(path, "rb")
+        except OSError as e:
+            raise ZPackError(Result.ERROR_OPEN_FAILED, str(e)) from e
+        return cls(_FileSource(f), owns_file=True)
+
+    @classmethod
+    def from_file(cls, f: BinaryIO) -> "Reader":
+        return cls(_FileSource(f))
+
+    @classmethod
+    def from_memory(cls, buf, shared: bool = False) -> "Reader":
+        if not shared:
+            buf = bytes(buf)
+        return cls(_MemorySource(buf), shared=shared)
+
+    # -- open sequence ------------------------------------------------------
+
+    def _read_archive(self) -> None:
+        """Full open sequence: header → data signature → EOCDR at
+        file_size-12 → CDR (parity: zpack_read_archive, lib/zpack_read.c:262
+        and spec reading order docs/specs.md:28-32)."""
+        self.file_size = self._source.size()
+        if self.file_size < C.MINIMUM_ARCHIVE_SIZE:
+            raise FileTooSmallError(self.file_size)
+        head = self._source.read_at(0, C.HEADER_SIZE + C.SIGNATURE_SIZE)
+        if len(head) < C.HEADER_SIZE + C.SIGNATURE_SIZE:
+            raise TruncatedError("archive head truncated")
+        self.version = records.parse_header(head, 0)
+        records.parse_data_header(head, C.HEADER_SIZE)
+        self.eocdr_offset = self.file_size - C.EOCDR_SIZE
+        eocdr = self._source.read_at(self.eocdr_offset, C.EOCDR_SIZE)
+        self.cdr_offset = records.parse_eocdr(eocdr, 0)
+        if self.cdr_offset + C.CDR_HEADER_SIZE > self.file_size:
+            raise ZPackError(Result.ERROR_SEEK_FAILED, "CDR offset beyond file")
+        cdr_head = self._source.read_at(self.cdr_offset, C.CDR_HEADER_SIZE)
+        file_count, block_size = records.parse_cdr_header(cdr_head, 0)
+        # Sanity: CDR block must fit between its header and the EOCDR
+        # (parity: block-size validation, lib/zpack_read.c:199-210).
+        if self.cdr_offset + C.CDR_HEADER_SIZE + block_size > self.eocdr_offset:
+            raise ZPackError(Result.ERROR_BLOCK_SIZE_INVALID, "CDR block overruns EOCDR")
+        block = self._source.read_at(self.cdr_offset + C.CDR_HEADER_SIZE, block_size)
+        if len(block) < block_size:
+            raise TruncatedError("CDR block truncated")
+        self.file_entries, self.comp_size, self.uncomp_size = records.parse_file_entries(
+            block, file_count
+        )
+
+    # -- queries ------------------------------------------------------------
+
+    @property
+    def file_count(self) -> int:
+        return len(self.file_entries)
+
+    def get_file_entry(self, filename: str) -> records.FileEntry:
+        """Linear filename lookup (parity: zpack_get_file_entry,
+        lib/zpack_read.c:760-769)."""
+        for e in self.file_entries:
+            if e.filename == filename:
+                return e
+        raise FileNotFoundInArchiveError(filename)
+
+    def __iter__(self) -> Iterable[records.FileEntry]:
+        return iter(self.file_entries)
+
+    # -- data access --------------------------------------------------------
+
+    def _resolve(self, entry) -> records.FileEntry:
+        if isinstance(entry, records.FileEntry):
+            return entry
+        return self.get_file_entry(entry)
+
+    def read_raw_file(self, entry) -> bytes:
+        """Read an entry's raw (compressed) bytes
+        (parity: zpack_read_raw_file, lib/zpack_read.c:298-340)."""
+        e = self._resolve(entry)
+        if e.offset + e.comp_size > self.file_size:
+            raise ZPackError(Result.ERROR_FILE_OFFSET_INVALID, "entry data beyond file")
+        data = self._source.read_at(e.offset, e.comp_size)
+        if len(data) < e.comp_size:
+            raise ZPackError(Result.ERROR_FILE_INCOMPLETE, "entry data truncated")
+        return data
+
+    def read_file(self, entry, verify: bool = True) -> bytes:
+        """Decompress one entry; always verifies the XXH3-64 hash unless
+        ``verify=False`` (parity: zpack_read_file always verifies,
+        lib/zpack_read.c:466-468)."""
+        e = self._resolve(entry)
+        raw = self.read_raw_file(e)
+        codec = get_codec(e.comp_method)
+        out = codec.decompress(raw, e.uncomp_size)
+        if len(out) != e.uncomp_size:
+            raise ZPackError(
+                Result.ERROR_FILE_SIZE_INVALID,
+                f"decompressed size {len(out)} != recorded {e.uncomp_size}",
+            )
+        if verify:
+            h = xxh3_64(out)
+            if h != e.hash:
+                raise HashMismatchError(e.hash, h)
+        return out
+
+    def extract_iter(self, entry, chunk_size: int = 1 << 20, verify: bool = True):
+        """Chunked decode generator (TPU-pythonic face of the reference's
+        zpack_read_file_stream, lib/zpack_read.c:473-640)."""
+        from .stream import read_file_stream_iter
+
+        yield from read_file_stream_iter(self, self._resolve(entry), chunk_size, verify)
+
+    def close(self) -> None:
+        if self._owns_file and isinstance(self._source, _FileSource):
+            self._source.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_archive_memory(buf, shared: bool = False) -> Reader:
+    return Reader.from_memory(buf, shared=shared)
