@@ -1,0 +1,111 @@
+"""LZ4 block + frame codec tests.
+
+Conformance oracles: the golden lz4 archive (reference: tests/workdir/
+archive_lz4.zpk, embedded in tests/archive.h:61-101 — uses *linked* blocks,
+exercising history-carrying decode) and self round-trip across data shapes.
+"""
+
+import random
+
+import pytest
+
+from zpack_tpu.codecs.lz4 import block, frame
+from zpack_tpu.reader import Reader
+
+
+def _corpora():
+    rng = random.Random(42)
+    text = (b"the quick brown fox jumps over the lazy dog. " * 50)
+    return {
+        "empty": b"",
+        "one": b"x",
+        "tiny": b"hello",
+        "twelve": b"abcabcabcabc",
+        "thirteen": b"abcabcabcabca",
+        "text": text,
+        "zeros": b"\0" * 100000,
+        "runs": b"".join(bytes([i % 7]) * (i % 300 + 1) for i in range(500)),
+        "random": bytes(rng.getrandbits(8) for _ in range(50000)),
+        "semi": b"".join(
+            (b"pattern%d" % (i % 10)) * 3 + bytes([rng.getrandbits(8)]) for i in range(3000)
+        ),
+        "block_boundary": b"A" * (64 << 10) + b"B" * 100,
+        "long_match": b"Q" * 300 + b"unique" + b"Q" * 300,
+    }
+
+
+CORPORA = _corpora()
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+@pytest.mark.parametrize("level", [1, 4])
+def test_block_roundtrip(name, level):
+    data = CORPORA[name]
+    comp = block.compress_block(data, level)
+    assert block.decompress_block(comp, len(data)) == data
+    if len(data) > 1000:
+        # compressible corpora should actually compress
+        if name in ("zeros", "runs", "text", "long_match"):
+            assert len(comp) < len(data) // 2
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+def test_frame_roundtrip(name):
+    data = CORPORA[name]
+    comp = frame.compress_frame(data, 1)
+    assert frame.decompress_frame(comp) == data
+
+
+def test_frame_checksums_roundtrip():
+    data = CORPORA["semi"]
+    comp = frame.compress_frame(data, 1, content_checksum=True, store_content_size=True)
+    assert frame.decompress_frame(comp) == data
+    # corrupt one payload byte → checksum or decode failure
+    bad = bytearray(comp)
+    bad[30] ^= 0xFF
+    with pytest.raises(Exception):
+        frame.decompress_frame(bad)
+
+
+def test_streaming_compressor_matches_oneshot():
+    data = CORPORA["semi"]
+    c = frame.FrameCompressor(1)
+    out = bytearray()
+    for i in range(0, len(data), 1777):
+        out += c.update(data[i : i + 1777])
+    out += c.finish()
+    assert bytes(out) == frame.compress_frame(data, 1)
+
+
+def test_streaming_decoder_tiny_chunks():
+    """16-byte input chunks, mirroring tests/read_archive.c:12,39 forcing
+    many partial-input iterations."""
+    data = CORPORA["runs"]
+    comp = frame.compress_frame(data, 1)
+    d = frame.FrameDecompressor()
+    out = bytearray()
+    for i in range(0, len(comp), 16):
+        out += d.update(comp[i : i + 16])
+    assert d.finished and bytes(out) == data
+
+
+def test_golden_lz4_archive_decode(golden):
+    """Decode the reference-produced linked-block lz4 frames bit-exactly."""
+    r = Reader.from_memory(golden["archive_lz4.zpk"])
+    assert r.read_file("file1.txt") == golden["file1.txt"]
+    assert r.read_file("file2.txt") == golden["file2.txt"]
+
+
+def test_skippable_frame():
+    data = CORPORA["text"]
+    comp = frame.compress_frame(data, 1)
+    import struct
+    skip = struct.pack("<II", 0x184D2A50, 7) + b"padding"
+    assert frame.decompress_frame(skip + comp) == data
+
+
+def test_multiblock_frame():
+    data = CORPORA["semi"] * 8  # > 256 KiB → several 64 KiB blocks
+    comp = frame.compress_frame(data, 1)
+    assert frame.decompress_frame(comp) == data
+    assert len(comp) < len(data)

@@ -1,0 +1,47 @@
+"""LZ4 codec (method 2): frame format on disk, block codec underneath."""
+
+from __future__ import annotations
+
+from ...constants import CompressionMethod
+from .. import Codec, register
+from . import block, frame
+
+
+@register(CompressionMethod.LZ4)
+class LZ4Codec(Codec):
+    """ZPack method 2 — LZ4 frame format (docs/specs.md:101).
+
+    compress_bound parity: zpack_get_compress_bound's LZ4F branch
+    (lib/zpack_write.c:125-141) — frame header + per-block overhead.
+    """
+
+    method = CompressionMethod.LZ4
+
+    def compress(self, data: bytes, level: int = 1) -> bytes:
+        return frame.compress_frame(data, level)
+
+    def decompress(self, data: bytes, uncomp_size: int | None = None) -> bytes:
+        return frame.decompress_frame(data, uncomp_size)
+
+    def compress_bound(self, size: int) -> int:
+        nblocks = max(1, -(-size // frame.DEFAULT_BLOCK_SIZE))
+        return 19 + size + 8 * nblocks + 16
+
+    def compressor(self, level: int = 1):
+        return frame.FrameCompressor(level)
+
+    def decompressor(self):
+        return _LZ4StreamDecompressor()
+
+
+class _LZ4StreamDecompressor:
+    def __init__(self):
+        self._d = frame.FrameDecompressor()
+
+    def decompress(self, chunk: bytes, is_final: bool = False) -> tuple[bytes, int]:
+        out = self._d.update(chunk)
+        return out, len(chunk)
+
+    @property
+    def finished(self) -> bool:
+        return self._d.finished
