@@ -1,0 +1,107 @@
+"""zstd codec tests.
+
+Decode oracle: frames produced by the `zstandard` C library (stand-in for
+the reference's vendored zstd, lib/zpack_read.c:380) across levels and
+features; encode oracle: our frames must decode bit-exactly with that same
+library (the archive contract: reference CLI must open our archives).
+Golden fixture: archive_zstd.zpk (reference: tests/workdir, tests/archive.h).
+"""
+
+import random
+
+import pytest
+import zstandard
+
+from zpack_tpu.codecs.zstd import encode, frame
+from zpack_tpu.reader import Reader
+
+
+def _corpora():
+    rng = random.Random(42)
+    words = [bytes(rng.getrandbits(8) for _ in range(rng.randint(2, 12))) for _ in range(500)]
+    return {
+        "empty": b"",
+        "one": b"x",
+        "tiny": b"hello world",
+        "text": b"the quick brown fox jumps over the lazy dog. " * 300,
+        "zeros": b"\0" * 100000,
+        "rand": bytes(rng.getrandbits(8) for _ in range(30000)),
+        "semi": b"".join(
+            (b"pat%d " % (i % 13)) * 2 + bytes([rng.getrandbits(8)]) for i in range(3000)
+        ),
+        "runs": b"".join(bytes([i % 7]) * (i % 300 + 1) for i in range(400)),
+        "big": b"".join(rng.choice(words) for _ in range(60000)),  # multi-block
+    }
+
+
+CORPORA = _corpora()
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+@pytest.mark.parametrize("level", [1, 3, 19])
+def test_decode_libzstd_frames(name, level):
+    data = CORPORA[name]
+    comp = zstandard.ZstdCompressor(level=level).compress(data)
+    assert frame.decompress(comp) == data
+
+
+@pytest.mark.parametrize("name", ["text", "big"])
+def test_decode_libzstd_features(name):
+    data = CORPORA[name]
+    for kwargs in [
+        {"write_checksum": True},
+        {"write_content_size": False},
+        {"write_checksum": True, "write_content_size": False},
+    ]:
+        comp = zstandard.ZstdCompressor(level=5, **kwargs).compress(data)
+        assert frame.decompress(comp) == data
+
+
+def test_decode_streamed_and_concatenated():
+    data = CORPORA["big"]
+    cobj = zstandard.ZstdCompressor(level=3).compressobj()
+    comp = cobj.compress(data) + cobj.flush()
+    comp += zstandard.ZstdCompressor(level=1).compress(CORPORA["text"])
+    assert frame.decompress(comp) == data + CORPORA["text"]
+
+
+@pytest.mark.parametrize("name", list(CORPORA))
+@pytest.mark.parametrize("level", [1, 3, 19])
+def test_encode_roundtrip_and_oracle(name, level):
+    data = CORPORA[name]
+    comp = encode.compress(data, level)
+    assert frame.decompress(comp) == data
+    out = zstandard.ZstdDecompressor().decompress(comp, max_output_size=len(data) + 16)
+    assert out == data
+
+
+def test_encode_checksum():
+    data = CORPORA["semi"]
+    comp = encode.compress(data, 3, checksum=True)
+    assert frame.decompress(comp) == data
+    assert zstandard.ZstdDecompressor().decompress(comp, max_output_size=len(data)) == data
+
+
+@pytest.mark.parametrize("level", [1, 3])
+def test_encode_ratio_reasonable(level):
+    """Ratio guardrail: stay within 15% of libzstd on compressible corpora
+    (the BASELINE contract is ≤ reference size; track closely here)."""
+    for name in ["semi", "runs", "zeros", "text", "big"]:
+        data = CORPORA[name]
+        ours = len(encode.compress(data, level))
+        ref = len(zstandard.ZstdCompressor(level=level).compress(data))
+        assert ours <= ref * 1.15, (name, level, ours, ref)
+
+
+def test_golden_zstd_archive(golden):
+    r = Reader.from_memory(golden["archive_zstd.zpk"])
+    assert r.read_file("file1.txt") == golden["file1.txt"]
+    assert r.read_file("file2.txt") == golden["file2.txt"]
+
+
+def test_corrupt_frame_detected():
+    data = CORPORA["semi"]
+    comp = bytearray(encode.compress(data, 3, checksum=True))
+    comp[len(comp) // 2] ^= 0xFF
+    with pytest.raises(Exception):
+        frame.decompress(bytes(comp))

@@ -6,123 +6,29 @@ Role parity: the block layer underneath the reference's LZ4F_* calls
 the lz4 library; the ZPack spec mandates the frame format on disk,
 docs/specs.md:101 — frames are built on these blocks in frame.py).
 
-Encoder design is deliberately *parallel-first* (the same formulation the
-JAX/Pallas TPU kernel uses, zpack_tpu.kernels.lz4_jax):
-
-  1. hash every 4-byte window (vector op),
-  2. previous occurrence of each hash via one stable argsort — a depth-k
-     "hash chain" is k gather steps, no sequential table updates,
-  3. capped match-length extension as a handful of vectorized 4-byte
-     compare rounds over a shrinking active set,
-  4. greedy parse over *sequences* (not positions): literals are skipped
-     with a searchsorted jump, so parse cost is O(#sequences), and
-  5. serialization of token/LSIC/literals per sequence.
-
-Output is valid LZ4 (decodable by any conformant decoder) but not
-byte-identical to liblz4's encoder choices — the format permits this and
-the archive contract only requires spec-valid frames at ≤ reference size.
+Match finding and parsing use the shared parallel-first matcher
+(zpack_tpu.codecs.match): output is valid LZ4 (decodable by any conformant
+decoder) but not byte-identical to liblz4's choices — the format permits
+this and the archive contract only requires spec-valid frames at ≤ the
+reference's compressed size.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from ...errors import CompressError, DecompressError
+from ...errors import DecompressError
+from .. import match as M
 
 MIN_MATCH = 4
 MFLIMIT = 12  # matches must not start within the last 12 bytes
 LAST_LITERALS = 5  # last 5 bytes are always literals
 MAX_OFFSET = 65535
-_HASH_MUL = np.uint32(2654435761)
-_CAP = 128  # vectorized match-length cap; capped matches extend exactly in the parse
 
 
 def compress_bound(size: int) -> int:
     """Worst-case LZ4 block output (LZ4_compressBound formula)."""
     return size + size // 255 + 16
-
-
-def _u32_windows(b: np.ndarray) -> np.ndarray:
-    """u32 little-endian read at every position 0..n-4 (vectorized)."""
-    n = len(b)
-    u = b[: n - 3].astype(np.uint32)
-    u |= b[1 : n - 2].astype(np.uint32) << np.uint32(8)
-    u |= b[2 : n - 1].astype(np.uint32) << np.uint32(16)
-    u |= b[3:n].astype(np.uint32) << np.uint32(24)
-    return u
-
-
-def _find_matches(b: np.ndarray, depth: int) -> tuple[np.ndarray, np.ndarray]:
-    """For each position p return (match_src[p], match_len[p]); match_len < 4
-    means no usable match.  match_len is capped at _CAP."""
-    n = len(b)
-    u = _u32_windows(b)  # length n-3
-    m = len(u)
-    h = (u * _HASH_MUL) >> np.uint32(16)  # 16-bit hash
-    order = np.argsort(h, kind="stable").astype(np.int64)
-    # prev-with-same-hash chain (depth 1): neighbors in the stable sort.
-    cand = np.full(m, -1, dtype=np.int64)
-    same = h[order[1:]] == h[order[:-1]]
-    cand[order[1:][same]] = order[:-1][same]
-
-    best_src = np.full(m, -1, dtype=np.int64)
-    best_len = np.zeros(m, dtype=np.int64)
-    cur = cand
-    pos = np.arange(m, dtype=np.int64)
-    for _ in range(max(1, depth)):
-        valid = (cur >= 0) & (pos - cur <= MAX_OFFSET)
-        j = np.where(valid, cur, 0)
-        valid &= u[j] == u  # true 4-byte match (rejects hash collisions)
-        mlen = _extend_matches(b, u, pos, j, valid)
-        better = valid & (mlen > best_len)
-        best_src = np.where(better, j, best_src)
-        best_len = np.where(better, mlen, best_len)
-        cur = np.where(cur >= 0, cand[np.maximum(cur, 0)], -1)
-    return best_src, best_len
-
-
-def _extend_matches(b, u, pos, j, valid) -> np.ndarray:
-    """Vectorized LCP: match length for pairs (pos, j) where valid, starting
-    from the guaranteed 4-byte match, capped at _CAP."""
-    n = len(b)
-    m = len(u)
-    mlen = np.where(valid, MIN_MATCH, 0).astype(np.int64)
-    active = np.flatnonzero(valid)
-    k = MIN_MATCH
-    while len(active) and k < _CAP:
-        p_a = pos[active] + k
-        j_a = j[active] + k
-        inb = p_a <= m - 1  # u32 read available at p_a
-        eq = np.zeros(len(active), dtype=bool)
-        if inb.any():
-            ia = active[inb]
-            eq_i = u[pos[ia] + k] == u[j[ia] + k]
-            eq[inb] = eq_i
-        mlen[active[eq]] += 4
-        # mismatched (or out of u32 range): add exact byte-level remainder
-        done = active[~eq]
-        if len(done):
-            for t in range(3):
-                pp = pos[done] + mlen[done]
-                jj = j[done] + mlen[done]
-                ok = pp < n
-                oki = done[ok]
-                still = b[pos[oki] + mlen[oki]] == b[j[oki] + mlen[oki]]
-                mlen[oki[still]] += 1
-        active = active[eq]
-        k += 4
-    return mlen
-
-
-def _exact_extend(b: np.ndarray, p: int, j: int, start: int, limit: int) -> int:
-    """Exact match extension past the vectorized cap: length of common prefix
-    of b[p+start:] and b[j+start:], bounded so the match ends by `limit`."""
-    maxlen = limit - p
-    a = b[p + start : p + maxlen]
-    c = b[j + start : j + maxlen]
-    neq = np.flatnonzero(a != c)
-    ext = int(neq[0]) if len(neq) else len(a)
-    return start + ext
 
 
 def _write_lsic(out: bytearray, value: int) -> None:
@@ -135,53 +41,33 @@ def _write_lsic(out: bytearray, value: int) -> None:
 def compress_block(data: bytes, level: int = 1) -> bytes:
     """Compress one LZ4 block.  ``level`` maps to hash-chain search depth
     (1-2 → depth 2, higher levels search deeper like the HC modes)."""
-    b = np.frombuffer(bytes(data), dtype=np.uint8)
+    data = bytes(data)
+    b = np.frombuffer(data, dtype=np.uint8)
     n = len(b)
     out = bytearray()
     if n == 0:
         return b""
     if n < MFLIMIT + 1:
-        # too short for any match: single literal-only sequence
         _emit_sequence(out, data, 0, n, None, None)
         return bytes(out)
 
     depth = 2 if level <= 2 else min(1 << min(level - 1, 6), 64)
-    src, mlen = _find_matches(b, depth)
-    limit = n - LAST_LITERALS
-    mf = n - MFLIMIT  # last allowed match start (exclusive)
-
-    # positions with a usable match, in order (for searchsorted literal skip)
-    usable = np.flatnonzero((mlen >= MIN_MATCH) & (np.arange(len(mlen)) < mf))
-    usable = usable[usable > 0]
-
-    pos = 0
-    lit_start = 0
-    while True:
-        k = np.searchsorted(usable, pos)
-        if k == len(usable):
-            break
-        p = int(usable[k])
-        j = int(src[p])
-        ml = int(mlen[p])
-        # clamp to end-of-block rule; extend exactly if we hit the cap
-        if ml >= _CAP:
-            ml = _exact_extend(b, p, j, ml, limit)
-        ml = min(ml, limit - p)
-        if ml < MIN_MATCH:
-            pos = p + 1
-            continue
-        _emit_sequence(out, data, lit_start, p - lit_start, p - j, ml)
-        pos = p + ml
-        lit_start = pos
-    # final literals
-    _emit_sequence(out, data, lit_start, n - lit_start, None, None)
+    src, mlen = M.find_matches(b, depth, MAX_OFFSET, hash_bits=16)
+    for lit_start, lit_len, p, j, ml in M.greedy_parse(
+        b, src, mlen, match_limit=n - MFLIMIT, end_limit=n - LAST_LITERALS,
+        lazy=level >= 3,
+    ):
+        if p is None:
+            _emit_sequence(out, data, lit_start, lit_len, None, None)
+        else:
+            _emit_sequence(out, data, lit_start, lit_len, p - j, ml)
     return bytes(out)
 
 
 def _emit_sequence(out: bytearray, data: bytes, lit_off: int, lit_len: int,
                    offset: int | None, match_len: int | None) -> None:
     if offset is None:
-        token = (min(lit_len, 15) << 4)
+        token = min(lit_len, 15) << 4
         out.append(token)
         if lit_len >= 15:
             _write_lsic(out, lit_len - 15)

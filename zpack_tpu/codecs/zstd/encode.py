@@ -1,0 +1,521 @@
+"""zstd encoder: spec-valid frames with level-scaled search effort.
+
+Role parity: ZSTD_compressCCtx / ZSTD_compressStream2 as used by the
+reference (lib/zpack_write.c:179,498).  Output is *not* byte-identical to
+libzstd (encoders are free under RFC 8878); the archive contract requires
+frames the reference decodes bit-exactly and sizes ≤ the reference's.
+
+Pipeline per 128 KiB block:
+  matcher (shared parallel-first LZ77, codecs/match.py) → greedy/lazy parse
+  with repeat-offset tracking → literals section (raw / RLE / Huffman 1- or
+  4-stream with package-merge length-limited codes) → sequence section
+  (predefined vs freshly-normalized FSE tables vs RLE modes, whichever is
+  smallest) → raw-block fallback when entropy coding loses.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ...errors import CompressError
+from ..xxh3 import XXH64State
+from .. import match as M
+from . import fse, huffman, seq
+from .frame import MAGIC, MAX_BLOCK_SIZE
+
+
+@dataclass
+class LevelParams:
+    depth: int  # hash-chain follow depth
+    lazy: bool
+    window_log: int
+
+    @classmethod
+    def for_level(cls, level: int) -> "LevelParams":
+        if level <= 1:
+            return cls(depth=2, lazy=False, window_log=17)
+        if level <= 3:
+            return cls(depth=4, lazy=False, window_log=19)
+        if level <= 6:
+            return cls(depth=8, lazy=True, window_log=20)
+        if level <= 12:
+            return cls(depth=16, lazy=True, window_log=21)
+        if level <= 17:
+            return cls(depth=32, lazy=True, window_log=22)
+        return cls(depth=64, lazy=True, window_log=23)
+
+
+class _RleEncodeTable:
+    """0-bit state machine for RLE sequence-code mode (decoder side:
+    fse.build_rle_table)."""
+
+    al = 0
+
+    def init_state(self, symbol: int) -> int:
+        return 0
+
+    def encode(self, writer, state: int, symbol: int) -> int:
+        return 0
+
+    def flush(self, writer, state: int) -> None:
+        pass
+
+
+def _frame_header(content_size: int, window_log: int, checksum: bool = False) -> bytes:
+    # single-segment for small payloads (no window descriptor), else an
+    # explicit window descriptor + content size
+    chk = 0x04 if checksum else 0
+    if content_size <= (256 << 10):
+        if content_size < 256:
+            fhd = 0x20 | (0 << 6) | chk
+            return struct.pack("<IBB", MAGIC, fhd, content_size)
+        if content_size <= 0xFFFF + 256:
+            fhd = 0x20 | (1 << 6) | chk
+            return struct.pack("<IBH", MAGIC, fhd, content_size - 256)
+        fhd = 0x20 | (2 << 6) | chk
+        return struct.pack("<IBI", MAGIC, fhd, content_size)
+    # window descriptor: smallest (exp, mant) with value >= min(size, 1<<wlog)
+    target = min(content_size, 1 << window_log)
+    for exp in range(10, 31):
+        base = 1 << exp
+        for mant in range(8):
+            if base + (base // 8) * mant >= target:
+                wd = ((exp - 10) << 3) | mant
+                if content_size <= 0xFFFFFFFF:
+                    fhd = (2 << 6) | chk
+                    return struct.pack("<IBBI", MAGIC, fhd, wd, content_size)
+                fhd = (3 << 6) | chk
+                return struct.pack("<IBBQ", MAGIC, fhd, wd, content_size)
+    raise CompressError("window descriptor construction failed")
+
+
+# ---------------------------------------------------------------------------
+# Literals section encoding
+# ---------------------------------------------------------------------------
+
+
+def _encode_literals(lits: bytes) -> bytes:
+    rs = len(lits)
+    if rs == 0:
+        return bytes([0 << 3 | 0])  # raw, size 0, 1-byte header
+    arr = np.frombuffer(lits, dtype=np.uint8)
+    # RLE literals
+    if rs > 1 and (arr == arr[0]).all():
+        return _lit_header_raw_rle(1, rs) + lits[:1]
+    # Huffman attempt (worth trying above a small threshold)
+    if rs >= 64:
+        hist = np.bincount(arr, minlength=256)
+        table = huffman.build_encode_table(hist)
+        if table is not None:
+            try:
+                tree = huffman.write_weights(table.weights)
+            except CompressError:
+                return _lit_header_raw_rle(0, rs) + lits  # wide flat alphabet: raw wins anyway
+            if rs >= 1024:
+                body = huffman.encode_4stream(lits, table)
+                streams = 4
+            else:
+                body = huffman.encode_1stream(lits, table)
+                streams = 1
+            if body is not None:
+                cs = len(tree) + len(body)
+                if cs + 5 < rs:  # only if it actually wins
+                    hdr = _lit_header_compressed(2, streams, rs, cs)
+                    if hdr is not None:
+                        return hdr + tree + body
+    return _lit_header_raw_rle(0, rs) + lits
+
+
+def _lit_header_raw_rle(ltype: int, rs: int) -> bytes:
+    if rs < 32:
+        return bytes([ltype | (0 << 2) | (rs << 3)])
+    if rs < 4096:
+        b0 = ltype | (1 << 2) | ((rs & 0xF) << 4)
+        return bytes([b0, rs >> 4])
+    b0 = ltype | (3 << 2) | ((rs & 0xF) << 4)
+    return bytes([b0, (rs >> 4) & 0xFF, rs >> 12])
+
+
+def _lit_header_compressed(ltype: int, streams: int, rs: int, cs: int) -> bytes | None:
+    if streams == 1:
+        if rs > 1023 or cs > 1023:
+            return None
+        b0 = ltype | (0 << 2) | ((rs & 0xF) << 4)
+        b1 = (rs >> 4) | ((cs & 3) << 6)
+        b2 = cs >> 2
+        return bytes([b0, b1, b2])
+    if rs <= 1023 and cs <= 1023:
+        b0 = ltype | (1 << 2) | ((rs & 0xF) << 4)
+        b1 = (rs >> 4) | ((cs & 3) << 6)
+        b2 = cs >> 2
+        return bytes([b0, b1, b2])
+    if rs <= 16383 and cs <= 16383:
+        b0 = ltype | (2 << 2) | ((rs & 0xF) << 4)
+        b1 = (rs >> 4) & 0xFF
+        b2 = (rs >> 12) | ((cs & 0x3F) << 2)
+        b3 = cs >> 6
+        return bytes([b0, b1, b2, b3])
+    if rs <= 262143 and cs <= 262143:
+        b0 = ltype | (3 << 2) | ((rs & 0xF) << 4)
+        b1 = (rs >> 4) & 0xFF
+        b2 = ((rs >> 12) & 0x3F) | ((cs & 3) << 6)
+        b3 = (cs >> 2) & 0xFF
+        b4 = cs >> 10
+        return bytes([b0, b1, b2, b3, b4])
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Sequence section encoding
+# ---------------------------------------------------------------------------
+
+
+def _pick_table(codes: list[int], kind: str, max_code: int, max_al: int):
+    """Choose predefined / RLE / custom-FSE for one code stream; returns
+    (mode, table, description_bytes)."""
+    hist = np.bincount(np.array(codes, dtype=np.int64), minlength=max_code + 1)
+    nz = np.flatnonzero(hist)
+    if len(nz) == 1:
+        return 1, _RleEncodeTable(), bytes([int(nz[0])])
+    pre = seq.predefined_encode_table(kind)
+    # estimated cost with predefined vs custom
+    total = len(codes)
+    al = fse.optimal_accuracy_log(total, int(nz[-1]), max_al)
+    try:
+        counts = fse.normalize_counts(hist, al, total)
+        desc = fse.write_ncount(counts, al)
+        custom = fse.build_encode_table(counts, al)
+    except CompressError:
+        return 0, pre, b""
+    # entropy cost comparison (approximate: bits per symbol from counts)
+    def cost(table_counts, table_al, overhead):
+        size = 1 << table_al
+        bits = 0.0
+        for c, cnt in zip(range(len(hist)), hist):
+            if cnt == 0:
+                continue
+            p = table_counts[c] if c < len(table_counts) else 0
+            p = 1 if p == -1 else p
+            if p == 0:
+                return float("inf")
+            bits += cnt * (table_al - np.log2(p))
+        return bits / 8 + overhead
+
+    dist = {"ll": seq.LL_DEFAULT_DIST, "ml": seq.ML_DEFAULT_DIST, "of": seq.OF_DEFAULT_DIST}[kind]
+    c_pre = cost(dist, {"ll": 6, "ml": 6, "of": 5}[kind], 0)
+    c_cus = cost(counts, al, len(desc))
+    if c_cus < c_pre:
+        return 2, custom, desc
+    return 0, pre, b""
+
+
+def _encode_block_body(data_arr: np.ndarray, block_start: int, block_end: int,
+                       sequences: list, rep: list[int]) -> bytes | None:
+    """Build one compressed-block body (literals + sequences sections);
+    returns None if the caller should emit a raw block instead."""
+    lits_parts = []
+    lls, mls, ovs = [], [], []
+    pending_lit = 0  # literal-only runs fold into the next sequence's ll
+    for lit_start, lit_len, p, j, ml in sequences:
+        if lit_len:
+            lits_parts.append(data_arr[lit_start : lit_start + lit_len].tobytes())
+        if p is None:
+            pending_lit += lit_len
+            continue
+        offset = p - j
+        ll = lit_len + pending_lit
+        pending_lit = 0
+        ov = _offset_value(offset, ll, rep)
+        lls.append(ll)
+        mls.append(ml)
+        ovs.append(ov)
+    lits = b"".join(lits_parts)
+    nb = len(lls)
+    out = bytearray(_encode_literals(lits))
+    out += seq.write_nb_sequences(nb)
+    if nb:
+        ll_codes = [seq.ll_code(v) for v in lls]
+        ml_codes = [seq.ml_code(v) for v in mls]
+        of_codes = [v.bit_length() - 1 for v in ovs]
+        ll_mode, ll_t, ll_d = _pick_table(ll_codes, "ll", seq.LL_CODE_MAX, seq.LL_MAX_AL)
+        of_mode, of_t, of_d = _pick_table(of_codes, "of", seq.OF_CODE_MAX, seq.OF_MAX_AL)
+        ml_mode, ml_t, ml_d = _pick_table(ml_codes, "ml", seq.ML_CODE_MAX, seq.ML_MAX_AL)
+        out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
+        out += ll_d + of_d + ml_d
+        out += seq.encode_sequences(lls, mls, ovs, ll_t, of_t, ml_t)
+    return bytes(out)
+
+
+def _rep_match_len(arr: np.ndarray, p: int, offset: int, end_limit: int) -> int:
+    """Length of the match at p against offset (growing-chunk compare)."""
+    if offset <= 0 or p < offset:
+        return 0
+    limit = end_limit - p
+    total = 0
+    chunk = 64
+    while total < limit:
+        take = min(chunk, limit - total)
+        a = arr[p + total : p + total + take]
+        b = arr[p - offset + total : p - offset + total + take]
+        neq = np.flatnonzero(a != b)
+        if len(neq):
+            return total + int(neq[0])
+        total += take
+        chunk = min(chunk * 4, 1 << 16)
+    return total
+
+
+def _parse_with_reps(arr: np.ndarray, src: np.ndarray, mlen: np.ndarray,
+                     end_limit: int, lazy: bool):
+    """Greedy parse that, like libzstd's greedy/lazy search, explicitly
+    probes repeat-offset matches (cheap to encode: ~2 bits vs 10+ for a
+    fresh offset) at the current and next position before accepting a
+    hash-chain match.  Yields the same tuples as match.greedy_parse."""
+    n = len(arr)
+    usable = np.flatnonzero(mlen >= M.MIN_MATCH)
+    usable = usable[usable > 0]
+    nu = len(usable)
+    rep = [1, 4, 8]
+
+    def rep_probe(p, ll_nonzero):
+        """Best repeat-offset match at p: (length, offset)."""
+        cands = (rep[0], rep[1], rep[2]) if ll_nonzero else (rep[1], rep[2], rep[0] - 1)
+        best = (0, 0)
+        for off in cands:
+            if off <= 0:
+                continue
+            l = _rep_match_len(arr, p, off, end_limit)
+            if l > best[0]:
+                best = (l, off)
+        return best
+
+    def advance_rep(offset, ll):
+        # mirror of _offset_value's update rules without the wire value
+        if ll != 0:
+            if offset == rep[0]:
+                return
+            if offset == rep[1]:
+                rep[1] = rep[0]; rep[0] = offset; return
+            if offset == rep[2]:
+                rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; return
+        else:
+            if offset == rep[1]:
+                rep[1] = rep[0]; rep[0] = offset; return
+            if offset == rep[2]:
+                rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; return
+            if offset == rep[0] - 1:
+                rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; return
+        rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset
+
+    pos = 0
+    lit_start = 0
+    while pos < n:
+        # probe rep matches at pos and pos+1 (covers match-continuation
+        # after 0 or 1 literal, the dominant patterns)
+        rl0, ro0 = rep_probe(pos, pos != lit_start)
+        if rl0 < M.MIN_MATCH and pos + 1 < n:
+            rl1, ro1 = rep_probe(pos + 1, True)
+        else:
+            rl1, ro1 = 0, 0
+        k = int(np.searchsorted(usable, pos))
+        p_hash = int(usable[k]) if k < nu else None
+        # choose the best action
+        if rl0 >= M.MIN_MATCH and (p_hash is None or p_hash > pos or rl0 + 1 >= int(mlen[pos])):
+            p, off, ml = pos, ro0, rl0
+        elif rl1 >= M.MIN_MATCH and (p_hash is None or p_hash > pos + 1 or rl1 + 1 >= int(mlen[pos + 1])):
+            p, off, ml = pos + 1, ro1, rl1
+        elif p_hash is not None:
+            p = p_hash
+            j = int(src[p])
+            ml = int(mlen[p])
+            if lazy and p + 1 < len(mlen) and int(mlen[p + 1]) > ml + 2:
+                pos = p + 1
+                continue
+            if ml >= M.CAP:
+                ml = M.exact_extend(arr, p, j, ml, end_limit)
+            ml = min(ml, end_limit - p)
+            if ml < M.MIN_MATCH:
+                pos = p + 1
+                continue
+            off = p - j
+        else:
+            break
+        yield (lit_start, p - lit_start, p, p - off, ml)
+        advance_rep(off, p - lit_start)
+        pos = p + ml
+        lit_start = pos
+    yield (lit_start, n - lit_start, None, None, None)
+
+
+def _offset_value(offset: int, lit_len: int, rep: list[int]) -> int:
+    """Map an absolute offset to the wire offset-value, preferring repeat
+    codes; mirrors the decoder's repeat-offset update rules exactly
+    (RFC 8878 §3.1.1.5)."""
+    if lit_len != 0:
+        if offset == rep[0]:
+            return 1
+        if offset == rep[1]:
+            rep[1] = rep[0]
+            rep[0] = offset
+            return 2
+        if offset == rep[2]:
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+            return 3
+    else:
+        if offset == rep[1]:
+            rep[1] = rep[0]
+            rep[0] = offset
+            return 1
+        if offset == rep[2]:
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+            return 2
+        if offset == rep[0] - 1:
+            rep[2] = rep[1]
+            rep[1] = rep[0]
+            rep[0] = offset
+            return 3
+    rep[2] = rep[1]
+    rep[1] = rep[0]
+    rep[0] = offset
+    return offset + 3
+
+
+def compress(data: bytes, level: int = 3, *, checksum: bool = False) -> bytes:
+    """One-shot frame compression."""
+    data = bytes(data)
+    params = LevelParams.for_level(level)
+    n = len(data)
+    out = bytearray(_frame_header(n, params.window_log, checksum))
+    if n == 0:
+        out += struct.pack("<I", 1)[:3]  # last=1, raw, size 0
+        if checksum:
+            out += struct.pack("<I", XXH64State(0).digest() & 0xFFFFFFFF)
+        return bytes(out)
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    max_offset = min((1 << params.window_log) - 1, n)
+    src, mlen = M.find_matches(arr, params.depth, max_offset)
+
+    # global parse, then split sequences at block boundaries
+    rep = [1, 4, 8]
+    blocks: list[bytes] = []
+    nblocks = (n + MAX_BLOCK_SIZE - 1) // MAX_BLOCK_SIZE
+    parse = _parse_with_reps(arr, src, mlen, end_limit=n, lazy=params.lazy)
+    seqs_per_block: list[list] = [[] for _ in range(nblocks)]
+    for lit_start, lit_len, p, j, ml in parse:
+        _split_into_blocks(seqs_per_block, lit_start, lit_len, p, j, ml)
+
+    hasher = XXH64State(0) if checksum else None
+    for bi in range(nblocks):
+        b_start = bi * MAX_BLOCK_SIZE
+        b_end = min(n, b_start + MAX_BLOCK_SIZE)
+        raw = data[b_start:b_end]
+        if hasher is not None:
+            hasher.update(raw)
+        rep_backup = list(rep)
+        body = _encode_block_body(arr, b_start, b_end, seqs_per_block[bi], rep)
+        last = 1 if bi == nblocks - 1 else 0
+        if body is not None and len(body) < len(raw):
+            bh = last | (2 << 1) | (len(body) << 3)
+            out += struct.pack("<I", bh)[:3]
+            out += body
+        else:
+            rep[:] = rep_backup  # raw blocks don't advance repeat offsets
+            if len(set(raw)) == 1 and len(raw) > 4:
+                bh = last | (1 << 1) | (len(raw) << 3)
+                out += struct.pack("<I", bh)[:3]
+                out += raw[:1]
+            else:
+                bh = last | (0 << 1) | (len(raw) << 3)
+                out += struct.pack("<I", bh)[:3]
+                out += raw
+    if hasher is not None:
+        out += struct.pack("<I", hasher.digest() & 0xFFFFFFFF)
+    return bytes(out)
+
+
+class StreamCompressor:
+    """Chunked compression (role parity: ZSTD_compressStream2 with
+    e_continue / e_end, lib/zpack_write.c:498,602-614).
+
+    Emits one frame per ~8 MiB of input; concatenated frames are valid
+    zstd and stream-decodable (ZSTD_decompressStream re-inits per frame),
+    and chunk independence is what lets the TPU path compress chunks
+    data-parallel across the mesh."""
+
+    CHUNK = 8 << 20
+
+    def __init__(self, level: int = 3):
+        self.level = level
+        self._buf = bytearray()
+
+    def update(self, chunk: bytes) -> bytes:
+        self._buf += chunk
+        out = bytearray()
+        while len(self._buf) >= self.CHUNK:
+            out += compress(bytes(self._buf[: self.CHUNK]), self.level)
+            del self._buf[: self.CHUNK]
+        return bytes(out)
+
+    def finish(self) -> bytes:
+        out = compress(bytes(self._buf), self.level) if self._buf else b""
+        self._buf.clear()
+        return out
+
+
+def _split_into_blocks(per_block: list[list], lit_start, lit_len, p, j, ml):
+    """Assign one parsed sequence to block buckets, splitting literal runs
+    and matches that straddle 128 KiB block boundaries."""
+    B = MAX_BLOCK_SIZE
+    if p is None:
+        # trailing literals: split across blocks
+        pos = lit_start
+        end = lit_start + lit_len
+        while pos < end:
+            bi = pos // B
+            take = min(end, (bi + 1) * B) - pos
+            per_block[bi].append((pos, take, None, None, None))
+            pos += take
+        return
+    # literal run first: whole-block spans become standalone literal runs;
+    # the tail (same block as the match start) rides with the match sequence
+    pos = lit_start
+    lit_end = p
+    while pos < lit_end:
+        bi = pos // B
+        boundary = (bi + 1) * B
+        if lit_end < boundary:
+            break
+        take = boundary - pos
+        per_block[bi].append((pos, take, None, None, None))
+        pos += take
+    # match (with its preceding literals), split at boundaries
+    mpos, msrc, mleft = p, j, ml
+    first = True
+    while mleft > 0:
+        bi = mpos // B
+        boundary = (bi + 1) * B
+        take = min(mleft, boundary - mpos)
+        if take < 4:
+            # too short to stand as a match in this block: demote to literals
+            # (the demoted positions hold the same bytes by match definition)
+            per_block[bi].append((pos if first else mpos, (mpos - pos if first else 0) + take,
+                                  None, None, None))
+            msrc += take
+            mpos += take
+            mleft -= take
+            first = False
+            continue
+        per_block[bi].append((pos if first else mpos, mpos - pos if first else 0,
+                              mpos, msrc, take))
+        msrc += take
+        mpos += take
+        mleft -= take
+        first = False
