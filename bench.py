@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark: LZ4 encode+decode round-trip throughput on the default JAX
+platform (the driver runs this on a real TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value    = round-trip throughput (2·bytes / (t_enc + t_dec)) in MB/s on a
+           Silesia-like mixed corpus, TPU-tokenized LZ4 (64 KiB blocks).
+vs_baseline = value / host-numpy-encoder value measured in the same run
+           (the reference publishes no numbers — BASELINE.md; the honest
+           baseline is our own host path on identical data).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_corpus(size: int = 8 << 20, seed: int = 0) -> bytes:
+    """Deterministic Silesia-like mix: ~1/3 prose-ish, ~1/3 structured
+    binary records, ~1/3 high-entropy."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    third = size // 3
+    # prose-ish: sentences with word-level repetition + noise
+    words = [b"compression", b"framework", b"archive", b"entropy", b"stream",
+             b"the", b"of", b"and", b"data", b"block", b"pipeline", b"mesh"]
+    blob = bytearray()
+    while len(blob) < third:
+        w = words[int(rng.integers(len(words)))]
+        blob += w + b" "
+        if rng.random() < 0.02:
+            blob += bytes(rng.integers(0, 256, 8).astype(np.uint8))
+    parts.append(bytes(blob[:third]))
+    # structured records: 32-byte records with low-entropy fields
+    n_rec = third // 32
+    rec = np.zeros((n_rec, 32), dtype=np.uint8)
+    rec[:, 0] = 0x7F
+    rec[:, 1] = np.arange(n_rec) % 17
+    rec[:, 2:6] = (np.arange(n_rec)[:, None] >> np.arange(4) * 8).astype(np.uint8)
+    rec[:, 6:14] = rng.integers(0, 4, (n_rec, 8)).astype(np.uint8)
+    parts.append(rec.tobytes())
+    # high entropy
+    parts.append(bytes(rng.integers(0, 256, third).astype(np.uint8)))
+    return b"".join(parts)[:size]
+
+
+def main() -> int:
+    import jax
+
+    from zpack_tpu.codecs.lz4 import block as lz4block, frame as lz4frame
+    from zpack_tpu.parallel.pipeline import MeshCompressor, make_mesh
+
+    data = build_corpus()
+    size_mb = len(data) / 1e6
+
+    mesh = make_mesh()
+    mc = MeshCompressor(mesh, level=1)
+
+    # warmup/compile
+    _ = mc.compress(data[: 2 << 20])
+
+    reps = 3
+    t_enc = []
+    comp = b""
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        comp = mc.compress(data)
+        t_enc.append(time.perf_counter() - t0)
+    t_dec = []
+    out = b""
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = lz4frame.decompress_frame(comp)
+        t_dec.append(time.perf_counter() - t0)
+    assert out == data, "bench round-trip failed"
+
+    enc = min(t_enc)
+    dec = min(t_dec)
+    value = 2 * size_mb / (enc + dec)
+
+    # host-numpy baseline encoder on the same corpus (one rep is plenty)
+    t0 = time.perf_counter()
+    comp_host = lz4frame.compress_frame(data, 1)
+    enc_host = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    lz4frame.decompress_frame(comp_host)
+    dec_host = time.perf_counter() - t0
+    base_value = 2 * size_mb / (enc_host + dec_host)
+
+    result = {
+        "metric": "silesia_like_lz4_roundtrip_MBps",
+        "value": round(value, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(value / base_value, 3),
+        "detail": {
+            "platform": jax.default_backend(),
+            "devices": len(jax.devices()),
+            "corpus_bytes": len(data),
+            "encode_MBps": round(size_mb / enc, 2),
+            "decode_MBps": round(size_mb / dec, 2),
+            "ratio": round(len(data) / len(comp), 3),
+            "host_encode_MBps": round(size_mb / enc_host, 2),
+            "host_ratio": round(len(data) / len(comp_host), 3),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

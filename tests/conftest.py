@@ -4,10 +4,15 @@ via __graft_entry__.dryrun_multichip)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize pins JAX_PLATFORMS=axon before any test code runs;
+# jax.config.update is the override that actually sticks.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

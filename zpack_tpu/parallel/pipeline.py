@@ -1,0 +1,166 @@
+"""Mesh-parallel compression pipeline.
+
+The reference is single-threaded by design (no threads/MPI/NCCL anywhere;
+lib/zpack.h:337-341 only documents per-context thread rules).  Parallelism
+is therefore *our* addition, TPU-style (BASELINE.json north star): archive
+entries and intra-entry blocks are sharded over a `jax.sharding.Mesh`
+("entry" × "block" axes), each device tokenizes its blocks with the JAX
+LZ4 kernel, XLA collectives (psum over ICI) aggregate size stats, and the
+host performs the ordered ragged gather of variable-size compressed blocks
+to assemble a spec-conformant archive (independent lz4f blocks decode with
+the reference CLI).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels import lz4_jax
+
+BLOCK = 64 << 10
+
+
+def make_mesh(devices=None, entry_axis: int | None = None) -> Mesh:
+    """2D mesh over the available devices: ("entry", "block").
+
+    Entries (archive files) shard over the outer axis, intra-entry blocks
+    over the inner — the archiver analog of dp × tp.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if entry_axis is None:
+        entry_axis = 1
+        for cand in (4, 2):
+            if n % cand == 0 and n >= cand * 2:
+                entry_axis = cand
+                break
+    block_axis = n // entry_axis
+    arr = np.array(devices[: entry_axis * block_axis]).reshape(entry_axis, block_axis)
+    return Mesh(arr, ("entry", "block"))
+
+
+@dataclass
+class TokenizedBlocks:
+    """Device results for a batch of blocks, pre-serialization."""
+
+    orbit: np.ndarray  # (nb, B+1)
+    src: np.ndarray  # (nb, B)
+    mlen: np.ndarray  # (nb, B)
+    est_compressed: int  # psum'd size estimate across the mesh
+
+
+def _step_fn(mesh: Mesh, depth: int):
+    """Build the jitted sharded tokenize step for (entries, blocks, B)."""
+
+    def local_step(blocks):
+        # blocks: (e_local, b_local, B)
+        e, b, B = blocks.shape
+        flat = blocks.reshape(e * b, B)
+        orbit, src, mlen = jax.vmap(partial(lz4_jax.tokenize_block, depth=depth))(flat)
+        # size estimate: literals + per-match overhead, reduced over the mesh
+        matched = jnp.sum(jnp.where(mlen >= 4, mlen, 0), axis=-1)
+        n_seq = jnp.sum((mlen >= 4).astype(jnp.int32), axis=-1)
+        est_local = jnp.sum(B - matched + 3 * n_seq)
+        est = jax.lax.psum(jax.lax.psum(est_local, "block"), "entry")
+        return (
+            orbit.reshape(e, b, -1),
+            src.reshape(e, b, B),
+            mlen.reshape(e, b, B),
+            est,
+        )
+
+    return jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=P("entry", "block", None),
+            out_specs=(
+                P("entry", "block", None),
+                P("entry", "block", None),
+                P("entry", "block", None),
+                P(),
+            ),
+        )
+    )
+
+
+class MeshCompressor:
+    """Block-parallel LZ4 compressor over a device mesh.
+
+    One `compress(data)` call: pad data into (entries=1, nb, BLOCK) (nb
+    rounded up to the mesh block-axis), tokenize all blocks data-parallel
+    on the mesh, then host-assemble an lz4f frame with independent blocks
+    (readable by the reference CLI / any lz4 tool).
+    """
+
+    def __init__(self, mesh: Mesh | None = None, level: int = 1, block_size: int = BLOCK):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.level = level
+        self.block_size = block_size
+        depth = 2 if level <= 2 else 8
+        self._step = _step_fn(self.mesh, depth)
+
+    def _pad_factor(self) -> tuple[int, int]:
+        e_ax = self.mesh.shape["entry"]
+        b_ax = self.mesh.shape["block"]
+        return e_ax, b_ax
+
+    def tokenize(self, data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+        B = self.block_size
+        n = len(data)
+        nb = max(1, math.ceil(n / B))
+        e_ax, b_ax = self._pad_factor()
+        per = e_ax * b_ax
+        nb_pad = math.ceil(nb / per) * per
+        buf = np.zeros((nb_pad, B), dtype=np.uint8)
+        flat = np.frombuffer(data, dtype=np.uint8)
+        for i in range(nb):
+            chunk = flat[i * B : (i + 1) * B]
+            buf[i, : len(chunk)] = chunk
+        batch = buf.reshape(e_ax, nb_pad // e_ax, B)
+        batch = jax.device_put(
+            batch, NamedSharding(self.mesh, P("entry", "block", None))
+        )
+        orbit, src, mlen, est = self._step(batch)
+        orbit = np.asarray(orbit).reshape(nb_pad, -1)
+        src = np.asarray(src).reshape(nb_pad, B)
+        mlen = np.asarray(mlen).reshape(nb_pad, B)
+        return orbit, src, mlen, nb, int(est)
+
+    def compress(self, data: bytes) -> bytes:
+        """Full lz4f frame via mesh tokenization + host ragged assembly."""
+        from ..codecs.lz4 import frame as lz4frame
+
+        data = bytes(data)
+        B = self.block_size
+        orbit, src, mlen, nb, _est = self.tokenize(data)
+        # declared frame block-size id must be a standard size ≥ our blocks
+        declared = next(s for s in (64 << 10, 256 << 10, 1 << 20, 4 << 20) if s >= B)
+        out = bytearray(
+            lz4frame._header(declared, True, False, None)
+        )
+        import struct
+
+        for i in range(nb):
+            chunk = data[i * B : (i + 1) * B]
+            if len(chunk) == B:
+                comp = lz4_jax.serialize_block_host(chunk, orbit[i], src[i], mlen[i])
+            else:
+                # tail block: clamp device results to the real length
+                ml = np.minimum(mlen[i], np.maximum(len(chunk) - 5 - np.arange(B), 0))
+                pos_arr = np.arange(B)
+                ml = np.where(pos_arr >= max(len(chunk) - 12, 0), 0, ml)
+                comp = lz4_jax._reparse_serialize(chunk, src[i], ml)
+            if len(comp) < len(chunk):
+                out += struct.pack("<I", len(comp)) + comp
+            else:
+                out += struct.pack("<I", len(chunk) | 0x80000000) + chunk
+        out += struct.pack("<I", 0)
+        return bytes(out)
