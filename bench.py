@@ -49,6 +49,10 @@ def build_corpus(size: int = 8 << 20, seed: int = 0) -> bytes:
 def main() -> int:
     import jax
 
+    # persistent compile cache: first driver run pays compilation, repeats don't
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from zpack_tpu.codecs.lz4 import block as lz4block, frame as lz4frame
     from zpack_tpu.parallel.pipeline import MeshCompressor, make_mesh
 
@@ -58,8 +62,8 @@ def main() -> int:
     mesh = make_mesh()
     mc = MeshCompressor(mesh, level=1)
 
-    # warmup/compile
-    _ = mc.compress(data[: 2 << 20])
+    # warmup/compile on the SAME shapes as the timed run
+    _ = mc.compress(data)
 
     reps = 3
     t_enc = []

@@ -1,0 +1,301 @@
+// zpack-tpu native host backend: XXH3-64 + LZ4 block codec.
+//
+// Role parity: the host-side compute the reference gets from its vendored
+// xxHash/lz4 C libraries (lib/zpack_write.c:204-256, lib/zpack_read.c:414-466).
+// Written from the public format specifications; independent implementation,
+// bit-compatible with the Python/numpy and JAX paths in this repo.
+//
+// Build: g++ -O3 -march=native -shared -fPIC zpack_native.cpp -o _zpack_native.so
+// Loaded via ctypes (zpack_tpu/native.py); pure-C ABI.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// XXH3-64 (one-shot, seed 0) — public xxHash spec
+// ---------------------------------------------------------------------------
+
+static const uint8_t kSecret[192] = {
+    0xb8,0xfe,0x6c,0x39,0x23,0xa4,0x4b,0xbe,0x7c,0x01,0x81,0x2c,0xf7,0x21,0xad,0x1c,
+    0xde,0xd4,0x6d,0xe9,0x83,0x90,0x97,0xdb,0x72,0x40,0xa4,0xa4,0xb7,0xb3,0x67,0x1f,
+    0xcb,0x79,0xe6,0x4e,0xcc,0xc0,0xe5,0x78,0x82,0x5a,0xd0,0x7d,0xcc,0xff,0x72,0x21,
+    0xb8,0x08,0x46,0x74,0xf7,0x43,0x24,0x8e,0xe0,0x35,0x90,0xe6,0x81,0x3a,0x26,0x4c,
+    0x3c,0x28,0x52,0xbb,0x91,0xc3,0x00,0xcb,0x88,0xd0,0x65,0x8b,0x1b,0x53,0x2e,0xa3,
+    0x71,0x64,0x48,0x97,0xa2,0x0d,0xf9,0x4e,0x38,0x19,0xef,0x46,0xa9,0xde,0xac,0xd8,
+    0xa8,0xfa,0x76,0x3f,0xe3,0x9c,0x34,0x3f,0xf9,0xdc,0xbb,0xc7,0xc7,0x0b,0x4f,0x1d,
+    0x8a,0x51,0xe0,0x4b,0xcd,0xb4,0x59,0x31,0xc8,0x9f,0x7e,0xc9,0xd9,0x78,0x73,0x64,
+    0xea,0xc5,0xac,0x83,0x34,0xd3,0xeb,0xc3,0xc5,0x81,0xa0,0xff,0xfa,0x13,0x63,0xeb,
+    0x17,0x0d,0xdd,0x51,0xb7,0xf0,0xda,0x49,0xd3,0x16,0x55,0x26,0x29,0xd4,0x68,0x9e,
+    0x2b,0x16,0xbe,0x58,0x7d,0x47,0xa1,0xfc,0x8f,0xf8,0xb8,0xd1,0x7a,0xd0,0x31,0xce,
+    0x45,0xcb,0x3a,0x8f,0x95,0x16,0x04,0x28,0xaf,0xd7,0xfb,0xca,0xbb,0x4b,0x40,0x7e,
+};
+
+static const uint64_t P32_1 = 0x9E3779B1ULL;
+static const uint64_t P32_2 = 0x85EBCA77ULL;
+static const uint64_t P32_3 = 0xC2B2AE3DULL;
+static const uint64_t P64_1 = 0x9E3779B185EBCA87ULL;
+static const uint64_t P64_2 = 0xC2B2AE3D27D4EB4FULL;
+static const uint64_t P64_3 = 0x165667B19E3779F9ULL;
+static const uint64_t P64_4 = 0x85EBCA77C2B2AE63ULL;
+static const uint64_t P64_5 = 0x27D4EB2F165667C5ULL;
+static const uint64_t PMX1 = 0x165667919E3779F9ULL;
+static const uint64_t PMX2 = 0x9FB21C651E98DF25ULL;
+
+static inline uint32_t rd32(const uint8_t* p) { uint32_t v; memcpy(&v, p, 4); return v; }
+static inline uint64_t rd64(const uint8_t* p) { uint64_t v; memcpy(&v, p, 8); return v; }
+static inline uint64_t rotl64(uint64_t x, int r) { return (x << r) | (x >> (64 - r)); }
+static inline uint64_t swap32v(uint32_t x) { return __builtin_bswap32(x); }
+static inline uint64_t swap64v(uint64_t x) { return __builtin_bswap64(x); }
+
+static inline uint64_t mul128_fold64(uint64_t a, uint64_t b) {
+    __uint128_t p = ( __uint128_t )a * b;
+    return (uint64_t)p ^ (uint64_t)(p >> 64);
+}
+
+static inline uint64_t avalanche64(uint64_t h) {
+    h ^= h >> 33; h *= P64_2; h ^= h >> 29; h *= P64_3; h ^= h >> 32; return h;
+}
+static inline uint64_t avalanche3(uint64_t h) {
+    h ^= h >> 37; h *= PMX1; h ^= h >> 32; return h;
+}
+
+static inline uint64_t mix16(const uint8_t* d, const uint8_t* s) {
+    return mul128_fold64(rd64(d) ^ rd64(s), rd64(d + 8) ^ rd64(s + 8));
+}
+
+static uint64_t xxh3_short(const uint8_t* d, size_t len) {
+    if (len > 16) {
+        if (len <= 128) {
+            uint64_t acc = len * P64_1;
+            if (len > 32) {
+                if (len > 64) {
+                    if (len > 96) {
+                        acc += mix16(d + 48, kSecret + 96);
+                        acc += mix16(d + len - 64, kSecret + 112);
+                    }
+                    acc += mix16(d + 32, kSecret + 64);
+                    acc += mix16(d + len - 48, kSecret + 80);
+                }
+                acc += mix16(d + 16, kSecret + 32);
+                acc += mix16(d + len - 32, kSecret + 48);
+            }
+            acc += mix16(d, kSecret);
+            acc += mix16(d + len - 16, kSecret + 16);
+            return avalanche3(acc);
+        }
+        // 129..240
+        uint64_t acc = len * P64_1;
+        size_t nb = len / 16;
+        for (int i = 0; i < 8; i++) acc += mix16(d + 16 * i, kSecret + 16 * i);
+        acc = avalanche3(acc);
+        for (size_t i = 8; i < nb; i++) acc += mix16(d + 16 * i, kSecret + 16 * (i - 8) + 3);
+        acc += mix16(d + len - 16, kSecret + 136 - 17);
+        return avalanche3(acc);
+    }
+    if (len > 8) {
+        uint64_t bf1 = rd64(kSecret + 24) ^ rd64(kSecret + 32);
+        uint64_t bf2 = rd64(kSecret + 40) ^ rd64(kSecret + 48);
+        uint64_t lo = rd64(d) ^ bf1;
+        uint64_t hi = rd64(d + len - 8) ^ bf2;
+        uint64_t acc = len + swap64v(lo) + hi + mul128_fold64(lo, hi);
+        return avalanche3(acc);
+    }
+    if (len >= 4) {
+        uint64_t in1 = rd32(d), in2 = rd32(d + len - 4);
+        uint64_t bf = rd64(kSecret + 8) ^ rd64(kSecret + 16);
+        uint64_t keyed = (in2 + (in1 << 32)) ^ bf;
+        uint64_t h = keyed ^ rotl64(keyed, 49) ^ rotl64(keyed, 24);
+        h *= PMX2;
+        h ^= (h >> 35) + len;
+        h *= PMX2;
+        h ^= h >> 28;
+        return h;
+    }
+    if (len > 0) {
+        uint32_t c1 = d[0], c2 = d[len >> 1], c3 = d[len - 1];
+        uint32_t comb = (c1 << 16) | (c2 << 24) | c3 | ((uint32_t)len << 8);
+        uint64_t bf = (uint64_t)(rd32(kSecret) ^ rd32(kSecret + 4));
+        return avalanche64(comb ^ bf);
+    }
+    return avalanche64(rd64(kSecret + 56) ^ rd64(kSecret + 64));
+}
+
+static inline void accum512(uint64_t* acc, const uint8_t* d, const uint8_t* sec) {
+    for (int i = 0; i < 8; i++) {
+        uint64_t dv = rd64(d + 8 * i);
+        uint64_t dk = dv ^ rd64(sec + 8 * i);
+        acc[i ^ 1] += dv;
+        acc[i] += (dk & 0xFFFFFFFFULL) * (dk >> 32);
+    }
+}
+
+uint64_t zn_xxh3_64(const uint8_t* d, size_t len) {
+    if (len <= 240) return xxh3_short(d, len);
+    uint64_t acc[8] = {P32_3, P64_1, P64_2, P64_3, P64_4, P32_2, P64_5, P32_1};
+    const size_t stripes_per_block = 16, block_len = 1024;
+    size_t nb_blocks = (len - 1) / block_len;
+    for (size_t b = 0; b < nb_blocks; b++) {
+        const uint8_t* base = d + b * block_len;
+        for (size_t s = 0; s < stripes_per_block; s++)
+            accum512(acc, base + 64 * s, kSecret + 8 * s);
+        for (int i = 0; i < 8; i++) {
+            uint64_t a = acc[i];
+            a ^= a >> 47;
+            a ^= rd64(kSecret + 192 - 64 + 8 * i);
+            acc[i] = a * P32_1;
+        }
+    }
+    size_t done = nb_blocks * block_len;
+    size_t nb_stripes = ((len - 1) - done) / 64;
+    for (size_t s = 0; s < nb_stripes; s++)
+        accum512(acc, d + done + 64 * s, kSecret + 8 * s);
+    accum512(acc, d + len - 64, kSecret + 192 - 64 - 7);
+    uint64_t result = len * P64_1;
+    for (int i = 0; i < 4; i++)
+        result += mul128_fold64(acc[2 * i] ^ rd64(kSecret + 11 + 16 * i),
+                                acc[2 * i + 1] ^ rd64(kSecret + 11 + 16 * i + 8));
+    return avalanche3(result);
+}
+
+// ---------------------------------------------------------------------------
+// LZ4 block codec — public LZ4 block format
+// ---------------------------------------------------------------------------
+
+#define LZ4_MINMATCH 4
+#define LZ4_MFLIMIT 12
+#define LZ4_LASTLITS 5
+#define HASH_LOG 16
+
+static inline uint32_t lz4_hash(uint32_t v) { return (v * 2654435761U) >> (32 - HASH_LOG); }
+
+static inline uint8_t* write_lsic(uint8_t* op, size_t v) {
+    while (v >= 255) { *op++ = 255; v -= 255; }
+    *op++ = (uint8_t)v;
+    return op;
+}
+
+// Greedy hash-table encoder; depth = chain probes (level>=3 keeps a chain).
+size_t zn_lz4_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level) {
+    (void)level;
+    uint8_t* op = dst;
+    uint8_t* oend = dst + cap;
+    if (n == 0) return 0;
+    size_t lit_start = 0;
+    if (n >= LZ4_MFLIMIT + 1) {
+        static thread_local int32_t table[1 << HASH_LOG];
+        for (size_t i = 0; i < (1u << HASH_LOG); i++) table[i] = -1;
+        size_t pos = 1;
+        size_t mflimit = n - LZ4_MFLIMIT;
+        size_t limit = n - LZ4_LASTLITS;
+        // seed position 0
+        table[lz4_hash(rd32(src))] = 0;
+        size_t step = 1, probe_budget = 64;
+        while (pos < mflimit) {
+            uint32_t h = lz4_hash(rd32(src + pos));
+            int32_t cand = table[h];
+            table[h] = (int32_t)pos;
+            if (cand >= 0 && pos - (size_t)cand <= 65535 && rd32(src + cand) == rd32(src + pos)) {
+                // extend
+                size_t ml = LZ4_MINMATCH;
+                size_t maxml = limit - pos;
+                while (ml + 8 <= maxml && rd64(src + cand + ml) == rd64(src + pos + ml)) ml += 8;
+                while (ml < maxml && src[cand + ml] == src[pos + ml]) ml++;
+                if (ml >= LZ4_MINMATCH) {
+                    size_t ll = pos - lit_start;
+                    size_t need = 1 + ll / 255 + 1 + ll + 2 + ml / 255 + 1;
+                    if (op + need > oend) return (size_t)-1;
+                    size_t mlc = ml - LZ4_MINMATCH;
+                    uint8_t tok = (uint8_t)(((ll < 15 ? ll : 15) << 4) | (mlc < 15 ? mlc : 15));
+                    *op++ = tok;
+                    if (ll >= 15) op = write_lsic(op, ll - 15);
+                    memcpy(op, src + lit_start, ll); op += ll;
+                    size_t off = pos - (size_t)cand;
+                    *op++ = (uint8_t)off; *op++ = (uint8_t)(off >> 8);
+                    if (mlc >= 15) op = write_lsic(op, mlc - 15);
+                    // insert a few positions inside the match for future matches
+                    size_t end_pos = pos + ml;
+                    for (size_t q = pos + 1; q < end_pos && q < mflimit; q += 3)
+                        table[lz4_hash(rd32(src + q))] = (int32_t)q;
+                    pos = end_pos;
+                    lit_start = pos;
+                    step = 1;
+                    continue;
+                }
+            }
+            pos += step;
+            // LZ4-style acceleration on incompressible stretches
+            if (((pos - lit_start) & 0x3F) == 0x3F) step++;
+        }
+    }
+    // final literals
+    size_t ll = n - lit_start;
+    size_t need = 1 + ll / 255 + 1 + ll;
+    if (op + need > oend) return (size_t)-1;
+    *op++ = (uint8_t)((ll < 15 ? ll : 15) << 4);
+    if (ll >= 15) op = write_lsic(op, ll - 15);
+    memcpy(op, src + lit_start, ll);
+    op += ll;
+    return (size_t)(op - dst);
+}
+
+// Decode with optional linked-block prefix (history). Returns output length
+// or (size_t)-1 on malformed input / overflow.
+size_t zn_lz4_decompress(const uint8_t* src, size_t n,
+                         uint8_t* dst, size_t cap,
+                         const uint8_t* prefix, size_t prefix_len) {
+    const uint8_t* ip = src;
+    const uint8_t* iend = src + n;
+    uint8_t* op = dst;
+    uint8_t* oend = dst + cap;
+    while (ip < iend) {
+        uint8_t tok = *ip++;
+        size_t ll = tok >> 4;
+        if (ll == 15) {
+            uint8_t c;
+            do { if (ip >= iend) return (size_t)-1; c = *ip++; ll += c; } while (c == 255);
+        }
+        if ((size_t)(iend - ip) < ll || (size_t)(oend - op) < ll) return (size_t)-1;
+        memcpy(op, ip, ll); op += ll; ip += ll;
+        if (ip == iend) break;  // last sequence: literals only
+        if (iend - ip < 2) return (size_t)-1;
+        size_t off = ip[0] | ((size_t)ip[1] << 8);
+        ip += 2;
+        if (off == 0) return (size_t)-1;
+        size_t ml = (tok & 0xF) + LZ4_MINMATCH;
+        if ((tok & 0xF) == 15) {
+            uint8_t c;
+            do { if (ip >= iend) return (size_t)-1; c = *ip++; ml += c; } while (c == 255);
+        }
+        if ((size_t)(oend - op) < ml) return (size_t)-1;
+        size_t produced = (size_t)(op - dst);
+        if (off > produced + prefix_len) return (size_t)-1;
+        if (off <= produced) {
+            const uint8_t* mp = op - off;
+            if (off >= 8 && (size_t)(oend - op) >= ml + 8) {
+                // 8-byte chunk copy may scribble ≤7 bytes past ml (overwritten
+                // later); bounds-checked above
+                for (size_t i = 0; i < ml; i += 8) memcpy(op + i, mp + i, 8);
+                op += ml;
+            } else {
+                for (size_t i = 0; i < ml; i++) op[i] = mp[i];
+                op += ml;
+            }
+        } else {
+            // match starts in the prefix (linked blocks)
+            size_t from_prefix = off - produced;
+            const uint8_t* pp = prefix + prefix_len - from_prefix;
+            size_t take = from_prefix < ml ? from_prefix : ml;
+            memcpy(op, pp, take); op += take;
+            size_t rest = ml - take;
+            const uint8_t* mp = op - off;
+            for (size_t i = 0; i < rest; i++) op[i] = mp[i];
+            op += rest;
+        }
+    }
+    return (size_t)(op - dst);
+}
+
+}  // extern "C"

@@ -40,8 +40,18 @@ def _write_lsic(out: bytearray, value: int) -> None:
 
 def compress_block(data: bytes, level: int = 1) -> bytes:
     """Compress one LZ4 block.  ``level`` maps to hash-chain search depth
-    (1-2 → depth 2, higher levels search deeper like the HC modes)."""
+    (1-2 → depth 2, higher levels search deeper like the HC modes).
+
+    Fast levels route through the native C++ greedy encoder when available;
+    higher levels (and any environment without the toolchain) use the
+    numpy parallel-first matcher below."""
     data = bytes(data)
+    if level <= 2:
+        from ... import native
+
+        comp = native.lz4_compress_block(data, level)
+        if comp is not None:
+            return comp
     b = np.frombuffer(data, dtype=np.uint8)
     n = len(b)
     out = bytearray()
@@ -95,7 +105,15 @@ def decompress_block(data: bytes, max_out: int | None = None,
 
     Sequence replay runs one python step per *sequence* with C-speed slice
     copies; overlapping matches replicate their period via bytes repetition.
+    Routes through the native C++ decoder when available and the output
+    bound is known.
     """
+    if max_out is not None:
+        from ... import native
+
+        out = native.lz4_decompress_block(bytes(data), max_out, bytes(prefix))
+        if out is not None:
+            return out
     src = bytes(data)
     n = len(src)
     out = bytearray(prefix)

@@ -529,8 +529,19 @@ def _hash_long(data: bytes, secret: bytes) -> int:
 
 
 def xxh3_64(data: bytes, seed: int = 0) -> int:
-    """One-shot XXH3-64 (bit-compatible with XXH3_64bits/_withSeed)."""
+    """One-shot XXH3-64 (bit-compatible with XXH3_64bits/_withSeed).
+
+    Seed-0 hashing routes through the native C++ backend when available
+    (zpack_tpu.native, ~8 GB/s); the numpy path below is the always-
+    available fallback and the oracle for tests.
+    """
     data = bytes(data)
+    if seed == 0:
+        from .. import native
+
+        h = native.xxh3_64(data)
+        if h is not None:
+            return h
     length = len(data)
     if length <= 16:
         return _xxh3_0to16(data, seed, KSECRET)

@@ -97,27 +97,34 @@ def tokenize_block(data: jax.Array, depth: int = 2):
 
 
 def _extend(u, b, pos, j, valid, B):
-    """Fixed-round masked match extension: 4-byte compare rounds up to CAPJ,
-    then one deferred byte-level remainder phase (capped matches are
-    re-extended exactly host-side during serialization)."""
-    mlen = jnp.where(valid, MIN_MATCH, 0).astype(jnp.int32)
-    active = valid
-    k = MIN_MATCH
-    while k < CAPJ:
+    """Match extension as a rolled fori_loop of masked 4-byte compare
+    rounds up to CAPJ, then one deferred byte-level remainder phase
+    (capped matches are re-extended exactly host-side at serialization).
+    Rolled loops keep the XLA graph small → fast compiles."""
+
+    def round_body(_, carry):
+        mlen, active = carry
+        k = mlen  # active lanes all have mlen == current k
         p_k = jnp.minimum(pos + k, B - 1)
         j_k = jnp.minimum(j + k, B - 1)
         inb = (pos + k) <= (B - 4)
         eq = active & inb & (u[p_k] == u[j_k])
-        mlen = jnp.where(eq, mlen + 4, mlen)
-        active = eq
-        k += 4
+        return jnp.where(eq, mlen + 4, mlen), eq
+
+    mlen = jnp.where(valid, MIN_MATCH, 0).astype(jnp.int32)
+    mlen, active = jax.lax.fori_loop(
+        0, (CAPJ - MIN_MATCH) // 4, round_body, (mlen, valid)
+    )
     done = valid & ~active
-    for _ in range(3):
+
+    def byte_body(_, carry):
+        mlen, done = carry
         pp = jnp.minimum(pos + mlen, B - 1)
         jj = jnp.minimum(j + mlen, B - 1)
         still = done & ((pos + mlen) < B) & (b[pp] == b[jj])
-        mlen = jnp.where(still, mlen + 1, mlen)
-        done = still
+        return jnp.where(still, mlen + 1, mlen), still
+
+    mlen, _ = jax.lax.fori_loop(0, 3, byte_body, (mlen, done))
     return mlen
 
 

@@ -1,0 +1,102 @@
+"""ctypes loader for the native host backend (native/zpack_native.cpp).
+
+Builds the shared library on first use (g++ is baked into the image); all
+callers fall back to the numpy paths when the toolchain or binary is
+unavailable, so the pure-Python framework remains fully functional.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_SRC = _ROOT / "native" / "zpack_native.cpp"
+_SO = _ROOT / "native" / "_zpack_native.so"
+
+
+def _build() -> bool:
+    if not _SRC.exists():
+        return False
+    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+             str(_SRC), "-o", str(_SO)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("ZPACK_TPU_NO_NATIVE"):
+            return None
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            return None
+        lib.zn_xxh3_64.restype = ctypes.c_uint64
+        lib.zn_xxh3_64.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+        lib.zn_lz4_compress.restype = ctypes.c_size_t
+        lib.zn_lz4_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.zn_lz4_decompress.restype = ctypes.c_size_t
+        lib.zn_lz4_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+_FAIL = (1 << 64) - 1  # (size_t)-1 from the C side
+
+
+def xxh3_64(data: bytes) -> int | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    return int(lib.zn_xxh3_64(data, len(data)))
+
+
+def lz4_compress_block(data: bytes, level: int = 1) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + len(data) // 255 + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = int(lib.zn_lz4_compress(data, len(data), buf, cap, level))
+    if n == _FAIL:
+        return None
+    return buf.raw[:n]
+
+
+def lz4_decompress_block(data: bytes, max_out: int, prefix: bytes = b"") -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
+    n = int(lib.zn_lz4_decompress(data, len(data), buf, max_out, prefix, len(prefix)))
+    if n == _FAIL:
+        return None
+    return buf.raw[:n]
