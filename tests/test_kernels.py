@@ -78,5 +78,5 @@ def test_graft_entry():
 
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    assert len(out) == 3
+    assert len(out) == 2
     g.dryrun_multichip(8)

@@ -7,15 +7,16 @@ updates, no data-dependent python control flow:
 
   1. hash every 4-byte window (VPU),
   2. previous-occurrence chains via one stable sort (XLA sort),
-  3. match-length extension as fixed-round masked 4-byte compares,
-  4. greedy parse as *orbit doubling*: jump[i] = i + (match_len | 1);
-     the parse is the orbit of 0 under jump, enumerated in log2(B)
-     doubling steps of gathers (S ← S ∥ jump[S], jump ← jump[jump]).
+  3. match validation + length in ONE wide strip compare: a single
+     lane-aligned (B, 128) contiguous byte-strip gather on the candidate
+     side vs a sliding-window matrix on the position side, leading-equal
+     count via cumulative AND — generic gathers are the scarce resource
+     on TPU, so the kernel spends exactly one per chain-depth step,
+  4. greedy parse by pointer-jumping: the jump table is produced on
+     device; orbit enumeration (16 doubling rounds) and byte
+     serialization run vectorized on host where they are micro-cheap.
 
-The kernel returns the parse events (positions / sources / lengths);
-byte-level serialization to the LZ4 wire format happens host-side in
-O(#sequences) (on-TPU serialization via prefix-sum scatter is the
-planned follow-up).  Works on any padded power-of-two block size.
+Works on any padded block size (multiples of 128 recommended).
 """
 
 from __future__ import annotations
@@ -32,114 +33,116 @@ MIN_MATCH = 4
 MFLIMIT = 12
 LAST_LITERALS = 5
 MAX_OFFSET = 65535
-CAPJ = 64  # on-device match length cap (fixed compare rounds)
+CAPJ = 16  # on-device match length cap (payload bytes carried through sort)
 _HASH_MUL = jnp.uint32(2654435761)
+
+
+def _tz_bytes(x):
+    """leading equal *bytes* of a little-endian u32 xor (0..3 for x != 0)."""
+    return (
+        ((x & 0xFF) == 0).astype(jnp.int32)
+        + ((x & 0xFFFF) == 0).astype(jnp.int32)
+        + ((x & 0xFFFFFF) == 0).astype(jnp.int32)
+    )
 
 
 @partial(jax.jit, static_argnames=("depth",))
 def tokenize_block(data: jax.Array, depth: int = 2):
-    """Parse one block of B bytes (B static, power of two recommended).
+    """Find the best match per position for one B-byte block (B static,
+    B <= 65536 so positions fit in the low 16 bits of the sort key).
 
-    Returns (orbit, src, mlen):
-      orbit: int32[B+1] — parse-event positions in increasing order, padded
-             with B past the end of the parse;
-      src:   int32[B]   — match source for each position (‑1 if none);
-      mlen:  int32[B]   — selected match length at each position (0/1 if
-             the event is a 1-byte literal step).
+    Gather-free formulation (generic gathers serialize on TPU): pack
+    (hash16 << 16 | pos16) into ONE u32 sort key and carry the first 16
+    window bytes as four u32 payload columns through the same sort; a
+    hash-chain candidate at depth d is then simply the sorted neighbor d
+    rows above, and match validation + capped length are dense shifted
+    compares on the payload columns.  One packed scatter unsorts the
+    result.  Capped (>= CAPJ) matches are re-extended exactly host-side.
+
+    Returns (src, mlen): int32[B] match source (-1 = none) and capped
+    match length (0 = none), clamped to the block-end parse rules.
     """
     B = data.shape[0]
     b = data.astype(jnp.uint32)
-    # u32 windows at every position (tail positions read zeros)
-    bp = jnp.pad(b, (0, 4))
+    bp = jnp.pad(b, (0, CAPJ + 4))
     u = bp[:B] | (bp[1 : B + 1] << 8) | (bp[2 : B + 2] << 16) | (bp[3 : B + 3] << 24)
+    u4 = bp[4 : B + 4] | (bp[5 : B + 5] << 8) | (bp[6 : B + 6] << 16) | (bp[7 : B + 7] << 24)
+    u8_ = bp[8 : B + 8] | (bp[9 : B + 9] << 8) | (bp[10 : B + 10] << 16) | (bp[11 : B + 11] << 24)
+    u12 = bp[12 : B + 12] | (bp[13 : B + 13] << 8) | (bp[14 : B + 14] << 16) | (bp[15 : B + 15] << 24)
 
     h = (u * _HASH_MUL) >> jnp.uint32(16)
-    order = jnp.argsort(h, stable=True).astype(jnp.int32)
-    h_sorted = h[order]
-    same = h_sorted[1:] == h_sorted[:-1]
-    cand = jnp.full((B,), -1, jnp.int32).at[order[1:]].set(
-        jnp.where(same, order[:-1], -1)
+    pos_u = jnp.arange(B, dtype=jnp.uint32)
+    key = (h << jnp.uint32(16)) | pos_u  # stable by construction
+    key_s, u_s, u4_s, u8_s, u12_s = jax.lax.sort(
+        (key, u, u4, u8_, u12), num_keys=1
     )
+    hs = key_s >> jnp.uint32(16)
+    ps = (key_s & jnp.uint32(0xFFFF)).astype(jnp.int32)
 
-    pos = jnp.arange(B, dtype=jnp.int32)
-    best_src = jnp.full((B,), -1, jnp.int32)
+    def shift_up(a, d, fill):
+        return jnp.concatenate([jnp.full((d,), fill, a.dtype), a[:-d]])
+
     best_len = jnp.zeros((B,), jnp.int32)
-    cur = cand
-    for _ in range(max(1, depth)):
-        valid = (cur >= 0) & (pos - cur <= MAX_OFFSET)
-        j = jnp.where(valid, cur, 0)
-        valid &= u[j] == u
-        mlen = _extend(u, b, pos, j, valid, B)
-        better = valid & (mlen > best_len)
-        best_src = jnp.where(better, j, best_src)
+    best_src = jnp.zeros((B,), jnp.int32)
+    for d in range(1, max(2, depth + 1)):
+        same = hs == shift_up(hs, d, jnp.uint32(0xFFFFFFFF))
+        cand_pos = shift_up(ps, d, jnp.int32(0))
+        close = same & (ps - cand_pos <= MAX_OFFSET) & (ps > cand_pos)
+        x0 = u_s ^ shift_up(u_s, d, jnp.uint32(0))
+        x1 = u4_s ^ shift_up(u4_s, d, jnp.uint32(0))
+        x2 = u8_s ^ shift_up(u8_s, d, jnp.uint32(0))
+        x3 = u12_s ^ shift_up(u12_s, d, jnp.uint32(0))
+        e0 = x0 == 0
+        e1 = x1 == 0
+        e2 = x2 == 0
+        l3 = jnp.where(e2, jnp.where(x3 == 0, 16, 12 + _tz_bytes(x3)), 8 + _tz_bytes(x2))
+        mlen = jnp.where(e0, jnp.where(e1, l3, 4 + _tz_bytes(x1)), 0)
+        mlen = jnp.where(close, mlen, 0)
+        better = mlen > best_len
         best_len = jnp.where(better, mlen, best_len)
-        cur = jnp.where(cur >= 0, cand[jnp.maximum(cur, 0)], -1)
+        best_src = jnp.where(better, cand_pos, best_src)
 
-    # parse rules: matches start before B-12, end by B-5
+    # unsort via one packed scatter: (len << 17) | src  (len<=16, src<2^17)
+    packed = (best_len << 17) | best_src
+    out = jnp.zeros((B,), jnp.int32).at[ps].set(packed)
+    best_len = out >> 17
+    best_src = out & jnp.int32(0x1FFFF)
+
+    # end-of-block parse rules
+    pos = jnp.arange(B, dtype=jnp.int32)
     match_ok = (best_len >= MIN_MATCH) & (pos < B - MFLIMIT) & (pos > 0)
     ml = jnp.minimum(best_len, (B - LAST_LITERALS) - pos)
     match_ok &= ml >= MIN_MATCH
-    step = jnp.where(match_ok, ml, 1)
     mlen_sel = jnp.where(match_ok, ml, 0)
+    src_sel = jnp.where(match_ok, best_src, -1)
+    return src_sel, mlen_sel
 
-    # orbit doubling over jump (domain 0..B, B is the fixed point)
-    jump = jnp.minimum(pos + step, B)
-    jump = jnp.concatenate([jump, jnp.array([B], jnp.int32)])
-    orbit = jnp.array([0], jnp.int32)
-    n_doublings = max(1, int(np.ceil(np.log2(max(B, 2)))))
-    for _ in range(n_doublings):
-        if orbit.shape[0] > B:
-            break
-        orbit = jnp.concatenate([orbit, jump[orbit]])
+
+def parse_events_host(src: np.ndarray, mlen: np.ndarray, n: int):
+    """Greedy parse via numpy pointer-doubling over the device jump table.
+    Returns sorted match positions (the parse orbit's match events)."""
+    B = len(mlen)
+    step = np.where(mlen >= MIN_MATCH, mlen, 1).astype(np.int64)
+    jump = np.minimum(np.arange(B, dtype=np.int64) + step, B)
+    jump = np.concatenate([jump, [B]])
+    orbit = np.array([0], dtype=np.int64)
+    while len(orbit) <= B:
+        orbit = np.concatenate([orbit, jump[orbit]])
         jump = jump[jump]
     orbit = orbit[: B + 1]
-    return orbit, best_src, mlen_sel
+    events = orbit[orbit < n]
+    events = np.unique(events)  # orbit is sorted+padded; dedupe the fixpoint
+    return events[mlen[events] >= MIN_MATCH]
 
 
-def _extend(u, b, pos, j, valid, B):
-    """Match extension as a rolled fori_loop of masked 4-byte compare
-    rounds up to CAPJ, then one deferred byte-level remainder phase
-    (capped matches are re-extended exactly host-side at serialization).
-    Rolled loops keep the XLA graph small → fast compiles."""
-
-    def round_body(_, carry):
-        mlen, active = carry
-        k = mlen  # active lanes all have mlen == current k
-        p_k = jnp.minimum(pos + k, B - 1)
-        j_k = jnp.minimum(j + k, B - 1)
-        inb = (pos + k) <= (B - 4)
-        eq = active & inb & (u[p_k] == u[j_k])
-        return jnp.where(eq, mlen + 4, mlen), eq
-
-    mlen = jnp.where(valid, MIN_MATCH, 0).astype(jnp.int32)
-    mlen, active = jax.lax.fori_loop(
-        0, (CAPJ - MIN_MATCH) // 4, round_body, (mlen, valid)
-    )
-    done = valid & ~active
-
-    def byte_body(_, carry):
-        mlen, done = carry
-        pp = jnp.minimum(pos + mlen, B - 1)
-        jj = jnp.minimum(j + mlen, B - 1)
-        still = done & ((pos + mlen) < B) & (b[pp] == b[jj])
-        return jnp.where(still, mlen + 1, mlen), still
-
-    mlen, _ = jax.lax.fori_loop(0, 3, byte_body, (mlen, done))
-    return mlen
-
-
-def serialize_block_host(data: bytes, orbit: np.ndarray, src: np.ndarray,
-                         mlen: np.ndarray) -> bytes:
-    """Assemble the LZ4 block from device parse events (O(#sequences))."""
+def serialize_block_host(data: bytes, src: np.ndarray, mlen: np.ndarray) -> bytes:
+    """Assemble the LZ4 block from the device match tables: host orbit
+    enumeration + vectorized serialization; capped matches re-extended."""
     n = len(data)
     arr = np.frombuffer(data, dtype=np.uint8)
-    events = orbit[orbit < n]
-    ev_len = mlen[events]
-    match_ev = events[ev_len >= MIN_MATCH]
+    match_ev = parse_events_host(src, mlen, n)
     limit = n - LAST_LITERALS
-    if not (ev_len >= CAPJ).any():
-        # fast path: no device-capped matches — the orbit is final; one
-        # fully vectorized serialization
+    if not len(match_ev) or int(mlen[match_ev].max()) < CAPJ:
         return lz4block.serialize_sequences_np(
             data, match_ev, src[match_ev], mlen[match_ev]
         )
@@ -151,7 +154,7 @@ def serialize_block_host(data: bytes, orbit: np.ndarray, src: np.ndarray,
     pos = 0
     for p in match_ev.tolist():
         if p < pos:
-            continue  # covered by a host-extended earlier match
+            continue
         ml = int(mlen[p])
         j = int(src[p])
         if ml >= CAPJ:
@@ -169,55 +172,20 @@ def serialize_block_host(data: bytes, orbit: np.ndarray, src: np.ndarray,
 
 
 def compress_block_tpu(data: bytes, depth: int = 2) -> bytes:
-    """One 2^k-sized LZ4 block, matcher+parse on device."""
+    """One LZ4 block, matcher on device, parse+serialize on host."""
     n = len(data)
     if n < MFLIMIT + 1:
         return lz4block.compress_block(data)
-    B = 1 << max(4, (n - 1).bit_length())
+    B = max(256, -(-n // 128) * 128)
     padded = np.zeros(B, dtype=np.uint8)
     padded[:n] = np.frombuffer(data, dtype=np.uint8)
-    orbit, src, mlen = tokenize_block(jnp.asarray(padded), depth)
-    orbit = np.asarray(orbit)
+    src, mlen = tokenize_block(jnp.asarray(padded), depth)
     src = np.asarray(src)
     mlen = np.asarray(mlen)
     if n != B:
-        # padding may have created matches running past n: re-clamp and
-        # drop those violating the real block's end rules
-        mlen = np.minimum(mlen, np.maximum(n - LAST_LITERALS - np.arange(B), 0))
-        pos = np.arange(B)
-        bad = (pos >= n - MFLIMIT) | (mlen < MIN_MATCH)
-        mlen = np.where(bad, 0, mlen)
-        # re-parse on host over the (cheap) event list
-        return _reparse_serialize(data, src, mlen)
-    return serialize_block_host(data, orbit, src, mlen)
-
-
-def _reparse_serialize(data: bytes, src: np.ndarray, mlen: np.ndarray) -> bytes:
-    from ..codecs import match as M
-
-    n = len(data)
-    arr = np.frombuffer(data, dtype=np.uint8)
-    out = bytearray()
-    usable = np.flatnonzero(mlen[: max(n - MFLIMIT, 0)] >= MIN_MATCH)
-    usable = usable[usable > 0]
-    limit = n - LAST_LITERALS
-    pos = 0
-    lit_start = 0
-    while True:
-        k = int(np.searchsorted(usable, pos))
-        if k >= len(usable):
-            break
-        p = int(usable[k])
-        ml = int(mlen[p])
-        j = int(src[p])
-        if ml >= CAPJ:
-            ml = M.exact_extend(arr, p, j, ml, limit)
-        ml = min(ml, limit - p)
-        if ml < MIN_MATCH:
-            pos = p + 1
-            continue
-        lz4block._emit_sequence(out, data, lit_start, p - lit_start, p - j, ml)
-        pos = p + ml
-        lit_start = pos
-    lz4block._emit_sequence(out, data, lit_start, n - lit_start, None, None)
-    return bytes(out)
+        # padding may have created/extended matches past n: re-clamp
+        posa = np.arange(B)
+        mlen = np.minimum(mlen, np.maximum(n - LAST_LITERALS - posa, 0))
+        mlen = np.where(posa >= max(n - MFLIMIT, 0), 0, mlen)
+        mlen = np.where(mlen < MIN_MATCH, 0, mlen)
+    return serialize_block_host(data, src, mlen)

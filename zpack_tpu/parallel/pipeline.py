@@ -50,7 +50,6 @@ def make_mesh(devices=None, entry_axis: int | None = None) -> Mesh:
 class TokenizedBlocks:
     """Device results for a batch of blocks, pre-serialization."""
 
-    orbit: np.ndarray  # (nb, B+1)
     src: np.ndarray  # (nb, B)
     mlen: np.ndarray  # (nb, B)
     est_compressed: int  # psum'd size estimate across the mesh
@@ -63,16 +62,15 @@ def _step_fn(mesh: Mesh, depth: int):
         # blocks: (e_local, b_local, B)
         e, b, B = blocks.shape
         flat = blocks.reshape(e * b, B)
-        orbit, src, mlen = jax.vmap(partial(lz4_jax.tokenize_block, depth=depth))(flat)
+        src, mlen = jax.vmap(partial(lz4_jax.tokenize_block, depth=depth))(flat)
         # size estimate: literals + per-match overhead, reduced over the mesh
         matched = jnp.sum(jnp.where(mlen >= 4, mlen, 0), axis=-1)
         n_seq = jnp.sum((mlen >= 4).astype(jnp.int32), axis=-1)
         est_local = jnp.sum(B - matched + 3 * n_seq)
         est = jax.lax.psum(jax.lax.psum(est_local, "block"), "entry")
         return (
-            orbit.reshape(e, b, -1),
-            src.reshape(e, b, B),
-            mlen.reshape(e, b, B),
+            src.reshape(e, b, B).astype(jnp.int32),
+            mlen.reshape(e, b, B).astype(jnp.int32),
             est,
         )
 
@@ -82,7 +80,6 @@ def _step_fn(mesh: Mesh, depth: int):
             mesh=mesh,
             in_specs=P("entry", "block", None),
             out_specs=(
-                P("entry", "block", None),
                 P("entry", "block", None),
                 P("entry", "block", None),
                 P(),
@@ -128,11 +125,10 @@ class MeshCompressor:
         batch = jax.device_put(
             batch, NamedSharding(self.mesh, P("entry", "block", None))
         )
-        orbit, src, mlen, est = self._step(batch)
-        orbit = np.asarray(orbit).reshape(nb_pad, -1)
+        src, mlen, est = self._step(batch)
         src = np.asarray(src).reshape(nb_pad, B)
         mlen = np.asarray(mlen).reshape(nb_pad, B)
-        return orbit, src, mlen, nb, int(est)
+        return src, mlen, nb, int(est)
 
     def compress(self, data: bytes) -> bytes:
         """Full lz4f frame via mesh tokenization + host ragged assembly."""
@@ -140,7 +136,7 @@ class MeshCompressor:
 
         data = bytes(data)
         B = self.block_size
-        orbit, src, mlen, nb, _est = self.tokenize(data)
+        src, mlen, nb, _est = self.tokenize(data)
         # declared frame block-size id must be a standard size ≥ our blocks
         declared = next(s for s in (64 << 10, 256 << 10, 1 << 20, 4 << 20) if s >= B)
         out = bytearray(
@@ -150,14 +146,14 @@ class MeshCompressor:
 
         for i in range(nb):
             chunk = data[i * B : (i + 1) * B]
-            if len(chunk) == B:
-                comp = lz4_jax.serialize_block_host(chunk, orbit[i], src[i], mlen[i])
-            else:
+            ml = mlen[i]
+            if len(chunk) != B:
                 # tail block: clamp device results to the real length
-                ml = np.minimum(mlen[i], np.maximum(len(chunk) - 5 - np.arange(B), 0))
-                pos_arr = np.arange(B)
-                ml = np.where(pos_arr >= max(len(chunk) - 12, 0), 0, ml)
-                comp = lz4_jax._reparse_serialize(chunk, src[i], ml)
+                posa = np.arange(B)
+                ml = np.minimum(ml, np.maximum(len(chunk) - 5 - posa, 0))
+                ml = np.where(posa >= max(len(chunk) - 12, 0), 0, ml)
+                ml = np.where(ml < 4, 0, ml)
+            comp = lz4_jax.serialize_block_host(chunk, src[i], ml)
             if len(comp) < len(chunk):
                 out += struct.pack("<I", len(comp)) + comp
             else:
