@@ -1,0 +1,619 @@
+// zpack-tpu native zstd frame decoder (RFC 8878), self-contained.
+//
+// Role parity: ZSTD_decompressDCtx as used by the reference
+// (lib/zpack_read.c:380).  Independent implementation written from the
+// public spec; mirrors the Python decoder in zpack_tpu/codecs/zstd/ which
+// serves as its differential-testing oracle.
+//
+// Compiled into the same _zpack_native.so as zpack_native.cpp.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+#include <vector>
+
+namespace {
+
+struct ByteSpan {
+    const uint8_t* p;
+    size_t n;
+};
+
+// ---------------------------------------------------------------------------
+// bit readers
+// ---------------------------------------------------------------------------
+
+struct FwdBits {  // LSB-first forward (FSE table descriptions)
+    const uint8_t* data;
+    size_t size;
+    size_t bitpos = 0;
+
+    uint32_t peek(int nbits) const {
+        if (nbits == 0) return 0;
+        size_t byte = bitpos >> 3;
+        uint64_t word = 0;
+        for (int i = 0; i < 8 && byte + i < size; i++)
+            word |= (uint64_t)data[byte + i] << (8 * i);
+        return (uint32_t)((word >> (bitpos & 7)) & ((1u << nbits) - 1));
+    }
+    uint32_t read(int nbits) { uint32_t v = peek(nbits); bitpos += nbits; return v; }
+    void skip(int nbits) { bitpos += nbits; }
+    size_t byte_pos() const { return (bitpos + 7) >> 3; }
+};
+
+struct BackBits {  // backward stream with sentinel bit
+    const uint8_t* data;
+    size_t size = 0;
+    long long bits_left = -1;
+
+    bool init(const uint8_t* d, size_t n) {
+        if (n == 0 || d[n - 1] == 0) return false;
+        data = d;
+        size = n;
+        int hb = 31 - __builtin_clz((uint32_t)d[n - 1]);
+        bits_left = (long long)(n - 1) * 8 + hb;
+        return true;
+    }
+    inline uint64_t word_at(size_t start) const {
+        uint64_t word = 0;
+        size_t lim = size - start < 8 ? size - start : 8;
+        for (size_t i = 0; i < lim; i++) word |= (uint64_t)data[start + i] << (8 * i);
+        return word;
+    }
+    uint32_t read(int nbits) {
+        if (nbits == 0) return 0;
+        bits_left -= nbits;
+        long long pos = bits_left;
+        if (pos >= 0) {
+            uint64_t word = word_at((size_t)(pos >> 3));
+            return (uint32_t)((word >> (pos & 7)) & ((1ull << nbits) - 1));
+        }
+        long long avail = nbits + pos;
+        if (avail <= 0) return 0;
+        uint64_t word = word_at(0);
+        return (uint32_t)((word & ((1ull << avail) - 1)) << (-pos));
+    }
+};
+
+// ---------------------------------------------------------------------------
+// FSE
+// ---------------------------------------------------------------------------
+
+struct FseTable {
+    int al = 0;
+    std::vector<uint16_t> symbols;
+    std::vector<uint8_t> nb_bits;
+    std::vector<uint16_t> new_state;
+    bool valid = false;
+};
+
+// Parse normalized counts; returns bytes consumed or -1.
+long long read_ncount(const uint8_t* data, size_t size, int max_symbol, int max_al,
+                      std::vector<int>& counts, int& al_out) {
+    FwdBits br{data, size};
+    int al = (int)br.read(4) + 5;
+    if (al > max_al) return -1;
+    int remaining = (1 << al) + 1;
+    int threshold = 1 << al;
+    int nbits = al + 1;
+    counts.clear();
+    bool previous0 = false;
+    while (remaining > 1) {
+        if ((int)counts.size() > max_symbol) return -1;
+        if (previous0) {
+            while (br.peek(2) == 3) {
+                br.skip(2);
+                counts.push_back(0); counts.push_back(0); counts.push_back(0);
+                if ((int)counts.size() > max_symbol + 1) return -1;
+            }
+            uint32_t n0 = br.read(2);
+            for (uint32_t i = 0; i < n0; i++) counts.push_back(0);
+            if ((int)counts.size() > max_symbol + 1) return -1;
+        }
+        uint32_t val = br.peek(nbits);
+        int maxv = (2 * threshold - 1) - remaining;
+        if ((int)(val & (threshold - 1)) < maxv) {
+            val &= threshold - 1;
+            br.skip(nbits - 1);
+        } else {
+            br.skip(nbits);
+            if ((int)val >= threshold) val -= maxv;
+        }
+        int count = (int)val - 1;
+        remaining -= count < 0 ? -count : count;
+        counts.push_back(count);
+        previous0 = count == 0;
+        while (remaining < threshold && remaining > 1) { nbits--; threshold >>= 1; }
+    }
+    if (remaining != 1) return -1;
+    al_out = al;
+    return (long long)br.byte_pos();
+}
+
+bool build_fse_table(const std::vector<int>& counts, int al, FseTable& t) {
+    int size = 1 << al;
+    t.al = al;
+    t.symbols.assign(size, 0);
+    t.nb_bits.assign(size, 0);
+    t.new_state.assign(size, 0);
+    int high = size - 1;
+    for (size_t s = 0; s < counts.size(); s++)
+        if (counts[s] == -1) t.symbols[high--] = (uint16_t)s;
+    int step = (size >> 1) + (size >> 3) + 3;
+    int mask = size - 1;
+    int pos = 0;
+    for (size_t s = 0; s < counts.size(); s++) {
+        for (int c = 0; c < counts[s]; c++) {
+            t.symbols[pos] = (uint16_t)s;
+            pos = (pos + step) & mask;
+            while (pos > high) pos = (pos + step) & mask;
+        }
+    }
+    if (pos != 0) return false;
+    std::vector<int> next(counts.size());
+    for (size_t s = 0; s < counts.size(); s++) next[s] = counts[s] == -1 ? 1 : counts[s];
+    for (int u = 0; u < size; u++) {
+        int s = t.symbols[u];
+        int x = next[s]++;
+        int hb = 31 - __builtin_clz((uint32_t)x);
+        int nb = al - hb;
+        t.nb_bits[u] = (uint8_t)nb;
+        t.new_state[u] = (uint16_t)((x << nb) - size);
+    }
+    t.valid = true;
+    return true;
+}
+
+void build_rle_table(int symbol, FseTable& t) {
+    t.al = 0;
+    t.symbols.assign(1, (uint16_t)symbol);
+    t.nb_bits.assign(1, 0);
+    t.new_state.assign(1, 0);
+    t.valid = true;
+}
+
+// ---------------------------------------------------------------------------
+// Huffman
+// ---------------------------------------------------------------------------
+
+struct HufTable {
+    int max_bits = 0;
+    std::vector<uint8_t> symbols;  // 2^max_bits
+    std::vector<uint8_t> nb_bits;
+    bool valid = false;
+};
+
+// Parse tree description at data; returns bytes consumed or -1.
+long long read_huf_weights(const uint8_t* data, size_t size, std::vector<int>& weights) {
+    if (size < 1) return -1;
+    uint8_t header = data[0];
+    weights.clear();
+    size_t consumed;
+    if (header < 128) {
+        size_t csize = header;
+        if (size < 1 + csize) return -1;
+        std::vector<int> counts;
+        int al;
+        long long desc = read_ncount(data + 1, csize, 255, 6, counts, al);
+        if (desc < 0) return -1;
+        FseTable table;
+        if (!build_fse_table(counts, al, table)) return -1;
+        BackBits br;
+        if (!br.init(data + 1 + desc, csize - desc)) return -1;
+        uint32_t even = br.read(table.al);
+        uint32_t odd = br.read(table.al);
+        while (weights.size() <= 255) {
+            weights.push_back(table.symbols[even]);
+            int bits = table.nb_bits[even];
+            if (br.bits_left < bits) { weights.push_back(table.symbols[odd]); break; }
+            even = table.new_state[even] + br.read(bits);
+            weights.push_back(table.symbols[odd]);
+            bits = table.nb_bits[odd];
+            if (br.bits_left < bits) { weights.push_back(table.symbols[even]); break; }
+            odd = table.new_state[odd] + br.read(bits);
+        }
+        if (weights.size() > 256) return -1;
+        consumed = 1 + csize;
+    } else {
+        int n = header - 127;
+        size_t nbytes = (n + 1) / 2;
+        if (size < 1 + nbytes) return -1;
+        for (int i = 0; i < n; i++) {
+            uint8_t b = data[1 + i / 2];
+            weights.push_back(i % 2 == 0 ? (b >> 4) : (b & 0xF));
+        }
+        consumed = 1 + nbytes;
+    }
+    // implied last weight
+    uint64_t total = 0;
+    for (int w : weights) if (w > 0) total += 1ull << (w - 1);
+    if (total == 0) return -1;
+    int hb = 63 - __builtin_clzll(total);
+    uint64_t next_pow2 = 1ull << (hb + 1);
+    uint64_t rest = next_pow2 - total;
+    if (rest & (rest - 1)) return -1;
+    int rest_hb = 63 - __builtin_clzll(rest);
+    weights.push_back(rest_hb + 1);
+    if (hb + 1 > 11) return -1;
+    return (long long)consumed;
+}
+
+bool build_huf_table(const std::vector<int>& weights, HufTable& t) {
+    uint64_t total = 0;
+    for (int w : weights) if (w > 0) total += 1ull << (w - 1);
+    int max_bits = 63 - __builtin_clzll(total);
+    if ((1ull << max_bits) != total || max_bits > 11) return false;
+    int size = 1 << max_bits;
+    t.max_bits = max_bits;
+    t.symbols.assign(size, 0);
+    t.nb_bits.assign(size, 0);
+    int pos = 0;
+    for (int w = 1; w <= max_bits; w++) {
+        for (size_t s = 0; s < weights.size(); s++) {
+            if (weights[s] == w) {
+                int length = 1 << (w - 1);
+                for (int i = 0; i < length; i++) {
+                    t.symbols[pos + i] = (uint8_t)s;
+                    t.nb_bits[pos + i] = (uint8_t)(max_bits + 1 - w);
+                }
+                pos += length;
+            }
+        }
+    }
+    if (pos != size) return false;
+    t.valid = true;
+    return true;
+}
+
+bool huf_decode_stream(const uint8_t* data, size_t size, const HufTable& t,
+                       uint8_t* out, size_t n_symbols) {
+    BackBits br;
+    if (!br.init(data, size)) return false;
+    // peek-based decode: maintain a window of max_bits bits
+    int mb = t.max_bits;
+    for (size_t i = 0; i < n_symbols; i++) {
+        long long pos = br.bits_left;
+        uint32_t idx;
+        if (pos >= mb) {
+            uint64_t word = br.word_at((size_t)((pos - mb) >> 3));
+            idx = (uint32_t)((word >> ((pos - mb) & 7)) & ((1u << mb) - 1));
+        } else {
+            // under-run: zero-fill below
+            uint64_t word = br.word_at(0);
+            uint32_t avail = (uint32_t)(pos > 0 ? pos : 0);
+            idx = (uint32_t)((word & ((1ull << avail) - 1)) << (mb - avail));
+        }
+        out[i] = t.symbols[idx];
+        br.bits_left -= t.nb_bits[idx];
+    }
+    return br.bits_left == 0;
+}
+
+// ---------------------------------------------------------------------------
+// sequences
+// ---------------------------------------------------------------------------
+
+static const uint32_t LL_BASE[36] = {
+    0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,18,20,22,24,28,32,40,
+    48,64,128,256,512,1024,2048,4096,8192,16384,32768,65536};
+static const uint8_t LL_EXTRA[36] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,4,6,7,8,9,10,11,12,13,14,15,16};
+static const uint32_t ML_BASE[53] = {
+    3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,25,26,27,28,
+    29,30,31,32,33,34,35,37,39,41,43,47,51,59,67,83,99,131,259,515,1027,2051,
+    4099,8195,16387,32771,65539};
+static const uint8_t ML_EXTRA[53] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+    1,1,1,1,2,2,3,3,4,4,5,7,8,9,10,11,12,13,14,15,16};
+
+static const int LL_DEF[36] = {4,3,2,2,2,2,2,2,2,2,2,2,2,1,1,1,2,2,2,2,2,2,2,2,2,3,2,1,1,1,1,1,-1,-1,-1,-1};
+static const int ML_DEF[53] = {1,4,3,2,2,2,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1,-1,-1};
+static const int OF_DEF[29] = {1,1,1,1,1,1,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1};
+
+struct DCtx {
+    FseTable ll, of, ml;
+    HufTable huf;
+    uint64_t rep[3] = {1, 4, 8};
+    std::vector<uint8_t> lits;
+};
+
+FseTable g_ll_def, g_of_def, g_ml_def;
+bool g_def_init = false;
+void init_defaults() {
+    if (g_def_init) return;
+    build_fse_table(std::vector<int>(LL_DEF, LL_DEF + 36), 6, g_ll_def);
+    build_fse_table(std::vector<int>(OF_DEF, OF_DEF + 29), 5, g_of_def);
+    build_fse_table(std::vector<int>(ML_DEF, ML_DEF + 53), 6, g_ml_def);
+    g_def_init = true;
+}
+
+// returns new pos or -1
+long long read_seq_table(const uint8_t* block, size_t bsize, size_t pos, int mode,
+                         const FseTable& predef, int max_code, int max_al, FseTable& t) {
+    if (mode == 0) { t = predef; return (long long)pos; }
+    if (mode == 1) {
+        if (pos >= bsize) return -1;
+        int sym = block[pos];
+        if (sym > max_code) return -1;
+        build_rle_table(sym, t);
+        return (long long)(pos + 1);
+    }
+    if (mode == 2) {
+        std::vector<int> counts;
+        int al;
+        long long consumed = read_ncount(block + pos, bsize - pos, max_code, max_al, counts, al);
+        if (consumed < 0) return -1;
+        if (!build_fse_table(counts, al, t)) return -1;
+        return (long long)(pos + consumed);
+    }
+    if (!t.valid) return -1;  // repeat without previous
+    return (long long)pos;
+}
+
+// decompress one compressed block into out (append). false on error.
+bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
+                  std::vector<uint8_t>& out, size_t block_max) {
+    init_defaults();
+    if (bsize < 1) return false;
+    // ---- literals section
+    uint8_t b0 = block[0];
+    int ltype = b0 & 3;
+    int sf = (b0 >> 2) & 3;
+    size_t pos = 0;
+    std::vector<uint8_t>& lits = ctx.lits;
+    lits.clear();
+    if (ltype <= 1) {
+        size_t rs;
+        if (sf == 0 || sf == 2) { rs = b0 >> 3; pos = 1; }
+        else if (sf == 1) {
+            if (bsize < 2) return false;
+            rs = (b0 >> 4) + ((size_t)block[1] << 4); pos = 2;
+        } else {
+            if (bsize < 3) return false;
+            rs = (b0 >> 4) + ((size_t)block[1] << 4) + ((size_t)block[2] << 12); pos = 3;
+        }
+        if (ltype == 0) {
+            if (pos + rs > bsize) return false;
+            lits.assign(block + pos, block + pos + rs);
+            pos += rs;
+        } else {
+            if (pos >= bsize) return false;
+            lits.assign(rs, block[pos]);
+            pos += 1;
+        }
+    } else {
+        size_t rs, cs;
+        int streams;
+        if (sf == 0) {
+            if (bsize < 3) return false;
+            streams = 1;
+            rs = (b0 >> 4) + ((size_t)(block[1] & 0x3F) << 4);
+            cs = (block[1] >> 6) + ((size_t)block[2] << 2);
+            pos = 3;
+        } else if (sf == 1) {
+            if (bsize < 3) return false;
+            streams = 4;
+            rs = (b0 >> 4) + ((size_t)(block[1] & 0x3F) << 4);
+            cs = (block[1] >> 6) + ((size_t)block[2] << 2);
+            pos = 3;
+        } else if (sf == 2) {
+            if (bsize < 4) return false;
+            streams = 4;
+            rs = (b0 >> 4) + ((size_t)block[1] << 4) + ((size_t)(block[2] & 3) << 12);
+            cs = (block[2] >> 2) + ((size_t)block[3] << 6);
+            pos = 4;
+        } else {
+            if (bsize < 5) return false;
+            streams = 4;
+            rs = (b0 >> 4) + ((size_t)block[1] << 4) + ((size_t)(block[2] & 0x3F) << 12);
+            cs = (block[2] >> 6) + ((size_t)block[3] << 2) + ((size_t)block[4] << 10);
+            pos = 5;
+        }
+        if (pos + cs > bsize) return false;
+        const uint8_t* payload = block + pos;
+        size_t off = 0;
+        if (ltype == 2) {
+            std::vector<int> weights;
+            long long consumed = read_huf_weights(payload, cs, weights);
+            if (consumed < 0) return false;
+            if (!build_huf_table(weights, ctx.huf)) return false;
+            off = (size_t)consumed;
+        }
+        if (!ctx.huf.valid) return false;
+        lits.resize(rs);
+        const uint8_t* body = payload + off;
+        size_t body_n = cs - off;
+        if (streams == 1) {
+            if (!huf_decode_stream(body, body_n, ctx.huf, lits.data(), rs)) return false;
+        } else {
+            if (body_n < 6) return false;
+            size_t s1 = body[0] | ((size_t)body[1] << 8);
+            size_t s2 = body[2] | ((size_t)body[3] << 8);
+            size_t s3 = body[4] | ((size_t)body[5] << 8);
+            if (6 + s1 + s2 + s3 > body_n) return false;
+            size_t per = (rs + 3) / 4;
+            if (3 * per > rs) return false;
+            const uint8_t* sp = body + 6;
+            size_t sizes[4] = {s1, s2, s3, body_n - 6 - s1 - s2 - s3};
+            size_t outs[4] = {per, per, per, rs - 3 * per};
+            size_t o = 0;
+            for (int i = 0; i < 4; i++) {
+                if (!huf_decode_stream(sp, sizes[i], ctx.huf, lits.data() + o, outs[i]))
+                    return false;
+                sp += sizes[i];
+                o += outs[i];
+            }
+        }
+        pos += cs;
+    }
+    // ---- sequences section
+    if (pos >= bsize) return false;
+    size_t nb_seq;
+    uint8_t s0 = block[pos];
+    if (s0 < 128) { nb_seq = s0; pos += 1; }
+    else if (s0 < 255) {
+        if (pos + 2 > bsize) return false;
+        nb_seq = ((size_t)(s0 - 128) << 8) + block[pos + 1];
+        pos += 2;
+    } else {
+        if (pos + 3 > bsize) return false;
+        nb_seq = block[pos + 1] + ((size_t)block[pos + 2] << 8) + 0x7F00;
+        pos += 3;
+    }
+    if (nb_seq == 0) {
+        out.insert(out.end(), lits.begin(), lits.end());
+        return true;
+    }
+    if (pos >= bsize) return false;
+    uint8_t modes = block[pos++];
+    if (modes & 3) return false;
+    long long r;
+    r = read_seq_table(block, bsize, pos, (modes >> 6) & 3, g_ll_def, 35, 9, ctx.ll);
+    if (r < 0) return false; pos = (size_t)r;
+    r = read_seq_table(block, bsize, pos, (modes >> 4) & 3, g_of_def, 31, 8, ctx.of);
+    if (r < 0) return false; pos = (size_t)r;
+    r = read_seq_table(block, bsize, pos, (modes >> 2) & 3, g_ml_def, 52, 9, ctx.ml);
+    if (r < 0) return false; pos = (size_t)r;
+
+    BackBits br;
+    if (!br.init(block + pos, bsize - pos)) return false;
+    uint32_t ll_state = br.read(ctx.ll.al);
+    uint32_t of_state = br.read(ctx.of.al);
+    uint32_t ml_state = br.read(ctx.ml.al);
+    size_t lit_pos = 0;
+    uint64_t* rep = ctx.rep;
+    for (size_t i = 0; i < nb_seq; i++) {
+        uint32_t of_code = ctx.of.symbols[of_state];
+        if (of_code > 31) return false;
+        uint64_t of_val = of_code ? ((1ull << of_code) + br.read(of_code)) : 1;
+        uint32_t ml_c = ctx.ml.symbols[ml_state];
+        uint64_t ml_val = ML_BASE[ml_c] + (ML_EXTRA[ml_c] ? br.read(ML_EXTRA[ml_c]) : 0);
+        uint32_t ll_c = ctx.ll.symbols[ll_state];
+        uint64_t ll_val = LL_BASE[ll_c] + (LL_EXTRA[ll_c] ? br.read(LL_EXTRA[ll_c]) : 0);
+        if (i + 1 < nb_seq) {
+            ll_state = ctx.ll.new_state[ll_state] + br.read(ctx.ll.nb_bits[ll_state]);
+            ml_state = ctx.ml.new_state[ml_state] + br.read(ctx.ml.nb_bits[ml_state]);
+            of_state = ctx.of.new_state[of_state] + br.read(ctx.of.nb_bits[of_state]);
+        }
+        // literals copy
+        if (ll_val) {
+            if (lit_pos + ll_val > lits.size()) return false;
+            out.insert(out.end(), lits.begin() + lit_pos, lits.begin() + lit_pos + ll_val);
+            lit_pos += ll_val;
+        }
+        // repeat-offset resolution
+        uint64_t offset;
+        if (of_val > 3) {
+            offset = of_val - 3;
+            rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset;
+        } else if (ll_val != 0) {
+            if (of_val == 1) offset = rep[0];
+            else if (of_val == 2) { offset = rep[1]; rep[1] = rep[0]; rep[0] = offset; }
+            else { offset = rep[2]; rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; }
+        } else {
+            if (of_val == 1) { offset = rep[1]; rep[1] = rep[0]; rep[0] = offset; }
+            else if (of_val == 2) { offset = rep[2]; rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; }
+            else {
+                offset = rep[0] - 1;
+                if (offset == 0) return false;
+                rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset;
+            }
+        }
+        if (offset > out.size()) return false;
+        size_t start = out.size() - offset;
+        size_t cur = out.size();
+        out.resize(cur + ml_val);
+        if (offset >= ml_val) {
+            memcpy(out.data() + cur, out.data() + start, ml_val);
+        } else {
+            uint8_t* op = out.data();
+            for (uint64_t k = 0; k < ml_val; k++) op[cur + k] = op[start + k];
+        }
+    }
+    out.insert(out.end(), lits.begin() + lit_pos, lits.end());
+    (void)block_max;
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decompress concatenated zstd frames. Returns output size or (size_t)-1.
+size_t zn_zstd_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
+    std::vector<uint8_t> out;
+    out.reserve(cap < (64u << 20) ? cap : (64u << 20));
+    size_t pos = 0;
+    while (pos < n) {
+        if (n - pos < 4) return (size_t)-1;
+        uint32_t magic;
+        memcpy(&magic, src + pos, 4);
+        if (magic >= 0x184D2A50u && magic <= 0x184D2A5Fu) {
+            if (n - pos < 8) return (size_t)-1;
+            uint32_t sz;
+            memcpy(&sz, src + pos + 4, 4);
+            pos += 8 + sz;
+            continue;
+        }
+        if (magic != 0xFD2FB528u) return (size_t)-1;
+        pos += 4;
+        // frame header
+        if (pos >= n) return (size_t)-1;
+        uint8_t fhd = src[pos++];
+        int fcs_flag = fhd >> 6;
+        bool single_seg = fhd & 0x20;
+        if (fhd & 0x08) return (size_t)-1;
+        bool has_checksum = fhd & 0x04;
+        int did_flag = fhd & 3;
+        if (!single_seg) {
+            if (pos >= n) return (size_t)-1;
+            pos++;  // window descriptor (we keep the whole output as history)
+        }
+        static const int did_len[4] = {0, 1, 2, 4};
+        if (did_flag) {
+            uint32_t dict_id = 0;
+            for (int i = 0; i < did_len[did_flag]; i++) dict_id |= (uint32_t)src[pos + i] << (8 * i);
+            pos += did_len[did_flag];
+            if (dict_id != 0) return (size_t)-1;  // external dicts unsupported
+        }
+        int fcs_len = (fcs_flag == 0) ? (single_seg ? 1 : 0) : (fcs_flag == 1 ? 2 : fcs_flag == 2 ? 4 : 8);
+        pos += fcs_len;
+        if (pos > n) return (size_t)-1;
+
+        DCtx ctx;
+        while (true) {
+            if (n - pos < 3) return (size_t)-1;
+            uint32_t bh = src[pos] | ((uint32_t)src[pos + 1] << 8) | ((uint32_t)src[pos + 2] << 16);
+            pos += 3;
+            int last = bh & 1;
+            int btype = (bh >> 1) & 3;
+            size_t bsize = bh >> 3;
+            if (btype == 0) {  // raw
+                if (pos + bsize > n) return (size_t)-1;
+                out.insert(out.end(), src + pos, src + pos + bsize);
+                pos += bsize;
+            } else if (btype == 1) {  // RLE
+                if (pos >= n) return (size_t)-1;
+                out.insert(out.end(), bsize, src[pos]);
+                pos += 1;
+            } else if (btype == 2) {
+                if (pos + bsize > n) return (size_t)-1;
+                if (!decode_block(ctx, src + pos, bsize, out, 128u << 10)) return (size_t)-1;
+                pos += bsize;
+            } else {
+                return (size_t)-1;
+            }
+            if (out.size() > cap) return (size_t)-1;
+            if (last) break;
+        }
+        if (has_checksum) {
+            if (n - pos < 4) return (size_t)-1;
+            pos += 4;  // content checksum verified at the zpack layer via XXH3
+        }
+    }
+    if (out.size() > cap) return (size_t)-1;
+    memcpy(dst, out.data(), out.size());
+    return out.size();
+}
+
+}  // extern "C"

@@ -21,6 +21,12 @@ class ZstdCodec(Codec):
         return encode.compress(data, level)
 
     def decompress(self, data: bytes, uncomp_size: int | None = None) -> bytes:
+        if uncomp_size is not None:
+            from ... import native
+
+            out = native.zstd_decompress(bytes(data), uncomp_size)
+            if out is not None and len(out) == uncomp_size:
+                return out
         return frame.decompress(data, uncomp_size)
 
     def compress_bound(self, size: int) -> int:

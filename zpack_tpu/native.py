@@ -18,20 +18,24 @@ _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent
-_SRC = _ROOT / "native" / "zpack_native.cpp"
+_SRCS = [
+    _ROOT / "native" / "zpack_native.cpp",
+    _ROOT / "native" / "zstd_decode.cpp",
+]
 _SO = _ROOT / "native" / "_zpack_native.so"
 
 
 def _build() -> bool:
-    if not _SRC.exists():
+    srcs = [s for s in _SRCS if s.exists()]
+    if not srcs:
         return False
-    if _SO.exists() and _SO.stat().st_mtime >= _SRC.stat().st_mtime:
+    if _SO.exists() and all(_SO.stat().st_mtime >= s.stat().st_mtime for s in srcs):
         return True
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-             str(_SRC), "-o", str(_SO)],
-            check=True, capture_output=True, timeout=120,
+             *[str(s) for s in srcs], "-o", str(_SO)],
+            check=True, capture_output=True, timeout=180,
         )
         return True
     except Exception:
@@ -65,6 +69,11 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_char_p, ctypes.c_size_t,
         ]
+        lib.zn_zstd_decompress.restype = ctypes.c_size_t
+        lib.zn_zstd_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
         _LIB = lib
         return _LIB
 
@@ -97,6 +106,17 @@ def lz4_decompress_block(data: bytes, max_out: int, prefix: bytes = b"") -> byte
         return None
     buf = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
     n = int(lib.zn_lz4_decompress(data, len(data), buf, max_out, prefix, len(prefix)))
+    if n == _FAIL:
+        return None
+    return buf.raw[:n]
+
+
+def zstd_decompress(data: bytes, max_out: int) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
+    n = int(lib.zn_zstd_decompress(data, len(data), buf, max_out))
     if n == _FAIL:
         return None
     return buf.raw[:n]
