@@ -299,3 +299,133 @@ size_t zn_lz4_decompress(const uint8_t* src, size_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// XXH32 (LZ4 frame header/content checksums) + LZ4 frame codec
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static inline uint32_t rotl32(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
+
+uint32_t zn_xxh32(const uint8_t* d, size_t len, uint32_t seed) {
+    const uint32_t P1 = 0x9E3779B1u, P2 = 0x85EBCA77u, P3 = 0xC2B2AE3Du,
+                   P4 = 0x27D4EB2Fu, P5 = 0x165667B1u;
+    size_t pos = 0;
+    uint32_t h;
+    if (len >= 16) {
+        uint32_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+        while (pos + 16 <= len) {
+            v1 = rotl32(v1 + rd32(d + pos) * P2, 13) * P1;
+            v2 = rotl32(v2 + rd32(d + pos + 4) * P2, 13) * P1;
+            v3 = rotl32(v3 + rd32(d + pos + 8) * P2, 13) * P1;
+            v4 = rotl32(v4 + rd32(d + pos + 12) * P2, 13) * P1;
+            pos += 16;
+        }
+        h = rotl32(v1, 1) + rotl32(v2, 7) + rotl32(v3, 12) + rotl32(v4, 18);
+    } else {
+        h = seed + P5;
+    }
+    h += (uint32_t)len;
+    while (pos + 4 <= len) { h = rotl32(h + rd32(d + pos) * P3, 17) * P4; pos += 4; }
+    while (pos < len) { h = rotl32(h + d[pos] * P5, 11) * P1; pos += 1; }
+    h ^= h >> 15; h *= P2; h ^= h >> 13; h *= P3; h ^= h >> 16;
+    return h;
+}
+
+// One-shot lz4 frame compress: independent 64KiB blocks, no checksums
+// (matches the Python encoder's frame shape). Returns size or (size_t)-1.
+size_t zn_lz4f_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level) {
+    const size_t BS = 64 << 10;
+    uint8_t* op = dst;
+    uint8_t* oend = dst + cap;
+    if (cap < 7 + 4) return (size_t)-1;
+    // magic + FLG(0x60: v01 + B.Indep) + BD(0x40: 64KB) + HC
+    op[0] = 0x04; op[1] = 0x22; op[2] = 0x4D; op[3] = 0x18;
+    op[4] = 0x60; op[5] = 0x40;
+    op[6] = (uint8_t)(zn_xxh32(op + 4, 2, 0) >> 8);
+    op += 7;
+    for (size_t off = 0; off < n; off += BS) {
+        size_t chunk = n - off < BS ? n - off : BS;
+        if ((size_t)(oend - op) < 4 + chunk + 16) return (size_t)-1;
+        size_t csz = zn_lz4_compress(src + off, chunk, op + 4, chunk ? chunk - 1 : 0, level);
+        if (csz != (size_t)-1 && csz < chunk) {
+            op[0] = (uint8_t)csz; op[1] = (uint8_t)(csz >> 8);
+            op[2] = (uint8_t)(csz >> 16); op[3] = (uint8_t)(csz >> 24);
+            op += 4 + csz;
+        } else {
+            uint32_t hdr = (uint32_t)chunk | 0x80000000u;
+            memcpy(op, &hdr, 4);
+            memcpy(op + 4, src + off, chunk);
+            op += 4 + chunk;
+        }
+    }
+    if ((size_t)(oend - op) < 4) return (size_t)-1;
+    memset(op, 0, 4);  // EndMark
+    op += 4;
+    return (size_t)(op - dst);
+}
+
+// One-shot lz4 frame decompress (standard + skippable frames, linked or
+// independent blocks, optional checksums). Returns size or (size_t)-1.
+size_t zn_lz4f_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
+    static const size_t BSIZES[8] = {0,0,0,0,64u<<10,256u<<10,1u<<20,4u<<20};
+    size_t ip = 0;
+    size_t op = 0;
+    while (ip < n) {
+        if (n - ip < 4) return (size_t)-1;
+        uint32_t magic = rd32(src + ip);
+        if (magic >= 0x184D2A50u && magic <= 0x184D2A5Fu) {
+            if (n - ip < 8) return (size_t)-1;
+            uint32_t sz = rd32(src + ip + 4);
+            ip += 8 + sz;
+            continue;
+        }
+        if (magic != 0x184D2204u) return (size_t)-1;
+        ip += 4;
+        if (n - ip < 3) return (size_t)-1;
+        uint8_t flg = src[ip], bd = src[ip + 1];
+        if ((flg >> 6) != 1) return (size_t)-1;
+        bool b_indep = flg & 0x20;  (void)b_indep;  // offsets resolve vs dst history either way
+        bool b_chk = flg & 0x10;
+        bool c_size = flg & 0x08;
+        bool c_chk = flg & 0x04;
+        bool dict_id = flg & 0x01;
+        size_t desc_len = 2 + (c_size ? 8 : 0) + (dict_id ? 4 : 0);
+        if (n - ip < desc_len + 1) return (size_t)-1;
+        uint8_t hc = src[ip + desc_len];
+        if (((zn_xxh32(src + ip, desc_len, 0) >> 8) & 0xFF) != hc) return (size_t)-1;
+        size_t bmax = BSIZES[(bd >> 4) & 7];
+        if (!bmax) return (size_t)-1;
+        ip += desc_len + 1;
+        size_t frame_start = op;
+        while (true) {
+            if (n - ip < 4) return (size_t)-1;
+            uint32_t bsz = rd32(src + ip);
+            ip += 4;
+            if (bsz == 0) break;  // EndMark
+            bool uncompressed = bsz & 0x80000000u;
+            bsz &= 0x7FFFFFFFu;
+            if (bsz > bmax || n - ip < bsz + (b_chk ? 4u : 0u)) return (size_t)-1;
+            if (b_chk && zn_xxh32(src + ip, bsz, 0) != rd32(src + ip + bsz)) return (size_t)-1;
+            if (uncompressed) {
+                if (cap - op < bsz) return (size_t)-1;
+                memcpy(dst + op, src + ip, bsz);
+                op += bsz;
+            } else {
+                size_t produced = zn_lz4_decompress(src + ip, bsz, dst + op, cap - op, dst, op);
+                if (produced == (size_t)-1) return (size_t)-1;
+                op += produced;
+            }
+            ip += bsz + (b_chk ? 4 : 0);
+        }
+        if (c_chk) {
+            if (n - ip < 4) return (size_t)-1;
+            if (zn_xxh32(dst + frame_start, op - frame_start, 0) != rd32(src + ip)) return (size_t)-1;
+            ip += 4;
+        }
+    }
+    return op;
+}
+
+}  // extern "C"

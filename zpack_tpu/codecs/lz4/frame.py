@@ -58,6 +58,13 @@ def compress_frame(data: bytes, level: int = 1, *,
     """One-shot frame compression (role parity: the LZ4F one-shot path in
     zpack_compress_file, lib/zpack_write.c:204-211)."""
     data = bytes(data)
+    if (level <= 2 and block_size == DEFAULT_BLOCK_SIZE and block_indep
+            and not content_checksum and not store_content_size):
+        from ... import native
+
+        comp = native.lz4f_compress(data, level)
+        if comp is not None:
+            return comp
     out = bytearray(
         _header(block_size, block_indep, content_checksum,
                 len(data) if store_content_size else None)
@@ -235,6 +242,12 @@ class FrameDecompressor:
 
 
 def decompress_frame(data: bytes, max_out: int | None = None) -> bytes:
+    if max_out is not None:
+        from ... import native
+
+        out = native.lz4f_decompress(bytes(data), max_out)
+        if out is not None:
+            return out
     d = FrameDecompressor()
     out = d.update(bytes(data))
     if not d.finished:

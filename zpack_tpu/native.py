@@ -74,6 +74,16 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_size_t,
         ]
+        lib.zn_lz4f_compress.restype = ctypes.c_size_t
+        lib.zn_lz4f_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.zn_lz4f_decompress.restype = ctypes.c_size_t
+        lib.zn_lz4f_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
         _LIB = lib
         return _LIB
 
@@ -106,6 +116,29 @@ def lz4_decompress_block(data: bytes, max_out: int, prefix: bytes = b"") -> byte
         return None
     buf = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
     n = int(lib.zn_lz4_decompress(data, len(data), buf, max_out, prefix, len(prefix)))
+    if n == _FAIL:
+        return None
+    return buf.raw[:n]
+
+
+def lz4f_compress(data: bytes, level: int = 1) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + len(data) // 255 + 4 * (len(data) // (64 << 10) + 2) + 64
+    buf = ctypes.create_string_buffer(cap)
+    n = int(lib.zn_lz4f_compress(data, len(data), buf, cap, level))
+    if n == _FAIL:
+        return None
+    return buf.raw[:n]
+
+
+def lz4f_decompress(data: bytes, max_out: int) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
+    n = int(lib.zn_lz4f_decompress(data, len(data), buf, max_out))
     if n == _FAIL:
         return None
     return buf.raw[:n]
