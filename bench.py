@@ -96,14 +96,17 @@ def main() -> int:
     import zpack_tpu.native as native
 
     native._TRIED, native._LIB = True, None  # force fallback paths
+    _log("baseline phase start")
     enc_py, dec_py, _ = _roundtrip(data, C.CompressionMethod.LZ4, 1)
     base_value = 2 * size_mb / (enc_py + dec_py)
     native._TRIED = False  # restore
     del os.environ["ZPACK_TPU_NO_NATIVE"]
+    _log(f"baseline {base_value:.2f} MB/s")
 
     # --- zstd ratios/speeds (smaller slice keeps the bench bounded)
     zslice = data[: 2 << 20]
     z3_enc, z3_dec, z3_size = _roundtrip(zslice, C.CompressionMethod.ZSTD, 3)
+    _log("zstd3 done")
     try:
         import zstandard
 

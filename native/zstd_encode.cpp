@@ -1,0 +1,763 @@
+// zpack-tpu native zstd encoder (RFC 8878), self-contained.
+//
+// Role parity: ZSTD_compressCCtx as used by the reference
+// (lib/zpack_write.c:179).  Independent implementation; the Python encoder
+// in zpack_tpu/codecs/zstd/encode.py is the architectural blueprint and
+// differential oracle.  Pipeline per 128 KiB block: greedy hash-chain
+// matcher with explicit repeat-offset probes → literals (raw / RLE /
+// Huffman 4-stream, package-merge length-limited codes, direct weights) →
+// sequences (predefined vs RLE vs freshly-normalized FSE tables) →
+// raw-block fallback.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+#include <vector>
+#include <algorithm>
+
+namespace zenc {
+
+static inline uint32_t rd32e(const uint8_t* p) { uint32_t v; memcpy(&v, p, 4); return v; }
+static inline uint64_t rd64e(const uint8_t* p) { uint64_t v; memcpy(&v, p, 8); return v; }
+static inline int highbit32(uint32_t v) { return 31 - __builtin_clz(v); }
+
+// ---------------------------------------------------------------------------
+// backward bit writer
+// ---------------------------------------------------------------------------
+
+struct BitW {
+    uint64_t acc = 0;
+    int nbits = 0;
+    std::vector<uint8_t> out;
+
+    void add(uint32_t value, int bits) {
+        if (!bits) return;
+        acc |= (uint64_t)(value & ((1u << bits) - 1)) << nbits;
+        nbits += bits;
+        while (nbits >= 8) { out.push_back((uint8_t)acc); acc >>= 8; nbits -= 8; }
+    }
+    void finish() {
+        acc |= 1ull << nbits;
+        nbits += 1;
+        while (nbits > 0) { out.push_back((uint8_t)acc); acc >>= 8; nbits -= 8; }
+    }
+};
+
+// ---------------------------------------------------------------------------
+// FSE encode tables
+// ---------------------------------------------------------------------------
+
+static bool spread_symbols(const std::vector<int>& counts, int al, std::vector<uint16_t>& symbols) {
+    int size = 1 << al;
+    symbols.assign(size, 0);
+    int high = size - 1;
+    for (size_t s = 0; s < counts.size(); s++)
+        if (counts[s] == -1) symbols[high--] = (uint16_t)s;
+    int step = (size >> 1) + (size >> 3) + 3;
+    int mask = size - 1;
+    int pos = 0;
+    for (size_t s = 0; s < counts.size(); s++)
+        for (int c = 0; c < counts[s]; c++) {
+            symbols[pos] = (uint16_t)s;
+            pos = (pos + step) & mask;
+            while (pos > high) pos = (pos + step) & mask;
+        }
+    return pos == 0;
+}
+
+struct FseEnc {
+    int al = 0;
+    std::vector<uint16_t> state_table;
+    std::vector<int64_t> delta_nb;
+    std::vector<int64_t> delta_fs;
+
+    bool init(const std::vector<int>& counts, int al_) {
+        al = al_;
+        int size = 1 << al;
+        std::vector<uint16_t> symbols;
+        if (!spread_symbols(counts, al, symbols)) return false;
+        std::vector<int> cumul(counts.size() + 1, 0);
+        int total = 0;
+        for (size_t s = 0; s < counts.size(); s++) {
+            cumul[s] = total;
+            total += counts[s] == -1 ? 1 : (counts[s] > 0 ? counts[s] : 0);
+        }
+        state_table.assign(size, 0);
+        std::vector<int> fill(cumul.begin(), cumul.end());
+        for (int u = 0; u < size; u++)
+            state_table[fill[symbols[u]]++] = (uint16_t)(size + u);
+        delta_nb.assign(counts.size(), 0);
+        delta_fs.assign(counts.size(), 0);
+        total = 0;
+        for (size_t s = 0; s < counts.size(); s++) {
+            int c = counts[s];
+            if (c == 0) {
+                delta_nb[s] = ((int64_t)(al + 1) << 16) - (1 << al);
+            } else if (c == -1 || c == 1) {
+                delta_nb[s] = ((int64_t)al << 16) - (1 << al);
+                delta_fs[s] = total - 1;
+                total += 1;
+            } else {
+                int max_bits = al - highbit32(c - 1);
+                delta_nb[s] = ((int64_t)max_bits << 16) - ((int64_t)c << max_bits);
+                delta_fs[s] = total - c;
+                total += c;
+            }
+        }
+        return true;
+    }
+    int init_state(int sym) const {
+        int nb = (int)((delta_nb[sym] + (1 << 15)) >> 16);
+        int64_t val = ((int64_t)nb << 16) - delta_nb[sym];
+        return state_table[(val >> nb) + delta_fs[sym]];
+    }
+    int encode(BitW& w, int state, int sym) const {
+        int nb = (int)((state + delta_nb[sym]) >> 16);
+        w.add((uint32_t)state, nb);
+        return state_table[(state >> nb) + delta_fs[sym]];
+    }
+    void flush(BitW& w, int state) const { w.add((uint32_t)state, al); }
+};
+
+// RLE (0-bit) table
+struct RleEnc {
+    int al = 0;
+    int init_state(int) const { return 0; }
+    int encode(BitW&, int, int) const { return 0; }
+    void flush(BitW&, int) const {}
+};
+
+static bool normalize_counts(const uint32_t* hist, int nsym, int al, uint32_t total,
+                             std::vector<int>& norm) {
+    int size = 1 << al;
+    norm.assign(nsym, 0);
+    int64_t distributed = 0;
+    int largest = -1;
+    uint32_t largest_count = 0;
+    for (int s = 0; s < nsym; s++) {
+        uint32_t c = hist[s];
+        if (!c) continue;
+        if (c == total) return false;  // RLE case
+        int64_t scaled = (int64_t)c * size / total;
+        if (scaled == 0) { norm[s] = -1; distributed += 1; }
+        else { norm[s] = (int)scaled; distributed += scaled; }
+        if (c > largest_count) { largest_count = c; largest = s; }
+    }
+    int64_t rest = size - distributed;
+    if (largest < 0) return false;
+    norm[largest] += (int)rest;
+    return norm[largest] >= 1;
+}
+
+static int optimal_al(uint32_t total, int max_symbol, int cap) {
+    if (total <= 1) return 5;
+    int al = highbit32(total - 1) - 2;
+    int minimum = max_symbol ? highbit32((uint32_t)max_symbol) + 2 : 5;
+    if (al < minimum) al = minimum;
+    if (al < 5) al = 5;
+    if (al > cap) al = cap;
+    return al;
+}
+
+// forward LSB bit writer for NCount
+struct FwdW {
+    uint64_t acc = 0;
+    int nbits = 0;
+    std::vector<uint8_t> out;
+    void add(uint32_t v, int bits) {
+        acc |= (uint64_t)(v & ((1u << bits) - 1)) << nbits;
+        nbits += bits;
+        while (nbits >= 8) { out.push_back((uint8_t)acc); acc >>= 8; nbits -= 8; }
+    }
+    void done() { if (nbits) out.push_back((uint8_t)acc); }
+};
+
+static bool write_ncount(const std::vector<int>& counts, int al, std::vector<uint8_t>& out) {
+    FwdW w;
+    w.add(al - 5, 4);
+    int table_size = 1 << al;
+    int remaining = table_size + 1;
+    int threshold = table_size;
+    int nbits = al + 1;
+    size_t i = 0;
+    bool previous0 = false;
+    while (remaining > 1) {
+        if (i >= counts.size()) return false;
+        if (previous0) {
+            size_t start = i;
+            while (i < counts.size() && counts[i] == 0) i++;
+            size_t run = i - start;
+            while (run >= 3) { w.add(3, 2); run -= 3; }
+            w.add((uint32_t)run, 2);
+            if (i >= counts.size()) return false;
+        }
+        int c = counts[i++];
+        int maxv = (2 * threshold - 1) - remaining;
+        remaining -= c < 0 ? -c : c;
+        int val = c + 1;
+        if (val >= threshold) val += maxv;
+        if (val < maxv) w.add((uint32_t)val, nbits - 1);
+        else w.add((uint32_t)val, nbits);
+        previous0 = c == 0;
+        while (remaining < threshold && remaining > 1) { nbits--; threshold >>= 1; }
+    }
+    w.done();
+    out = std::move(w.out);
+    return true;
+}
+
+// ---------------------------------------------------------------------------
+// LL / ML code tables
+// ---------------------------------------------------------------------------
+
+static const uint32_t LL_BASE[36] = {
+    0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,18,20,22,24,28,32,40,
+    48,64,128,256,512,1024,2048,4096,8192,16384,32768,65536};
+static const uint8_t LL_EXTRA[36] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2,2,3,3,4,6,7,8,9,10,11,12,13,14,15,16};
+static const uint32_t ML_BASE[53] = {
+    3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20,21,22,23,24,25,26,27,28,
+    29,30,31,32,33,34,35,37,39,41,43,47,51,59,67,83,99,131,259,515,1027,2051,
+    4099,8195,16387,32771,65539};
+static const uint8_t ML_EXTRA[53] = {
+    0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,
+    1,1,1,1,2,2,3,3,4,4,5,7,8,9,10,11,12,13,14,15,16};
+static const int LL_DEF[36] = {4,3,2,2,2,2,2,2,2,2,2,2,2,1,1,1,2,2,2,2,2,2,2,2,2,3,2,1,1,1,1,1,-1,-1,-1,-1};
+static const int ML_DEF[53] = {1,4,3,2,2,2,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1,-1,-1};
+static const int OF_DEF[29] = {1,1,1,1,1,1,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1};
+
+static uint8_t g_ll_small[64], g_ml_small[128];
+static FseEnc g_ll_pre, g_of_pre, g_ml_pre;
+static bool g_enc_init = false;
+
+static void enc_init() {
+    if (g_enc_init) return;
+    for (int c = 0; c < 36; c++)
+        for (uint32_t v = LL_BASE[c]; v < LL_BASE[c] + (1u << LL_EXTRA[c]) && v < 64; v++)
+            g_ll_small[v] = (uint8_t)c;
+    for (int c = 0; c < 53; c++)
+        for (uint32_t v = ML_BASE[c] - 3; v < ML_BASE[c] - 3 + (1u << ML_EXTRA[c]) && v < 128; v++)
+            g_ml_small[v] = (uint8_t)c;
+    g_ll_pre.init(std::vector<int>(LL_DEF, LL_DEF + 36), 6);
+    g_of_pre.init(std::vector<int>(OF_DEF, OF_DEF + 29), 5);
+    g_ml_pre.init(std::vector<int>(ML_DEF, ML_DEF + 53), 6);
+    g_enc_init = true;
+}
+
+static inline int ll_code(uint32_t v) {
+    if (v < 64) return g_ll_small[v];
+    return 19 + highbit32(v);
+}
+static inline int ml_code(uint32_t mlen) {
+    uint32_t m = mlen - 3;
+    if (m < 128) return g_ml_small[m];
+    return 36 + highbit32(m);
+}
+
+// ---------------------------------------------------------------------------
+// Huffman encode (literals)
+// ---------------------------------------------------------------------------
+
+struct HufEnc {
+    uint16_t codes[256];
+    uint8_t lengths[256];
+    int max_bits = 0;
+    int max_symbol = -1;  // highest present symbol
+    std::vector<int> weights;  // excludes implied last
+};
+
+// package-merge length-limited lengths (limit 11)
+static bool huf_build(const uint32_t* hist, HufEnc& t) {
+    struct Node { uint64_t freq; std::vector<uint8_t> syms; };
+    std::vector<int> present;
+    for (int s = 0; s < 256; s++) if (hist[s]) present.push_back(s);
+    if (present.size() < 2) return false;
+    const int LIMIT = 11;
+    if (present.size() > (1u << LIMIT)) return false;
+    std::vector<Node> items;
+    for (int s : present) items.push_back({hist[s], {(uint8_t)s}});
+    std::sort(items.begin(), items.end(), [](const Node& a, const Node& b){ return a.freq < b.freq; });
+    std::vector<Node> merged = items;
+    for (int lvl = 0; lvl < LIMIT - 1; lvl++) {
+        std::vector<Node> packages;
+        for (size_t i = 0; i + 1 < merged.size(); i += 2) {
+            Node nd;
+            nd.freq = merged[i].freq + merged[i + 1].freq;
+            nd.syms = merged[i].syms;
+            nd.syms.insert(nd.syms.end(), merged[i + 1].syms.begin(), merged[i + 1].syms.end());
+            packages.push_back(std::move(nd));
+        }
+        std::vector<Node> next = items;
+        next.insert(next.end(), packages.begin(), packages.end());
+        std::stable_sort(next.begin(), next.end(), [](const Node& a, const Node& b){ return a.freq < b.freq; });
+        merged = std::move(next);
+    }
+    int lengths[256] = {0};
+    size_t take = 2 * present.size() - 2;
+    for (size_t i = 0; i < take && i < merged.size(); i++)
+        for (uint8_t s : merged[i].syms) lengths[s]++;
+    int max_len = 0;
+    for (int s : present) max_len = std::max(max_len, lengths[s]);
+    if (max_len > LIMIT) return false;
+    // weights + canonical codes (zstd order: by increasing weight, natural
+    // symbol order within a weight; code = range_start >> (weight-1))
+    t.max_bits = max_len;
+    t.max_symbol = present.back();
+    memset(t.lengths, 0, sizeof(t.lengths));
+    memset(t.codes, 0, sizeof(t.codes));
+    int pos = 0;
+    for (int w = 1; w <= max_len; w++) {
+        for (int s = 0; s < 256; s++) {
+            if (hist[s] && max_len + 1 - lengths[s] == w) {
+                t.lengths[s] = (uint8_t)lengths[s];
+                t.codes[s] = (uint16_t)(pos >> (w - 1));
+                pos += 1 << (w - 1);
+            }
+        }
+    }
+    if (pos != (1 << max_len)) return false;
+    t.weights.clear();
+    for (int s = 0; s < t.max_symbol; s++)
+        t.weights.push_back(hist[s] ? max_len + 1 - lengths[s] : 0);
+    return true;
+}
+
+static void huf_encode_stream(const uint8_t* d, size_t n, const HufEnc& t,
+                              std::vector<uint8_t>& out) {
+    BitW w;
+    for (size_t i = n; i-- > 0;) w.add(t.codes[d[i]], t.lengths[d[i]]);
+    w.finish();
+    out = std::move(w.out);
+}
+
+// ---------------------------------------------------------------------------
+// block encoding
+// ---------------------------------------------------------------------------
+
+struct Seq { uint32_t ll, ml, ov; };
+
+static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>& out) {
+    out.clear();
+    if (rs == 0) { out.push_back(0); return; }
+    // RLE literals
+    bool all_same = true;
+    for (size_t i = 1; i < rs && all_same; i++) all_same = lits[i] == lits[0];
+    auto raw_rle_header = [&](int ltype, size_t n) {
+        if (n < 32) out.push_back((uint8_t)(ltype | (n << 3)));
+        else if (n < 4096) {
+            out.push_back((uint8_t)(ltype | (1 << 2) | ((n & 0xF) << 4)));
+            out.push_back((uint8_t)(n >> 4));
+        } else {
+            out.push_back((uint8_t)(ltype | (3 << 2) | ((n & 0xF) << 4)));
+            out.push_back((uint8_t)((n >> 4) & 0xFF));
+            out.push_back((uint8_t)(n >> 12));
+        }
+    };
+    if (all_same && rs > 1) {
+        raw_rle_header(1, rs);
+        out.push_back(lits[0]);
+        return;
+    }
+    if (rs >= 64) {
+        uint32_t hist[256] = {0};
+        for (size_t i = 0; i < rs; i++) hist[lits[i]]++;
+        HufEnc t;
+        if (huf_build(hist, t) && (int)t.weights.size() <= 128) {
+            // direct weights
+            std::vector<uint8_t> tree;
+            tree.push_back((uint8_t)(127 + t.weights.size()));
+            for (size_t i = 0; i < t.weights.size(); i += 2) {
+                int hi = t.weights[i] << 4;
+                int lo = i + 1 < t.weights.size() ? t.weights[i + 1] : 0;
+                tree.push_back((uint8_t)(hi | lo));
+            }
+            size_t per = (rs + 3) / 4;
+            std::vector<uint8_t> s[4];
+            bool four = rs >= 256 && rs - 3 * per > 0;
+            size_t cs;
+            if (four) {
+                huf_encode_stream(lits, per, t, s[0]);
+                huf_encode_stream(lits + per, per, t, s[1]);
+                huf_encode_stream(lits + 2 * per, per, t, s[2]);
+                huf_encode_stream(lits + 3 * per, rs - 3 * per, t, s[3]);
+                cs = tree.size() + 6 + s[0].size() + s[1].size() + s[2].size() + s[3].size();
+            } else {
+                huf_encode_stream(lits, rs, t, s[0]);
+                cs = tree.size() + s[0].size();
+            }
+            bool fits = four ? (s[0].size() <= 0xFFFF && s[1].size() <= 0xFFFF && s[2].size() <= 0xFFFF)
+                             : (rs <= 1023 && cs <= 1023);
+            if (fits && cs + 5 < rs) {
+                // compressed literals header
+                int ltype = 2;
+                if (!four) {
+                    out.push_back((uint8_t)(ltype | (0 << 2) | ((rs & 0xF) << 4)));
+                    out.push_back((uint8_t)((rs >> 4) | ((cs & 3) << 6)));
+                    out.push_back((uint8_t)(cs >> 2));
+                } else if (rs <= 1023 && cs <= 1023) {
+                    out.push_back((uint8_t)(ltype | (1 << 2) | ((rs & 0xF) << 4)));
+                    out.push_back((uint8_t)((rs >> 4) | ((cs & 3) << 6)));
+                    out.push_back((uint8_t)(cs >> 2));
+                } else if (rs <= 16383 && cs <= 16383) {
+                    out.push_back((uint8_t)(ltype | (2 << 2) | ((rs & 0xF) << 4)));
+                    out.push_back((uint8_t)((rs >> 4) & 0xFF));
+                    out.push_back((uint8_t)((rs >> 12) | ((cs & 0x3F) << 2)));
+                    out.push_back((uint8_t)(cs >> 6));
+                } else {
+                    out.push_back((uint8_t)(ltype | (3 << 2) | ((rs & 0xF) << 4)));
+                    out.push_back((uint8_t)((rs >> 4) & 0xFF));
+                    out.push_back((uint8_t)(((rs >> 12) & 0x3F) | ((cs & 3) << 6)));
+                    out.push_back((uint8_t)((cs >> 2) & 0xFF));
+                    out.push_back((uint8_t)(cs >> 10));
+                }
+                out.insert(out.end(), tree.begin(), tree.end());
+                if (four) {
+                    out.push_back((uint8_t)(s[0].size() & 0xFF));
+                    out.push_back((uint8_t)(s[0].size() >> 8));
+                    out.push_back((uint8_t)(s[1].size() & 0xFF));
+                    out.push_back((uint8_t)(s[1].size() >> 8));
+                    out.push_back((uint8_t)(s[2].size() & 0xFF));
+                    out.push_back((uint8_t)(s[2].size() >> 8));
+                    for (int i = 0; i < 4; i++) out.insert(out.end(), s[i].begin(), s[i].end());
+                } else {
+                    out.insert(out.end(), s[0].begin(), s[0].end());
+                }
+                return;
+            }
+        }
+    }
+    raw_rle_header(0, rs);
+    out.insert(out.end(), lits, lits + rs);
+}
+
+// pick sequence-table mode: 0 predefined / 1 RLE / 2 custom; fills desc
+template <typename CodeFn>
+static int pick_mode(const std::vector<Seq>& seqs, CodeFn code_of,
+                     const int* def_dist, int def_n, int def_al,
+                     int max_code, int max_al,
+                     FseEnc& custom, std::vector<uint8_t>& desc, int& rle_sym) {
+    uint32_t hist[64] = {0};
+    for (const Seq& s : seqs) hist[code_of(s)]++;
+    int nz = 0, last = 0;
+    for (int c = 0; c <= max_code; c++) if (hist[c]) { nz++; last = c; }
+    if (nz == 1) { rle_sym = last; desc.assign(1, (uint8_t)last); return 1; }
+    uint32_t total = (uint32_t)seqs.size();
+    int al = optimal_al(total, last, max_al);
+    std::vector<int> norm;
+    double c_pre = 0, c_cus = 1e30;
+    for (int c = 0; c <= def_n - 1; c++) {
+        if (!hist[c]) continue;
+        int p = def_dist[c] == -1 ? 1 : def_dist[c];
+        c_pre += hist[c] * (def_al - (p > 0 ? (31 - __builtin_clz((uint32_t)p)) : 0));
+    }
+    std::vector<uint8_t> d2;
+    if (normalize_counts(hist, last + 1, al, total, norm) && write_ncount(norm, al, d2)) {
+        double bits = 0;
+        bool ok = true;
+        for (int c = 0; c <= last; c++) {
+            if (!hist[c]) continue;
+            int p = norm[c] == -1 ? 1 : norm[c];
+            if (p == 0) { ok = false; break; }
+            bits += hist[c] * (al - highbit32((uint32_t)p));
+        }
+        if (ok) c_cus = bits / 8 + d2.size();
+    }
+    if (c_cus < c_pre / 8 && custom.init(norm, al)) {
+        desc = std::move(d2);
+        return 2;
+    }
+    desc.clear();
+    return 0;
+}
+
+struct EncCtx {
+    uint64_t rep[3] = {1, 4, 8};
+    std::vector<int32_t> htab;    // hash -> last pos
+    std::vector<int32_t> chain;   // pos -> previous pos with same hash
+};
+
+static inline uint32_t zhash(uint32_t v, int bits) { return (v * 2654435761u) >> (32 - bits); }
+
+// resolve offset -> wire offset value with repeat codes; mirrors decoder rules
+static uint32_t offset_value(uint64_t offset, uint32_t ll, uint64_t* rep) {
+    if (ll != 0) {
+        if (offset == rep[0]) return 1;
+        if (offset == rep[1]) { rep[1] = rep[0]; rep[0] = offset; return 2; }
+        if (offset == rep[2]) { rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; return 3; }
+    } else {
+        if (offset == rep[1]) { rep[1] = rep[0]; rep[0] = offset; return 1; }
+        if (offset == rep[2]) { rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; return 2; }
+        if (offset == rep[0] - 1) { rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; return 3; }
+    }
+    rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset;
+    return (uint32_t)(offset + 3);
+}
+
+static inline size_t match_len(const uint8_t* a, const uint8_t* b, size_t limit) {
+    size_t n = 0;
+    while (n + 8 <= limit && rd64e(a + n) == rd64e(b + n)) n += 8;
+    while (n < limit && a[n] == b[n]) n++;
+    return n;
+}
+
+// greedy matcher over [start, end) of base; sequences relative to block
+static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t src_total,
+                           EncCtx& ctx, int hash_bits, int chain_depth, bool lazy,
+                           size_t max_offset, std::vector<Seq>& seqs, size_t& lit_tail) {
+    enc_init();
+    std::vector<int32_t>& htab = ctx.htab;
+    std::vector<int32_t>& chain = ctx.chain;
+    size_t pos = start;
+    size_t lit_start = start;
+    seqs.clear();
+    if (end < 4 || src_total < 13) { lit_tail = end - start; return; }
+    size_t mf = end >= 4 ? end - 4 : 0;
+    while (pos < mf) {
+        size_t best_len = 0, best_off = 0;
+        // repeat-offset probes at pos (and the "+1 literal" variant below)
+        uint32_t ll_now = (uint32_t)(pos - lit_start);
+        for (int r = 0; r < 3; r++) {
+            uint64_t off = ll_now ? ctx.rep[r]
+                                  : (r == 0 ? ctx.rep[1] : r == 1 ? ctx.rep[2] : ctx.rep[0] - 1);
+            if (!off || off > pos) continue;
+            size_t l = match_len(base + pos, base + pos - off, end - pos);
+            if (l >= 4 && l > best_len + 1) { best_len = l; best_off = off; }
+        }
+        // hash-chain probe
+        uint32_t h = zhash(rd32e(base + pos), hash_bits);
+        int32_t cand = htab[h];
+        chain[pos & 0xFFFF] = cand;  // 64K ring (offsets ≤ 64K window default)
+        htab[h] = (int32_t)pos;
+        int depth = chain_depth;
+        while (cand >= 0 && depth-- > 0 && pos - (size_t)cand <= max_offset) {
+            if (rd32e(base + cand) == rd32e(base + pos)) {
+                size_t l = match_len(base + pos, base + cand, end - pos);
+                if (l > best_len) { best_len = l; best_off = pos - cand; }
+            }
+            int32_t nxt = chain[cand & 0xFFFF];
+            if (nxt >= cand) break;
+            cand = nxt;
+        }
+        if (best_len >= 4) {
+            // rep probe at pos+1 (ll >= 1 there, so rep0 becomes usable):
+            // a repeat-offset match costs ~2 bits vs 10+ for a fresh offset,
+            // so prefer it unless the current match is clearly longer
+            if (best_off != ctx.rep[0] && pos + 1 < mf) {
+                uint64_t r0 = ctx.rep[0];
+                if (r0 && r0 <= pos + 1) {
+                    size_t l1 = match_len(base + pos + 1, base + pos + 1 - r0, end - pos - 1);
+                    if (l1 >= 4 && l1 + 1 >= best_len) { pos += 1; continue; }
+                }
+            }
+            if (lazy && pos + 1 < mf) {
+                // 1-step lazy: peek whether pos+1 has a longer hash match
+                uint32_t h2 = zhash(rd32e(base + pos + 1), hash_bits);
+                int32_t c2 = htab[h2];
+                if (c2 >= 0 && pos + 1 - (size_t)c2 <= max_offset &&
+                    rd32e(base + c2) == rd32e(base + pos + 1)) {
+                    size_t l2 = match_len(base + pos + 1, base + c2, end - pos - 1);
+                    if (l2 > best_len + 2) { pos += 1; continue; }
+                }
+            }
+            Seq s;
+            s.ll = (uint32_t)(pos - lit_start);
+            s.ml = (uint32_t)best_len;
+            s.ov = offset_value(best_off, s.ll, ctx.rep);
+            seqs.push_back(s);
+            // insert hashes inside the match (sparsely)
+            size_t mend = pos + best_len;
+            for (size_t q = pos + 1; q < mend && q < mf; q += 2) {
+                uint32_t hq = zhash(rd32e(base + q), hash_bits);
+                chain[q & 0xFFFF] = htab[hq];
+                htab[hq] = (int32_t)q;
+            }
+            pos = mend;
+            lit_start = pos;
+        } else {
+            pos++;
+        }
+    }
+    lit_tail = end - lit_start;
+}
+
+static bool encode_block_body(const uint8_t* block, size_t bsize,
+                              const std::vector<Seq>& seqs, size_t lit_tail,
+                              std::vector<uint8_t>& out) {
+    // collect literals
+    std::vector<uint8_t> lits;
+    lits.reserve(bsize);
+    size_t pos = 0;
+    for (const Seq& s : seqs) {
+        lits.insert(lits.end(), block + pos, block + pos + s.ll);
+        pos += s.ll + s.ml;
+    }
+    lits.insert(lits.end(), block + pos, block + pos + lit_tail);
+
+    encode_literals(lits.data(), lits.size(), out);
+    size_t nb = seqs.size();
+    if (nb < 128) out.push_back((uint8_t)nb);
+    else if (nb < 0x7F00) {
+        out.push_back((uint8_t)(128 + (nb >> 8)));
+        out.push_back((uint8_t)nb);
+    } else {
+        size_t v = nb - 0x7F00;
+        out.push_back(255);
+        out.push_back((uint8_t)v);
+        out.push_back((uint8_t)(v >> 8));
+    }
+    if (!nb) return true;
+
+    FseEnc ll_cus, of_cus, ml_cus;
+    std::vector<uint8_t> ll_d, of_d, ml_d;
+    int ll_rle = 0, of_rle = 0, ml_rle = 0;
+    int ll_mode = pick_mode(seqs, [](const Seq& s){ return ll_code(s.ll); },
+                            LL_DEF, 36, 6, 35, 9, ll_cus, ll_d, ll_rle);
+    int of_mode = pick_mode(seqs, [](const Seq& s){ return highbit32(s.ov); },
+                            OF_DEF, 29, 5, 31, 8, of_cus, of_d, of_rle);
+    int ml_mode = pick_mode(seqs, [](const Seq& s){ return ml_code(s.ml); },
+                            ML_DEF, 53, 6, 52, 9, ml_cus, ml_d, ml_rle);
+    out.push_back((uint8_t)((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2)));
+    out.insert(out.end(), ll_d.begin(), ll_d.end());
+    out.insert(out.end(), of_d.begin(), of_d.end());
+    out.insert(out.end(), ml_d.begin(), ml_d.end());
+
+    // interleaved state encoding, mirroring ZSTD_encodeSequences structure
+    BitW w;
+    auto enc_with = [&](auto&& ll_t, auto&& of_t, auto&& ml_t) {
+        size_t last = nb - 1;
+        int ml_code_l = ml_code(seqs[last].ml);
+        int of_code_l = highbit32(seqs[last].ov);
+        int ll_code_l = ll_code(seqs[last].ll);
+        int ml_s = ml_t.init_state(ml_code_l);
+        int of_s = of_t.init_state(of_code_l);
+        int ll_s = ll_t.init_state(ll_code_l);
+        w.add(seqs[last].ll - LL_BASE[ll_code_l], LL_EXTRA[ll_code_l]);
+        w.add(seqs[last].ml - ML_BASE[ml_code_l], ML_EXTRA[ml_code_l]);
+        w.add(seqs[last].ov - (1u << of_code_l), of_code_l);
+        for (size_t i = nb - 1; i-- > 0;) {
+            int oc = highbit32(seqs[i].ov);
+            int mc = ml_code(seqs[i].ml);
+            int lc = ll_code(seqs[i].ll);
+            of_s = of_t.encode(w, of_s, oc);
+            ml_s = ml_t.encode(w, ml_s, mc);
+            ll_s = ll_t.encode(w, ll_s, lc);
+            w.add(seqs[i].ll - LL_BASE[lc], LL_EXTRA[lc]);
+            w.add(seqs[i].ml - ML_BASE[mc], ML_EXTRA[mc]);
+            w.add(seqs[i].ov - (1u << oc), oc);
+        }
+        ml_t.flush(w, ml_s);
+        of_t.flush(w, of_s);
+        ll_t.flush(w, ll_s);
+    };
+    // dispatch over the 3x3 table-kind combinations via small shims
+    struct AnyT {
+        int kind;  // 0 predef, 1 rle, 2 custom
+        const FseEnc* fse;
+        int init_state(int s) const { return kind == 1 ? 0 : fse->init_state(s); }
+        int encode(BitW& w, int st, int s) const { return kind == 1 ? 0 : fse->encode(w, st, s); }
+        void flush(BitW& w, int st) const { if (kind != 1) fse->flush(w, st); }
+    };
+    AnyT llt{ll_mode == 1 ? 1 : 0, ll_mode == 2 ? &ll_cus : &g_ll_pre};
+    AnyT oft{of_mode == 1 ? 1 : 0, of_mode == 2 ? &of_cus : &g_of_pre};
+    AnyT mlt{ml_mode == 1 ? 1 : 0, ml_mode == 2 ? &ml_cus : &g_ml_pre};
+    enc_with(llt, oft, mlt);
+    w.finish();
+    out.insert(out.end(), w.out.begin(), w.out.end());
+    return true;
+}
+
+}  // namespace zenc
+
+extern "C" {
+
+size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level) {
+    using namespace zenc;
+    enc_init();
+    const size_t BS = 128 << 10;
+    size_t op = 0;
+    auto emit = [&](const uint8_t* p, size_t len) -> bool {
+        if (op + len > cap) return false;
+        memcpy(dst + op, p, len);
+        op += len;
+        return true;
+    };
+    // frame header (single-segment for <=256KB, else window descriptor)
+    uint8_t hdr[14];
+    size_t hlen = 0;
+    hdr[hlen++] = 0x28; hdr[hlen++] = 0xB5; hdr[hlen++] = 0x2F; hdr[hlen++] = 0xFD;
+    if (n <= (256u << 10)) {
+        if (n < 256) { hdr[hlen++] = 0x20; hdr[hlen++] = (uint8_t)n; }
+        else if (n <= 0xFFFF + 256) {
+            hdr[hlen++] = 0x20 | 0x40;
+            uint16_t v = (uint16_t)(n - 256);
+            memcpy(hdr + hlen, &v, 2); hlen += 2;
+        } else {
+            hdr[hlen++] = 0x20 | 0x80;
+            uint32_t v = (uint32_t)n;
+            memcpy(hdr + hlen, &v, 4); hlen += 4;
+        }
+    } else {
+        int wlog = level <= 3 ? 19 : level <= 12 ? 21 : 23;
+        while ((1ull << wlog) > n && wlog > 10) wlog--;
+        if ((1ull << wlog) < n && wlog < 23) wlog++;
+        hdr[hlen++] = 0x80;  // fcs 4 bytes
+        hdr[hlen++] = (uint8_t)((wlog - 10) << 3);
+        uint32_t v = (uint32_t)n;
+        memcpy(hdr + hlen, &v, 4); hlen += 4;
+    }
+    if (!emit(hdr, hlen)) return (size_t)-1;
+
+    if (n == 0) {
+        uint8_t bh[3] = {1, 0, 0};  // last, raw, size 0
+        if (!emit(bh, 3)) return (size_t)-1;
+        return op;
+    }
+
+    int hash_bits = level <= 3 ? 16 : 17;
+    int depth = level <= 1 ? 1 : level <= 3 ? 4 : level <= 12 ? 16 : 64;
+    bool lazy = level > 3;
+    size_t max_offset = level <= 3 ? (1u << 19) - 1 : level <= 12 ? (1u << 21) - 1 : (1u << 23) - 1;
+    if (max_offset > n) max_offset = n;
+    // chain ring is 64K deep; offsets beyond 64K only via htab head
+    EncCtx ctx;
+    ctx.htab.assign(1u << hash_bits, -1);
+    ctx.chain.assign(1u << 16, -1);
+
+    std::vector<Seq> seqs;
+    std::vector<uint8_t> body;
+    for (size_t off = 0; off < n; off += BS) {
+        size_t bsize = n - off < BS ? n - off : BS;
+        int last = off + bsize >= n;
+        // RLE block: whole block one byte value
+        if (bsize > 4) {
+            bool all_same = true;
+            for (size_t i = 1; i < bsize && all_same; i++)
+                all_same = src[off + i] == src[off];
+            if (all_same) {
+                uint32_t bh = (uint32_t)last | (1u << 1) | ((uint32_t)bsize << 3);
+                uint8_t bhb[4] = {(uint8_t)bh, (uint8_t)(bh >> 8), (uint8_t)(bh >> 16), src[off]};
+                if (!emit(bhb, 4)) return (size_t)-1;
+                continue;
+            }
+        }
+        size_t lit_tail = 0;
+        uint64_t rep_backup[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
+        find_sequences(src, off, off + bsize, n, ctx, hash_bits, depth, lazy,
+                       max_offset, seqs, lit_tail);
+        body.clear();
+        bool ok = encode_block_body(src + off, bsize, seqs, lit_tail, body);
+        if (ok && body.size() < bsize) {
+            uint32_t bh = (uint32_t)last | (2u << 1) | ((uint32_t)body.size() << 3);
+            uint8_t bhb[3] = {(uint8_t)bh, (uint8_t)(bh >> 8), (uint8_t)(bh >> 16)};
+            if (!emit(bhb, 3) || !emit(body.data(), body.size())) return (size_t)-1;
+        } else {
+            ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
+            uint32_t bh = (uint32_t)last | (0u << 1) | ((uint32_t)bsize << 3);
+            uint8_t bhb[3] = {(uint8_t)bh, (uint8_t)(bh >> 8), (uint8_t)(bh >> 16)};
+            if (!emit(bhb, 3) || !emit(src + off, bsize)) return (size_t)-1;
+        }
+    }
+    return op;
+}
+
+}  // extern "C"

@@ -16,6 +16,11 @@ class ZstdCodec(Codec):
     method = CompressionMethod.ZSTD
 
     def compress(self, data: bytes, level: int = 3) -> bytes:
+        from ... import native
+
+        comp = native.zstd_compress(bytes(data), level)
+        if comp is not None:
+            return comp
         from . import encode
 
         return encode.compress(data, level)

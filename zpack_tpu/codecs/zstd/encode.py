@@ -456,16 +456,24 @@ class StreamCompressor:
         self.level = level
         self._buf = bytearray()
 
+    def _compress_chunk(self, data: bytes) -> bytes:
+        from ... import native
+
+        comp = native.zstd_compress(data, self.level)
+        if comp is not None:
+            return comp
+        return compress(data, self.level)
+
     def update(self, chunk: bytes) -> bytes:
         self._buf += chunk
         out = bytearray()
         while len(self._buf) >= self.CHUNK:
-            out += compress(bytes(self._buf[: self.CHUNK]), self.level)
+            out += self._compress_chunk(bytes(self._buf[: self.CHUNK]))
             del self._buf[: self.CHUNK]
         return bytes(out)
 
     def finish(self) -> bytes:
-        out = compress(bytes(self._buf), self.level) if self._buf else b""
+        out = self._compress_chunk(bytes(self._buf)) if self._buf else b""
         self._buf.clear()
         return out
 

@@ -21,6 +21,7 @@ _ROOT = pathlib.Path(__file__).resolve().parent.parent
 _SRCS = [
     _ROOT / "native" / "zpack_native.cpp",
     _ROOT / "native" / "zstd_decode.cpp",
+    _ROOT / "native" / "zstd_encode.cpp",
 ]
 _SO = _ROOT / "native" / "_zpack_native.so"
 
@@ -73,6 +74,11 @@ def get_lib() -> ctypes.CDLL | None:
         lib.zn_zstd_decompress.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.zn_zstd_compress.restype = ctypes.c_size_t
+        lib.zn_zstd_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
         ]
         lib.zn_lz4f_compress.restype = ctypes.c_size_t
         lib.zn_lz4f_compress.argtypes = [
@@ -139,6 +145,18 @@ def lz4f_decompress(data: bytes, max_out: int) -> bytes | None:
         return None
     buf = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
     n = int(lib.zn_lz4f_decompress(data, len(data), buf, max_out))
+    if n == _FAIL:
+        return None
+    return buf.raw[:n]
+
+
+def zstd_compress(data: bytes, level: int = 3) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + (len(data) >> 7) + 1024
+    buf = ctypes.create_string_buffer(cap)
+    n = int(lib.zn_zstd_compress(data, len(data), buf, cap, level))
     if n == _FAIL:
         return None
     return buf.raw[:n]
