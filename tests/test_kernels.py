@@ -80,3 +80,15 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert len(out) == 2
     g.dryrun_multichip(8)
+
+
+def test_pallas_batched_xxh3():
+    """Pallas batched hash kernel (interpret mode on CPU) is bit-exact."""
+    rng = random.Random(77)
+    streams = [b"", b"short", b"x" * 240]
+    streams += [bytes(rng.getrandbits(8) for _ in range(rng.randint(241, 5000)))
+                for _ in range(40)]
+    from zpack_tpu.kernels.xxh3_pallas import xxh3_64_batch
+
+    got = xxh3_64_batch(streams)
+    assert all(g == xxh3_64(s) for g, s in zip(got, streams))
