@@ -1,0 +1,94 @@
+"""Archive-scale integration tests mirroring the BASELINE.json configs at
+test scale: many small files with per-entry method choice, larger streamed
+entries, codec gating, and metric counters."""
+
+import os
+import random
+
+import pytest
+
+from zpack_tpu import constants as C
+from zpack_tpu.codecs import _INSTANCES  # noqa: F401  (warm registry)
+from zpack_tpu.errors import Result, ZPackError
+from zpack_tpu.reader import Reader
+from zpack_tpu.stream import read_file_stream_iter
+from zpack_tpu.writer import CompressOptions, Writer
+
+
+def _files(n, seed=0):
+    rng = random.Random(seed)
+    methods = [C.CompressionMethod.NONE, C.CompressionMethod.LZ4, C.CompressionMethod.ZSTD]
+    files = []
+    for i in range(n):
+        size = rng.choice([0, 5, 100, 1000, 5000])
+        if rng.random() < 0.5:
+            data = (b"small file %d content " % i) * (size // 20 + 1)
+            data = data[:size]
+        else:
+            data = bytes(rng.getrandbits(8) for _ in range(size))
+        method = methods[i % 3]
+        files.append((f"dir{i % 7}/file{i:05d}.bin", data, CompressOptions(method)))
+    return files
+
+
+def test_many_small_files_mixed_methods():
+    """BASELINE config 4 at test scale: per-entry lz4/zstd/store choice
+    with central directory round-trip."""
+    files = _files(300)
+    w = Writer.to_heap()
+    w.write_archive(files)
+    r = Reader.from_memory(w.buffer)
+    assert r.file_count == 300
+    for name, data, opt in files:
+        e = r.get_file_entry(name)
+        assert e.comp_method == int(opt.method)
+        assert r.read_file(e) == data
+
+
+def test_streamed_large_entry_256k_blocks():
+    """BASELINE config 3 shape: chunked write/read of a multi-MB entry in
+    256 KiB blocks via the streaming API."""
+    rng = random.Random(9)
+    piece = bytes(rng.getrandbits(8) for _ in range(1024))
+    data = (piece + b"compressible filler " * 500)[:]
+    data = data * 12  # ~ a few hundred KB; CI-sized stand-in for 1 GB
+    w = Writer.to_heap()
+    w.write_header()
+    w.write_data_header()
+    w.write_file_stream_begin("big.bin", CompressOptions(C.CompressionMethod.ZSTD, 3))
+    for i in range(0, len(data), 256 << 10):
+        w.write_file_stream(data[i : i + (256 << 10)])
+    w.write_file_stream_end()
+    w.write_cdr()
+    w.write_eocdr()
+    r = Reader.from_memory(w.buffer)
+    entry = r.get_file_entry("big.bin")
+    out = b"".join(read_file_stream_iter(r, entry, chunk_size=256 << 10))
+    assert out == data
+
+
+def test_codec_gating_env():
+    """Runtime analog of ZPACK_DISABLE_ZSTD → ERROR_NOT_AVAILABLE
+    (reference: lib/zpack_read.c:371)."""
+    w = Writer.to_heap()
+    w.write_archive([("a.txt", b"hello world " * 10, CompressOptions(C.CompressionMethod.ZSTD))])
+    r = Reader.from_memory(w.buffer)
+    os.environ["ZPACK_TPU_DISABLE_ZSTD"] = "1"
+    try:
+        with pytest.raises(ZPackError) as ei:
+            r.read_file("a.txt")
+        assert ei.value.code == Result.ERROR_NOT_AVAILABLE
+    finally:
+        del os.environ["ZPACK_TPU_DISABLE_ZSTD"]
+    assert r.read_file("a.txt") == b"hello world " * 10
+
+
+def test_metrics_phases():
+    from zpack_tpu.utils.observe import metrics
+
+    metrics.reset()
+    with metrics.phase("test.compress", nbytes=1000):
+        pass
+    snap = metrics.snapshot()
+    assert snap["test.compress"]["calls"] == 1
+    assert snap["test.compress"]["bytes"] == 1000

@@ -51,7 +51,21 @@ def register(method: CompressionMethod):
     return deco
 
 
+def _disabled(method: int) -> bool:
+    """Runtime analog of the reference's build-time codec gates
+    (ZPACK_DISABLE_{ZSTD,LZ4}, reference: CMakeLists.txt:10-21 →
+    ZPACK_ERROR_NOT_AVAILABLE paths e.g. lib/zpack_read.c:371,397)."""
+    import os
+
+    name = {1: "ZSTD", 2: "LZ4"}.get(int(method))
+    return name is not None and bool(os.environ.get(f"ZPACK_TPU_DISABLE_{name}"))
+
+
 def get_codec(method: int) -> Codec:
+    if _disabled(method):
+        from ..errors import Result, ZPackError
+
+        raise ZPackError(Result.ERROR_NOT_AVAILABLE, f"method {method} disabled in this build")
     try:
         inst = _INSTANCES.get(int(method))
         if inst is None:
