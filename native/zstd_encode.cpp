@@ -324,10 +324,26 @@ static bool huf_build(const uint32_t* hist, HufEnc& t) {
 
 static void huf_encode_stream(const uint8_t* d, size_t n, const HufEnc& t,
                               std::vector<uint8_t>& out) {
-    BitW w;
-    for (size_t i = n; i-- > 0;) w.add(t.codes[d[i]], t.lengths[d[i]]);
-    w.finish();
-    out = std::move(w.out);
+    out.clear();
+    out.resize(n * 11 / 8 + 16);
+    uint8_t* op = out.data();
+    size_t pos = 0;
+    uint64_t acc = 0;
+    int nbits = 0;
+    for (size_t i = n; i-- > 0;) {
+        acc |= (uint64_t)t.codes[d[i]] << nbits;
+        nbits += t.lengths[d[i]];
+        if (nbits >= 32) {
+            memcpy(op + pos, &acc, 4);
+            pos += 4;
+            acc >>= 32;
+            nbits -= 32;
+        }
+    }
+    acc |= 1ull << nbits;  // sentinel
+    nbits += 1;
+    while (nbits > 0) { op[pos++] = (uint8_t)acc; acc >>= 8; nbits -= 8; }
+    out.resize(pos);
 }
 
 // ---------------------------------------------------------------------------
@@ -361,8 +377,20 @@ static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>
     if (rs >= 64) {
         uint32_t hist[256] = {0};
         for (size_t i = 0; i < rs; i++) hist[lits[i]]++;
+        // cheap entropy estimate: skip the huffman machinery when literals
+        // are near-incompressible (log2 via bit positions)
+        double est_bits = 0;
+        for (int sym = 0; sym < 256; sym++) {
+            uint32_t c = hist[sym];
+            if (!c) continue;
+            double p = (double)c / rs;
+            // -log2(p) approximated by highbit of 1/p (coarse but monotone)
+            uint32_t inv = (uint32_t)(1.0 / p);
+            int lb = inv > 1 ? highbit32(inv) : 0;
+            est_bits += (double)c * lb;
+        }
         HufEnc t;
-        if (huf_build(hist, t) && (int)t.weights.size() <= 128) {
+        if (est_bits / 8 + 64 < rs && huf_build(hist, t) && (int)t.weights.size() <= 128) {
             // direct weights
             std::vector<uint8_t> tree;
             tree.push_back((uint8_t)(127 + t.weights.size()));
@@ -472,11 +500,16 @@ static int pick_mode(const std::vector<Seq>& seqs, CodeFn code_of,
 
 struct EncCtx {
     uint64_t rep[3] = {1, 4, 8};
-    std::vector<int32_t> htab;    // hash -> last pos
+    std::vector<int32_t> htab;    // 4-byte hash -> last pos
+    std::vector<int32_t> htab8;   // 8-byte hash -> last pos (dfast-style)
     std::vector<int32_t> chain;   // pos -> previous pos with same hash
 };
 
 static inline uint32_t zhash(uint32_t v, int bits) { return (v * 2654435761u) >> (32 - bits); }
+#define H8_BITS 17
+static inline uint32_t zhash8(uint64_t v) {
+    return (uint32_t)((v * 0x9E3779B185EBCA87ULL) >> (64 - H8_BITS));
+}
 
 // resolve offset -> wire offset value with repeat codes; mirrors decoder rules
 static uint32_t offset_value(uint64_t offset, uint32_t ll, uint64_t* rep) {
@@ -509,6 +542,7 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
     std::vector<int32_t>& chain = ctx.chain;
     size_t pos = start;
     size_t lit_start = start;
+    size_t accel = 1;  // lz4-style step acceleration over incompressible runs
     seqs.clear();
     if (end < 4 || src_total < 13) { lit_tail = end - start; return; }
     size_t mf = end >= 4 ? end - 4 : 0;
@@ -522,6 +556,18 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
             if (!off || off > pos) continue;
             size_t l = match_len(base + pos, base + pos - off, end - pos);
             if (l >= 4 && l > best_len + 1) { best_len = l; best_off = off; }
+        }
+        // long-hash probe first (8-byte hash: rare collisions, catches
+        // far exact repeats the 4-byte chains drown in — dfast-style)
+        if (pos + 8 <= end) {
+            uint32_t h8 = zhash8(rd64e(base + pos));
+            int32_t c8 = ctx.htab8[h8];
+            ctx.htab8[h8] = (int32_t)pos;
+            if (c8 >= 0 && pos - (size_t)c8 <= max_offset &&
+                rd64e(base + c8) == rd64e(base + pos)) {
+                size_t l = match_len(base + pos, base + c8, end - pos);
+                if (l > best_len) { best_len = l; best_off = pos - c8; }
+            }
         }
         // hash-chain probe
         uint32_t h = zhash(rd32e(base + pos), hash_bits);
@@ -539,6 +585,7 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
             cand = nxt;
         }
         if (best_len >= 4) {
+            accel = 1;
             // rep probe at pos+1 (ll >= 1 there, so rep0 becomes usable):
             // a repeat-offset match costs ~2 bits vs 10+ for a fresh offset,
             // so prefer it unless the current match is clearly longer
@@ -570,11 +617,13 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
                 uint32_t hq = zhash(rd32e(base + q), hash_bits);
                 chain[q & 0xFFFF] = htab[hq];
                 htab[hq] = (int32_t)q;
+                if (q + 8 <= end) ctx.htab8[zhash8(rd64e(base + q))] = (int32_t)q;
             }
             pos = mend;
             lit_start = pos;
         } else {
-            pos++;
+            pos += 1 + (accel >> 6);
+            accel++;
         }
     }
     lit_tail = end - lit_start;
@@ -697,7 +746,7 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
             memcpy(hdr + hlen, &v, 4); hlen += 4;
         }
     } else {
-        int wlog = level <= 3 ? 19 : level <= 12 ? 21 : 23;
+        int wlog = level <= 3 ? 21 : level <= 12 ? 22 : 23;
         while ((1ull << wlog) > n && wlog > 10) wlog--;
         if ((1ull << wlog) < n && wlog < 23) wlog++;
         hdr[hlen++] = 0x80;  // fcs 4 bytes
@@ -716,11 +765,12 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
     int hash_bits = level <= 3 ? 16 : 17;
     int depth = level <= 1 ? 1 : level <= 3 ? 4 : level <= 12 ? 16 : 64;
     bool lazy = level > 3;
-    size_t max_offset = level <= 3 ? (1u << 19) - 1 : level <= 12 ? (1u << 21) - 1 : (1u << 23) - 1;
+    size_t max_offset = level <= 3 ? (1u << 21) - 1 : level <= 12 ? (1u << 22) - 1 : (1u << 23) - 1;
     if (max_offset > n) max_offset = n;
     // chain ring is 64K deep; offsets beyond 64K only via htab head
     EncCtx ctx;
     ctx.htab.assign(1u << hash_bits, -1);
+    ctx.htab8.assign(1u << H8_BITS, -1);
     ctx.chain.assign(1u << 16, -1);
 
     std::vector<Seq> seqs;
