@@ -48,21 +48,99 @@ class ZstdCodec(Codec):
 
 
 class _ZstdStreamDecompressor:
-    """Buffering streaming decoder (parity: ZSTD_decompressStream at
-    lib/zpack_read.c:572)."""
+    """Block-incremental streaming decoder (parity: ZSTD_decompressStream
+    at lib/zpack_read.c:572): consumes arbitrary chunks, emits output as
+    each block completes; retained state = entropy tables + history window,
+    so memory stays bounded for arbitrarily long frames."""
 
     def __init__(self):
+        import struct as _struct
+
+        self._struct = _struct
         self._buf = bytearray()
+        self._state = "magic"
+        self._dec: frame.FrameDecoder | None = None
+        self._skip_left = 0
         self.finished = False
 
     def decompress(self, chunk: bytes, is_final: bool = False) -> tuple[bytes, int]:
-        # Incremental frame decode: buffer until the frame is complete, then
-        # emit.  TODO(block-streaming): emit per-block once the block scanner
-        # lands; the ZPack stream contract (read_back=0) is already honored.
+        from ...errors import DecompressError
+
+        struct = self._struct
         self._buf += chunk
+        out = bytearray()
+        buf = self._buf
+        while True:
+            if self._state == "magic":
+                if len(buf) < 4:
+                    break
+                (magic,) = struct.unpack_from("<I", buf, 0)
+                if frame.MAGIC_SKIPPABLE_MIN <= magic <= frame.MAGIC_SKIPPABLE_MAX:
+                    if len(buf) < 8:
+                        break
+                    (size,) = struct.unpack_from("<I", buf, 4)
+                    del buf[:8]
+                    self._skip_left = size
+                    self._state = "skippable"
+                    continue
+                if magic != frame.MAGIC:
+                    raise DecompressError(f"bad zstd magic {magic:#x}")
+                del buf[:4]
+                self._state = "header"
+                continue
+            if self._state == "skippable":
+                take = min(self._skip_left, len(buf))
+                del buf[:take]
+                self._skip_left -= take
+                if self._skip_left == 0:
+                    self._state = "magic"
+                    continue
+                break
+            if self._state == "header":
+                # frame headers are <= 14 bytes; parse when enough arrived
+                try:
+                    hdr = frame.parse_frame_header(bytes(buf[:18]), 0)
+                except DecompressError:
+                    if not is_final and len(buf) < 18:
+                        break  # likely truncated: wait for more
+                    raise
+                if hdr.dict_id:
+                    raise DecompressError("external dictionaries not supported")
+                del buf[: hdr.header_size]
+                self._dec = frame.FrameDecoder(hdr)
+                self._state = "block"
+                continue
+            if self._state == "block":
+                if len(buf) < 3:
+                    break
+                bh = buf[0] | (buf[1] << 8) | (buf[2] << 16)
+                last = bh & 1
+                btype = (bh >> 1) & 3
+                bsize = bh >> 3
+                need = 3 + (1 if btype == frame.BLOCK_RLE else bsize)
+                if len(buf) < need:
+                    break
+                payload = bytes(buf[3:need])
+                del buf[:need]
+                if btype == frame.BLOCK_RLE:
+                    out += self._dec.decode_block(btype, payload, bsize)
+                else:
+                    out += self._dec.decode_block(btype, payload)
+                if last:
+                    self._state = "checksum" if self._dec.header.has_checksum else "magic"
+                continue
+            if self._state == "checksum":
+                if len(buf) < 4:
+                    break
+                (chk,) = struct.unpack_from("<I", buf, 0)
+                del buf[:4]
+                if (self._dec.hasher.digest() & 0xFFFFFFFF) != chk:
+                    raise DecompressError("content checksum mismatch")
+                self._state = "magic"
+                continue
+            break
         if is_final:
-            out = frame.decompress(bytes(self._buf))
-            self._buf.clear()
+            if self._state != "magic" or self._buf:
+                raise DecompressError("truncated zstd stream")
             self.finished = True
-            return out, len(chunk)
-        return b"", len(chunk)
+        return bytes(out), len(chunk)
