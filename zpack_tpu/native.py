@@ -13,6 +13,8 @@ import pathlib
 import subprocess
 import threading
 
+import numpy as np
+
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
 _TRIED = False
@@ -104,27 +106,34 @@ def xxh3_64(data: bytes) -> int | None:
     return int(lib.zn_xxh3_64(data, len(data)))
 
 
+def _outbuf(cap: int):
+    """Uninitialized output buffer (np.empty: no O(cap) zero-fill, pages
+    materialize lazily — corrupt size fields must not become a DoS)."""
+    arr = np.empty(max(cap, 1), dtype=np.uint8)
+    return arr, arr.ctypes.data
+
+
 def lz4_compress_block(data: bytes, level: int = 1) -> bytes | None:
     lib = get_lib()
     if lib is None:
         return None
     cap = len(data) + len(data) // 255 + 64
-    buf = ctypes.create_string_buffer(cap)
+    arr, buf = _outbuf(cap)
     n = int(lib.zn_lz4_compress(data, len(data), buf, cap, level))
     if n == _FAIL:
         return None
-    return buf.raw[:n]
+    return arr[:n].tobytes()
 
 
 def lz4_decompress_block(data: bytes, max_out: int, prefix: bytes = b"") -> bytes | None:
     lib = get_lib()
     if lib is None:
         return None
-    buf = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
+    arr, buf = _outbuf(max_out)
     n = int(lib.zn_lz4_decompress(data, len(data), buf, max_out, prefix, len(prefix)))
     if n == _FAIL:
         return None
-    return buf.raw[:n]
+    return arr[:n].tobytes()
 
 
 def lz4f_compress(data: bytes, level: int = 1) -> bytes | None:
@@ -132,22 +141,22 @@ def lz4f_compress(data: bytes, level: int = 1) -> bytes | None:
     if lib is None:
         return None
     cap = len(data) + len(data) // 255 + 4 * (len(data) // (64 << 10) + 2) + 64
-    buf = ctypes.create_string_buffer(cap)
+    arr, buf = _outbuf(cap)
     n = int(lib.zn_lz4f_compress(data, len(data), buf, cap, level))
     if n == _FAIL:
         return None
-    return buf.raw[:n]
+    return arr[:n].tobytes()
 
 
 def lz4f_decompress(data: bytes, max_out: int) -> bytes | None:
     lib = get_lib()
     if lib is None:
         return None
-    buf = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
+    arr, buf = _outbuf(max_out)
     n = int(lib.zn_lz4f_decompress(data, len(data), buf, max_out))
     if n == _FAIL:
         return None
-    return buf.raw[:n]
+    return arr[:n].tobytes()
 
 
 def zstd_compress(data: bytes, level: int = 3) -> bytes | None:
@@ -155,19 +164,19 @@ def zstd_compress(data: bytes, level: int = 3) -> bytes | None:
     if lib is None:
         return None
     cap = len(data) + (len(data) >> 7) + 1024
-    buf = ctypes.create_string_buffer(cap)
+    arr, buf = _outbuf(cap)
     n = int(lib.zn_zstd_compress(data, len(data), buf, cap, level))
     if n == _FAIL:
         return None
-    return buf.raw[:n]
+    return arr[:n].tobytes()
 
 
 def zstd_decompress(data: bytes, max_out: int) -> bytes | None:
     lib = get_lib()
     if lib is None:
         return None
-    buf = ctypes.create_string_buffer(max_out if max_out > 0 else 1)
+    arr, buf = _outbuf(max_out)
     n = int(lib.zn_zstd_decompress(data, len(data), buf, max_out))
     if n == _FAIL:
         return None
-    return buf.raw[:n]
+    return arr[:n].tobytes()

@@ -174,6 +174,14 @@ class Reader:
         lib/zpack_read.c:466-468)."""
         e = self._resolve(entry)
         raw = self.read_raw_file(e)
+        # plausibility bound: no supported codec expands beyond ~1e6x
+        # (zstd RLE blocks peak near 5e5x); a corrupt uncomp_size field must
+        # not drive giant allocations before the size/hash checks fire
+        if e.comp_size and e.uncomp_size > e.comp_size * 1_000_000 + (1 << 20):
+            raise ZPackError(
+                Result.ERROR_FILE_SIZE_INVALID,
+                f"implausible uncompressed size {e.uncomp_size} for {e.comp_size} compressed bytes",
+            )
         codec = get_codec(e.comp_method)
         out = codec.decompress(raw, e.uncomp_size)
         if len(out) != e.uncomp_size:
