@@ -503,6 +503,7 @@ struct EncCtx {
     std::vector<int32_t> htab;    // 4-byte hash -> last pos
     std::vector<int32_t> htab8;   // 8-byte hash -> last pos (dfast-style)
     std::vector<int32_t> chain;   // pos -> previous pos with same hash
+    size_t chain_mask = 0xFFFF;   // 64K ring; full table at high levels
 };
 
 static inline uint32_t zhash(uint32_t v, int bits) { return (v * 2654435761u) >> (32 - bits); }
@@ -536,7 +537,8 @@ static inline size_t match_len(const uint8_t* a, const uint8_t* b, size_t limit)
 // greedy matcher over [start, end) of base; sequences relative to block
 static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t src_total,
                            EncCtx& ctx, int hash_bits, int chain_depth, bool lazy,
-                           size_t max_offset, std::vector<Seq>& seqs, size_t& lit_tail) {
+                           size_t max_offset, std::vector<Seq>& seqs, size_t& lit_tail,
+                           size_t rep_margin) {
     enc_init();
     std::vector<int32_t>& htab = ctx.htab;
     std::vector<int32_t>& chain = ctx.chain;
@@ -548,6 +550,7 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
     size_t mf = end >= 4 ? end - 4 : 0;
     while (pos < mf) {
         size_t best_len = 0, best_off = 0;
+        bool best_is_rep = false;
         // repeat-offset probes at pos (and the "+1 literal" variant below)
         uint32_t ll_now = (uint32_t)(pos - lit_start);
         for (int r = 0; r < 3; r++) {
@@ -555,7 +558,7 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
                                   : (r == 0 ? ctx.rep[1] : r == 1 ? ctx.rep[2] : ctx.rep[0] - 1);
             if (!off || off > pos) continue;
             size_t l = match_len(base + pos, base + pos - off, end - pos);
-            if (l >= 4 && l > best_len + 1) { best_len = l; best_off = off; }
+            if (l >= 4 && l > best_len + 1) { best_len = l; best_off = off; best_is_rep = true; }
         }
         // long-hash probe first (8-byte hash: rare collisions, catches
         // far exact repeats the 4-byte chains drown in — dfast-style)
@@ -563,24 +566,29 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
             uint32_t h8 = zhash8(rd64e(base + pos));
             int32_t c8 = ctx.htab8[h8];
             ctx.htab8[h8] = (int32_t)pos;
-            if (c8 >= 0 && pos - (size_t)c8 <= max_offset &&
+            if (c8 >= 0 && (size_t)c8 < pos && pos - (size_t)c8 <= max_offset &&
                 rd64e(base + c8) == rd64e(base + pos)) {
                 size_t l = match_len(base + pos, base + c8, end - pos);
-                if (l > best_len) { best_len = l; best_off = pos - c8; }
+                if (l > best_len + (best_is_rep ? rep_margin : 0)) {
+                    best_len = l; best_off = pos - c8; best_is_rep = false;
+                }
             }
         }
         // hash-chain probe
         uint32_t h = zhash(rd32e(base + pos), hash_bits);
         int32_t cand = htab[h];
-        chain[pos & 0xFFFF] = cand;  // 64K ring (offsets ≤ 64K window default)
+        size_t cmask = ctx.chain_mask;
+        chain[pos & cmask] = cand;
         htab[h] = (int32_t)pos;
         int depth = chain_depth;
         while (cand >= 0 && depth-- > 0 && pos - (size_t)cand <= max_offset) {
-            if (rd32e(base + cand) == rd32e(base + pos)) {
+            if ((size_t)cand < pos && rd32e(base + cand) == rd32e(base + pos)) {
                 size_t l = match_len(base + pos, base + cand, end - pos);
-                if (l > best_len) { best_len = l; best_off = pos - cand; }
+                if (l > best_len + (best_is_rep ? rep_margin : 0)) {
+                    best_len = l; best_off = pos - cand; best_is_rep = false;
+                }
             }
-            int32_t nxt = chain[cand & 0xFFFF];
+            int32_t nxt = chain[cand & cmask];
             if (nxt >= cand) break;
             cand = nxt;
         }
@@ -596,7 +604,7 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
                     if (l1 >= 4 && l1 + 1 >= best_len) { pos += 1; continue; }
                 }
             }
-            if (lazy && pos + 1 < mf) {
+            if (lazy && !best_is_rep && pos + 1 < mf) {
                 // 1-step lazy: peek whether pos+1 has a longer hash match
                 uint32_t h2 = zhash(rd32e(base + pos + 1), hash_bits);
                 int32_t c2 = htab[h2];
@@ -613,9 +621,10 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
             seqs.push_back(s);
             // insert hashes inside the match (sparsely)
             size_t mend = pos + best_len;
-            for (size_t q = pos + 1; q < mend && q < mf; q += 2) {
+            size_t ins_step = chain_depth >= 64 ? 1 : 2;
+            for (size_t q = pos + 1; q < mend && q < mf; q += ins_step) {
                 uint32_t hq = zhash(rd32e(base + q), hash_bits);
-                chain[q & 0xFFFF] = htab[hq];
+                chain[q & cmask] = htab[hq];
                 htab[hq] = (int32_t)q;
                 if (q + 8 <= end) ctx.htab8[zhash8(rd64e(base + q))] = (int32_t)q;
             }
@@ -763,7 +772,7 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
     }
 
     int hash_bits = level <= 3 ? 16 : 17;
-    int depth = level <= 1 ? 1 : level <= 3 ? 4 : level <= 12 ? 16 : 64;
+    int depth = level <= 1 ? 1 : level <= 3 ? 4 : level <= 12 ? 16 : 128;
     bool lazy = level > 3;
     size_t max_offset = level <= 3 ? (1u << 21) - 1 : level <= 12 ? (1u << 22) - 1 : (1u << 23) - 1;
     if (max_offset > n) max_offset = n;
@@ -771,7 +780,16 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
     EncCtx ctx;
     ctx.htab.assign(1u << hash_bits, -1);
     ctx.htab8.assign(1u << H8_BITS, -1);
-    ctx.chain.assign(1u << 16, -1);
+    if (level > 12) {
+        // full chain table: far-offset chains stay walkable at high levels
+        size_t cm = 1;
+        while (cm < n + 1) cm <<= 1;
+        ctx.chain.assign(cm, -1);
+        ctx.chain_mask = cm - 1;
+    } else {
+        ctx.chain.assign(1u << 16, -1);
+        ctx.chain_mask = 0xFFFF;
+    }
 
     std::vector<Seq> seqs;
     std::vector<uint8_t> body;
@@ -793,9 +811,30 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
         size_t lit_tail = 0;
         uint64_t rep_backup[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
         find_sequences(src, off, off + bsize, n, ctx, hash_bits, depth, lazy,
-                       max_offset, seqs, lit_tail);
+                       max_offset, seqs, lit_tail, level > 12 ? 3 : 0);
         body.clear();
         bool ok = encode_block_body(src + off, bsize, seqs, lit_tail, body);
+        if (level > 12) {
+            // second strategy: fast greedy parse (fewer, cheaper choices
+            // often win on rep-chain-heavy data); keep the smaller body.
+            // NOTE: both strategies share the hash/chain tables — the second
+            // pass re-inserts positions, which only enriches the tables.
+            uint64_t rep_deep[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
+            ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
+            std::vector<Seq> seqs2;
+            size_t lit_tail2 = 0;
+            find_sequences(src, off, off + bsize, n, ctx, hash_bits, 4, false,
+                           max_offset, seqs2, lit_tail2, 0);
+            std::vector<uint8_t> body2;
+            bool ok2 = encode_block_body(src + off, bsize, seqs2, lit_tail2, body2);
+            if (ok2 && (!ok || body2.size() < body.size())) {
+                body.swap(body2);
+                ok = ok2;
+                // keep the fast strategy's rep evolution (already in ctx.rep)
+            } else {
+                ctx.rep[0] = rep_deep[0]; ctx.rep[1] = rep_deep[1]; ctx.rep[2] = rep_deep[2];
+            }
+        }
         if (ok && body.size() < bsize) {
             uint32_t bh = (uint32_t)last | (2u << 1) | ((uint32_t)body.size() << 3);
             uint8_t bhb[3] = {(uint8_t)bh, (uint8_t)(bh >> 8), (uint8_t)(bh >> 16)};
