@@ -192,7 +192,7 @@ size_t zn_lz4_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, i
         size_t limit = n - LZ4_LASTLITS;
         // seed position 0
         table[lz4_hash(rd32(src))] = 0;
-        size_t step = 1, probe_budget = 64;
+        size_t attempts = 1u << 6;  // lz4 skip-trigger acceleration
         while (pos < mflimit) {
             uint32_t h = lz4_hash(rd32(src + pos));
             int32_t cand = table[h];
@@ -221,13 +221,11 @@ size_t zn_lz4_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, i
                         table[lz4_hash(rd32(src + q))] = (int32_t)q;
                     pos = end_pos;
                     lit_start = pos;
-                    step = 1;
+                    attempts = 1u << 6;
                     continue;
                 }
             }
-            pos += step;
-            // LZ4-style acceleration on incompressible stretches
-            if (((pos - lit_start) & 0x3F) == 0x3F) step++;
+            pos += attempts++ >> 6;  // step grows every 64 failed probes
         }
     }
     // final literals

@@ -92,3 +92,20 @@ def test_metrics_phases():
     snap = metrics.snapshot()
     assert snap["test.compress"]["calls"] == 1
     assert snap["test.compress"]["bytes"] == 1000
+
+
+def test_host_parallel_chunked_large_entry():
+    """>16MB entries route through host-parallel chunked frames (one frame
+    per chunk, GIL released in native calls); all decoders handle the
+    concatenation."""
+    import numpy as np
+
+    from zpack_tpu.codecs import get_codec
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, 1 << 16).astype(np.uint8).tobytes()
+    data = ((base + b"chunk parallel pattern " * 400) * 220)[: 18 << 20]
+    for method in [C.CompressionMethod.ZSTD, C.CompressionMethod.LZ4]:
+        codec = get_codec(method)
+        comp = codec.compress(data, 1)
+        assert codec.decompress(comp, len(data)) == data

@@ -18,6 +18,12 @@ class LZ4Codec(Codec):
     method = CompressionMethod.LZ4
 
     def compress(self, data: bytes, level: int = 1) -> bytes:
+        if len(data) > (16 << 20):
+            from ...parallel import host
+
+            comp = host.lz4f_compress_parallel(bytes(data), level)
+            if comp is not None:
+                return comp
         return frame.compress_frame(data, level)
 
     def decompress(self, data: bytes, uncomp_size: int | None = None) -> bytes:

@@ -126,8 +126,8 @@ class FrameDecompressor:
 
     def update(self, chunk: bytes) -> bytes:
         if self.finished and chunk:
-            self._buf += chunk  # trailing data ignored by frame, kept for caller
-            return b""
+            self.finished = False  # concatenated frame follows
+            self._state = "magic"
         self._buf += chunk
         out = bytearray()
         progress = True
@@ -233,6 +233,15 @@ class FrameDecompressor:
             self._state = "done"
             return True
         if self._state == "done":
+            if buf:
+                # concatenated frames (LZ4F_decompress decodes successive
+                # frames with one context; so do we)
+                self._state = "magic"
+                self._flg = 0
+                self._linked_history.clear()
+                self._content_hash = None
+                self.finished = False
+                return True
             self.finished = True
             return False
         raise DecompressError(f"bad decoder state {self._state}")

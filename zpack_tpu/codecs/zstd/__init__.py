@@ -18,6 +18,12 @@ class ZstdCodec(Codec):
     def compress(self, data: bytes, level: int = 3) -> bytes:
         from ... import native
 
+        if len(data) > (16 << 20):
+            from ...parallel import host
+
+            comp = host.zstd_compress_parallel(bytes(data), level)
+            if comp is not None:
+                return comp
         comp = native.zstd_compress(bytes(data), level)
         if comp is not None:
             return comp
@@ -29,6 +35,12 @@ class ZstdCodec(Codec):
         if uncomp_size is not None:
             from ... import native
 
+            if uncomp_size > (16 << 20):
+                from ...parallel import host
+
+                out = host.zstd_decompress_parallel(bytes(data))
+                if out is not None and len(out) == uncomp_size:
+                    return out
             out = native.zstd_decompress(bytes(data), uncomp_size)
             if out is not None and len(out) == uncomp_size:
                 return out
