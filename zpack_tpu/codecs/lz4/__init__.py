@@ -6,6 +6,8 @@ from ...constants import CompressionMethod
 from .. import Codec, register
 from . import block, frame
 
+_MESH_COMPRESSOR = None
+
 
 @register(CompressionMethod.LZ4)
 class LZ4Codec(Codec):
@@ -18,6 +20,19 @@ class LZ4Codec(Codec):
     method = CompressionMethod.LZ4
 
     def compress(self, data: bytes, level: int = 1) -> bytes:
+        import os
+
+        if os.environ.get("ZPACK_TPU_ENGINE") == "tpu" and len(data) >= (64 << 10):
+            # explicit TPU engine: mesh-parallel tokenization
+            from ...parallel.pipeline import MeshCompressor
+
+            global _MESH_COMPRESSOR
+            try:
+                if _MESH_COMPRESSOR is None:
+                    _MESH_COMPRESSOR = MeshCompressor(level=level)
+                return _MESH_COMPRESSOR.compress(bytes(data))
+            except Exception:
+                pass  # fall through to host engines
         if len(data) > (16 << 20):
             from ...parallel import host
 
