@@ -266,39 +266,95 @@ struct HufEnc {
     std::vector<int> weights;  // excludes implied last
 };
 
-// package-merge length-limited lengths (limit 11)
+// two-queue Huffman + Kraft rebalancing to the 11-bit limit (fast,
+// allocation-light; the limit rebalance costs a sliver of ratio vs
+// package-merge — zstd's own HUF_setMaxHeight makes the same trade)
 static bool huf_build(const uint32_t* hist, HufEnc& t) {
-    struct Node { uint64_t freq; std::vector<uint8_t> syms; };
     std::vector<int> present;
     for (int s = 0; s < 256; s++) if (hist[s]) present.push_back(s);
     if (present.size() < 2) return false;
     const int LIMIT = 11;
-    if (present.size() > (1u << LIMIT)) return false;
-    std::vector<Node> items;
-    for (int s : present) items.push_back({hist[s], {(uint8_t)s}});
-    std::sort(items.begin(), items.end(), [](const Node& a, const Node& b){ return a.freq < b.freq; });
-    std::vector<Node> merged = items;
-    for (int lvl = 0; lvl < LIMIT - 1; lvl++) {
-        std::vector<Node> packages;
-        for (size_t i = 0; i + 1 < merged.size(); i += 2) {
-            Node nd;
-            nd.freq = merged[i].freq + merged[i + 1].freq;
-            nd.syms = merged[i].syms;
-            nd.syms.insert(nd.syms.end(), merged[i + 1].syms.begin(), merged[i + 1].syms.end());
-            packages.push_back(std::move(nd));
-        }
-        std::vector<Node> next = items;
-        next.insert(next.end(), packages.begin(), packages.end());
-        std::stable_sort(next.begin(), next.end(), [](const Node& a, const Node& b){ return a.freq < b.freq; });
-        merged = std::move(next);
+    size_t n = present.size();
+    // leaves sorted ascending by freq
+    std::vector<std::pair<uint64_t, int>> leaves;
+    leaves.reserve(n);
+    for (int s : present) leaves.push_back({hist[s], s});
+    std::sort(leaves.begin(), leaves.end());
+    // two-queue merge; parents tracked for depth computation
+    struct TNode { uint64_t freq; int l, r; };  // l/r: <0 → leaf ~idx
+    std::vector<TNode> nodes;
+    nodes.reserve(2 * n);
+    std::vector<int> q2;  // internal node queue (indices into nodes)
+    size_t i1 = 0, i2 = 0;
+    auto take_min = [&]() -> int {
+        bool leaf = i2 >= q2.size() ||
+                    (i1 < n && leaves[i1].first <= nodes[q2[i2]].freq);
+        if (leaf) { int id = (int)nodes.size(); nodes.push_back({leaves[i1].first, ~(int)i1, ~(int)i1}); i1++; return id; }
+        return q2[i2++];
+    };
+    // build: leaves become singleton nodes lazily via take_min
+    int root = -1;
+    size_t remaining = n;
+    while (remaining > 1) {
+        int a = take_min();
+        int b = take_min();
+        int id = (int)nodes.size();
+        nodes.push_back({nodes[a].freq + nodes[b].freq, a, b});
+        q2.push_back(id);
+        root = id;
+        remaining--;
     }
+    // depth per leaf via iterative DFS
     int lengths[256] = {0};
-    size_t take = 2 * present.size() - 2;
-    for (size_t i = 0; i < take && i < merged.size(); i++)
-        for (uint8_t s : merged[i].syms) lengths[s]++;
+    {
+        std::vector<std::pair<int, int>> stack;  // (node, depth)
+        stack.push_back({root, 0});
+        while (!stack.empty()) {
+            auto [id, d] = stack.back();
+            stack.pop_back();
+            const TNode& nd = nodes[id];
+            if (nd.l == nd.r && nd.l < 0) {  // leaf
+                lengths[leaves[~nd.l].second] = d > 0 ? d : 1;
+            } else {
+                stack.push_back({nd.l, d + 1});
+                stack.push_back({nd.r, d + 1});
+            }
+        }
+    }
+    // Kraft rebalance to the limit: cap, then pay the debt by deepening
+    // the cheapest (lowest-freq) shallow symbols
+    int64_t kraft = 0;
+    for (int s : present) {
+        if (lengths[s] > LIMIT) lengths[s] = LIMIT;
+        kraft += 1ll << (LIMIT - lengths[s]);
+    }
+    const int64_t target = 1ll << LIMIT;
+    // over-subscribed: deepen symbols, cheapest first (leaves is sorted asc)
+    while (kraft > target) {
+        bool moved = false;
+        for (auto& [f, s] : leaves) {
+            if (lengths[s] < LIMIT) {
+                kraft -= 1ll << (LIMIT - lengths[s] - 1);
+                lengths[s]++;
+                moved = true;
+                if (kraft <= target) break;
+            }
+        }
+        if (!moved) return false;
+    }
+    // under-subscribed: shorten the most frequent symbols where it fits
+    for (size_t k = leaves.size(); k-- > 0 && kraft < target;) {
+        int s = leaves[k].second;
+        while (lengths[s] > 1) {
+            int64_t gain = 1ll << (LIMIT - lengths[s]);
+            if (kraft + gain > target) break;
+            kraft += gain;
+            lengths[s]--;
+        }
+    }
+    if (kraft != target) return false;
     int max_len = 0;
     for (int s : present) max_len = std::max(max_len, lengths[s]);
-    if (max_len > LIMIT) return false;
     // weights + canonical codes (zstd order: by increasing weight, natural
     // symbol order within a weight; code = range_start >> (weight-1))
     t.max_bits = max_len;
@@ -538,7 +594,7 @@ static inline size_t match_len(const uint8_t* a, const uint8_t* b, size_t limit)
 static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t src_total,
                            EncCtx& ctx, int hash_bits, int chain_depth, bool lazy,
                            size_t max_offset, std::vector<Seq>& seqs, size_t& lit_tail,
-                           size_t rep_margin) {
+                           size_t rep_margin, int lit_bits) {
     enc_init();
     std::vector<int32_t>& htab = ctx.htab;
     std::vector<int32_t>& chain = ctx.chain;
@@ -557,6 +613,7 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
             uint64_t off = ll_now ? ctx.rep[r]
                                   : (r == 0 ? ctx.rep[1] : r == 1 ? ctx.rep[2] : ctx.rep[0] - 1);
             if (!off || off > pos) continue;
+            if (rd32e(base + pos) != rd32e(base + pos - off)) continue;  // cheap filter
             size_t l = match_len(base + pos, base + pos - off, end - pos);
             if (l >= 4 && l > best_len + 1) { best_len = l; best_off = off; best_is_rep = true; }
         }
@@ -592,6 +649,12 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
             if (nxt >= cand) break;
             cand = nxt;
         }
+        // entropy-aware acceptance: a fresh match must beat re-encoding
+        // its bytes as literals (~lit_bits each); reps are nearly free
+        if (best_len >= 4 && !best_is_rep &&
+            (long long)best_len * lit_bits <= (long long)highbit32((uint32_t)best_off) + 9) {
+            best_len = 0;
+        }
         if (best_len >= 4) {
             accel = 1;
             // rep probe at pos+1 (ll >= 1 there, so rep0 becomes usable):
@@ -599,7 +662,8 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
             // so prefer it unless the current match is clearly longer
             if (best_off != ctx.rep[0] && pos + 1 < mf) {
                 uint64_t r0 = ctx.rep[0];
-                if (r0 && r0 <= pos + 1) {
+                if (r0 && r0 <= pos + 1 &&
+                    rd32e(base + pos + 1) == rd32e(base + pos + 1 - r0)) {
                     size_t l1 = match_len(base + pos + 1, base + pos + 1 - r0, end - pos - 1);
                     if (l1 >= 4 && l1 + 1 >= best_len) { pos += 1; continue; }
                 }
@@ -810,8 +874,18 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
         }
         size_t lit_tail = 0;
         uint64_t rep_backup[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
+        // crude per-block byte entropy (bits/byte) for match-vs-literal costs
+        int lit_bits;
+        {
+            uint32_t h256[256] = {0};
+            for (size_t q = 0; q < bsize; q += 4) h256[src[off + q]]++;
+            uint32_t tot = 0, nz = 0;
+            for (int q = 0; q < 256; q++) { tot += h256[q]; nz += h256[q] != 0; }
+            lit_bits = nz <= 1 ? 1 : highbit32(nz - 1) + 1;  // ≈ log2(alphabet)
+            if (lit_bits > 8) lit_bits = 8;
+        }
         find_sequences(src, off, off + bsize, n, ctx, hash_bits, depth, lazy,
-                       max_offset, seqs, lit_tail, level > 12 ? 3 : 0);
+                       max_offset, seqs, lit_tail, level > 12 ? 3 : 0, lit_bits);
         body.clear();
         bool ok = encode_block_body(src + off, bsize, seqs, lit_tail, body);
         if (level > 12) {
@@ -824,7 +898,7 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
             std::vector<Seq> seqs2;
             size_t lit_tail2 = 0;
             find_sequences(src, off, off + bsize, n, ctx, hash_bits, 4, false,
-                           max_offset, seqs2, lit_tail2, 0);
+                           max_offset, seqs2, lit_tail2, 0, lit_bits);
             std::vector<uint8_t> body2;
             bool ok2 = encode_block_body(src + off, bsize, seqs2, lit_tail2, body2);
             if (ok2 && (!ok || body2.size() < body.size())) {
