@@ -92,3 +92,17 @@ def test_pallas_batched_xxh3():
 
     got = xxh3_64_batch(streams)
     assert all(g == xxh3_64(s) for g, s in zip(got, streams))
+
+
+def test_mesh_zstd_pipeline():
+    """TPU-tokenized zstd blocks (BASELINE config-5 shape) decode with both
+    our decoder and the libzstd oracle."""
+    import zstandard
+
+    from zpack_tpu.codecs.zstd import frame as ZF
+
+    mc = MeshCompressor(make_mesh(), block_size=4096)
+    data = _mix(120000, seed=21)
+    comp = mc.compress_zstd(data, 3)
+    assert ZF.decompress(comp) == data
+    assert zstandard.ZstdDecompressor().decompress(comp, max_output_size=len(data)) == data

@@ -175,3 +175,69 @@ class MeshCompressor:
                 out += struct.pack("<I", len(chunk) | 0x80000000) + chunk
         out += struct.pack("<I", 0)
         return bytes(out)
+
+
+    def compress_zstd(self, data: bytes, level: int = 3) -> bytes:
+        """zstd frame via mesh tokenization: each device-tokenized block
+        becomes one zstd block (sequences from the TPU match tables, entropy
+        coding host-side) — the BASELINE "zstd blocks sharded data-parallel"
+        configuration.  Offsets stay within a block (window = block size), a
+        deliberate trade for full block independence across the mesh."""
+        import struct
+
+        from ..codecs import match as M
+        from ..codecs.zstd import encode as zenc
+        from ..kernels.lz4_jax import CAPJ, parse_events_host
+
+        data = bytes(data)
+        B = self.block_size
+        n = len(data)
+        if n == 0:
+            return zenc.compress(b"", level)
+        src, mlen, nb, _est = self.tokenize(data)
+        out = bytearray(zenc._frame_header(n, max(17, B.bit_length())))
+        rep = [1, 4, 8]
+        for i in range(nb):
+            chunk = data[i * B : (i + 1) * B]
+            cl = len(chunk)
+            arr = np.frombuffer(chunk, dtype=np.uint8)
+            ml = mlen[i]
+            if cl != B:
+                posa = np.arange(B)
+                ml = np.minimum(ml, np.maximum(cl - 5 - posa, 0))
+                ml = np.where(posa >= max(cl - 12, 0), 0, ml)
+                ml = np.where(ml < 4, 0, ml)
+            events = parse_events_host(src[i], ml, cl)
+            # sequence tuples in the python encoder's shape, with host
+            # re-extension of device-capped match lengths
+            seqs = []
+            pos = 0
+            lit_start = 0
+            limit = cl  # zstd has no end-of-block literal rule
+            for p in events.tolist():
+                if p < pos:
+                    continue
+                l = int(ml[p])
+                j = int(src[i][p])
+                if l >= CAPJ:
+                    l = M.exact_extend(arr, p, j, l, limit)
+                l = min(l, limit - p)
+                if l < 4:
+                    continue
+                seqs.append((lit_start, p - lit_start, p, j, l))
+                pos = p + l
+                lit_start = pos
+            seqs.append((lit_start, cl - lit_start, None, None, None))
+            last = 1 if i == nb - 1 else 0
+            rep_backup = list(rep)
+            body = zenc._encode_block_body(arr, 0, cl, seqs, rep)
+            if body is not None and len(body) < cl:
+                bh = last | (2 << 1) | (len(body) << 3)
+                out += struct.pack("<I", bh)[:3]
+                out += body
+            else:
+                rep[:] = rep_backup
+                bh = last | (0 << 1) | (cl << 3)
+                out += struct.pack("<I", bh)[:3]
+                out += chunk
+        return bytes(out)
