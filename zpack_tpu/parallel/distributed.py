@@ -1,0 +1,120 @@
+"""Multi-host distributed compression.
+
+The reference has no distributed anything (SURVEY.md §2: "Parallelism /
+distributed communication: none").  Here the mesh pipeline spans hosts via
+``jax.distributed``: every process contributes its local devices to one
+global ("entry" × "block") mesh, each host tokenizes/serializes its own
+block range (data-parallel over DCN+ICI), and host 0 performs the ordered
+ragged gather of the variable-size compressed blocks — assembling a
+spec-conformant frame/archive exactly as the single-host path does.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Wrapper over jax.distributed.initialize (idempotent)."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
+
+
+def shard_ranges(n_blocks: int, num_processes: int) -> list[tuple[int, int]]:
+    """Contiguous block ranges per process (host h owns range h)."""
+    per = -(-n_blocks // num_processes)
+    return [(min(h * per, n_blocks), min((h + 1) * per, n_blocks))
+            for h in range(num_processes)]
+
+
+def compress_multihost(data: bytes, level: int = 1, block_size: int = 64 << 10) -> bytes | None:
+    """Compress ``data`` with each host handling its contiguous block range
+    on its local devices, then gather the ragged compressed blocks to every
+    host (allgather) and assemble the lz4f frame in block order.
+
+    Every process must call this with identical ``data``; returns the frame
+    on every process (only host 0 typically writes it out).
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..codecs.lz4 import frame as lz4frame
+    from ..kernels import lz4_jax
+    from .pipeline import MeshCompressor, make_mesh
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    data = bytes(data)
+    B = block_size
+    n_blocks = max(1, -(-len(data) // B))
+    ranges = shard_ranges(n_blocks, nproc)
+    lo, hi = ranges[pid]
+
+    # local tokenize + serialize over this host's local devices only
+    local_mesh = make_mesh(jax.local_devices())
+    mc = MeshCompressor(local_mesh, level=level, block_size=B)
+    local_blocks: list[bytes] = []
+    for i in range(lo, hi):
+        chunk = data[i * B : (i + 1) * B]
+        src, mlen, _nb, _ = mc.tokenize(chunk)
+        ml = mlen[0]
+        if len(chunk) != B:
+            posa = np.arange(B)
+            ml = np.minimum(ml, np.maximum(len(chunk) - 5 - posa, 0))
+            ml = np.where(posa >= max(len(chunk) - 12, 0), 0, ml)
+            ml = np.where(ml < 4, 0, ml)
+        comp = lz4_jax.serialize_block_host(chunk, src[0], ml)
+        if len(comp) >= len(chunk):
+            comp = b"\x01" + chunk  # marker: stored
+        else:
+            comp = b"\x00" + comp
+        local_blocks.append(comp)
+
+    # ragged allgather: pad local payloads to a common max (lengths first)
+    local_cat = b"".join(local_blocks)
+    lens = np.zeros((nproc,), dtype=np.int64)
+    lens[pid] = len(local_cat)
+    lens = multihost_utils.process_allgather(np.array([len(local_cat)], np.int64))
+    lens = np.asarray(lens).reshape(-1)
+    maxlen = int(lens.max()) if len(lens) else 0
+    padded = np.zeros(maxlen, dtype=np.uint8)
+    padded[: len(local_cat)] = np.frombuffer(local_cat, dtype=np.uint8)
+    gathered = multihost_utils.process_allgather(padded)
+    gathered = np.asarray(gathered).reshape(nproc, maxlen)
+
+    # per-block lengths allgather for the ragged split
+    blk_lens_local = np.array([len(b) for b in local_blocks], dtype=np.int64)
+    max_blocks = max((r[1] - r[0]) for r in ranges)
+    bl = np.full(max_blocks, -1, dtype=np.int64)
+    bl[: len(blk_lens_local)] = blk_lens_local
+    blk_lens = np.asarray(multihost_utils.process_allgather(bl)).reshape(nproc, max_blocks)
+
+    # host-side ordered assembly (same on every process)
+    out = bytearray(lz4frame._header(max(B, 64 << 10), True, False, None))
+    for h in range(nproc):
+        payload = gathered[h][: lens[h]].tobytes()
+        pos = 0
+        for L in blk_lens[h]:
+            if L < 0:
+                break
+            blob = payload[pos : pos + int(L)]
+            pos += int(L)
+            if blob[:1] == b"\x01":
+                out += struct.pack("<I", (len(blob) - 1) | 0x80000000) + blob[1:]
+            else:
+                out += struct.pack("<I", len(blob) - 1) + blob[1:]
+    out += struct.pack("<I", 0)
+    return bytes(out)
