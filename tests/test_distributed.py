@@ -20,7 +20,7 @@ WORKER = textwrap.dedent(
     import numpy as np
     rng = np.random.default_rng(1)
     data = bytes(np.where(rng.random(200000) < 0.8,
-                          np.tile(np.frombuffer(b"distributed!", dtype=np.uint8), 16667),
+                          np.tile(np.frombuffer(b"distributed!", dtype=np.uint8), 16667)[:200000],
                           rng.integers(0, 256, 200000)).astype(np.uint8))
     comp = D.compress_multihost(data, 1, block_size=32 << 10)
     if pid == 0:
