@@ -177,16 +177,18 @@ static inline uint8_t* write_lsic(uint8_t* op, size_t v) {
     return op;
 }
 
-// Greedy hash-table encoder; depth = chain probes (level>=3 keeps a chain).
+// Greedy hash-table encoder; level>=3 walks a hash chain (HC-style).
 size_t zn_lz4_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level) {
-    (void)level;
     uint8_t* op = dst;
     uint8_t* oend = dst + cap;
     if (n == 0) return 0;
     size_t lit_start = 0;
     if (n >= LZ4_MFLIMIT + 1) {
         static thread_local int32_t table[1 << HASH_LOG];
+        static thread_local int32_t chain[1 << 16];
+        int depth = level <= 2 ? 1 : level <= 6 ? 1 << (level - 1) : level <= 9 ? 64 : 256;
         for (size_t i = 0; i < (1u << HASH_LOG); i++) table[i] = -1;
+        if (depth > 1) for (size_t i = 0; i < (1u << 16); i++) chain[i] = -1;
         size_t pos = 1;
         size_t mflimit = n - LZ4_MFLIMIT;
         size_t limit = n - LZ4_LASTLITS;
@@ -196,14 +198,28 @@ size_t zn_lz4_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, i
         while (pos < mflimit) {
             uint32_t h = lz4_hash(rd32(src + pos));
             int32_t cand = table[h];
+            if (depth > 1) chain[pos & 0xFFFF] = cand;
             table[h] = (int32_t)pos;
-            if (cand >= 0 && pos - (size_t)cand <= 65535 && rd32(src + cand) == rd32(src + pos)) {
-                // extend
-                size_t ml = LZ4_MINMATCH;
-                size_t maxml = limit - pos;
-                while (ml + 8 <= maxml && rd64(src + cand + ml) == rd64(src + pos + ml)) ml += 8;
-                while (ml < maxml && src[cand + ml] == src[pos + ml]) ml++;
-                if (ml >= LZ4_MINMATCH) {
+            size_t best_ml = 0;
+            size_t best_cand = 0;
+            int d = depth;
+            while (cand >= 0 && d-- > 0 && pos - (size_t)cand <= 65535) {
+                if ((size_t)cand < pos && rd32(src + cand) == rd32(src + pos)) {
+                    size_t ml = LZ4_MINMATCH;
+                    size_t maxml = limit - pos;
+                    while (ml + 8 <= maxml && rd64(src + cand + ml) == rd64(src + pos + ml)) ml += 8;
+                    while (ml < maxml && src[cand + ml] == src[pos + ml]) ml++;
+                    if (ml > best_ml) { best_ml = ml; best_cand = (size_t)cand; }
+                }
+                if (depth <= 1) break;
+                int32_t nxt = chain[cand & 0xFFFF];
+                if (nxt >= cand) break;
+                cand = nxt;
+            }
+            if (best_ml >= LZ4_MINMATCH) {
+                size_t ml = best_ml;
+                size_t cand2 = best_cand;
+                {
                     size_t ll = pos - lit_start;
                     size_t need = 1 + ll / 255 + 1 + ll + 2 + ml / 255 + 1;
                     if (op + need > oend) return (size_t)-1;
@@ -212,13 +228,17 @@ size_t zn_lz4_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, i
                     *op++ = tok;
                     if (ll >= 15) op = write_lsic(op, ll - 15);
                     memcpy(op, src + lit_start, ll); op += ll;
-                    size_t off = pos - (size_t)cand;
+                    size_t off = pos - cand2;
                     *op++ = (uint8_t)off; *op++ = (uint8_t)(off >> 8);
                     if (mlc >= 15) op = write_lsic(op, mlc - 15);
-                    // insert a few positions inside the match for future matches
+                    // insert positions inside the match for future matches
                     size_t end_pos = pos + ml;
-                    for (size_t q = pos + 1; q < end_pos && q < mflimit; q += 3)
-                        table[lz4_hash(rd32(src + q))] = (int32_t)q;
+                    size_t step_in = depth > 1 ? 1 : 3;
+                    for (size_t q = pos + 1; q < end_pos && q < mflimit; q += step_in) {
+                        uint32_t hq = lz4_hash(rd32(src + q));
+                        if (depth > 1) chain[q & 0xFFFF] = table[hq];
+                        table[hq] = (int32_t)q;
+                    }
                     pos = end_pos;
                     lit_start = pos;
                     attempts = 1u << 6;

@@ -46,12 +46,11 @@ def compress_block(data: bytes, level: int = 1) -> bytes:
     higher levels (and any environment without the toolchain) use the
     numpy parallel-first matcher below."""
     data = bytes(data)
-    if level <= 2:
-        from ... import native
+    from ... import native
 
-        comp = native.lz4_compress_block(data, level)
-        if comp is not None:
-            return comp
+    comp = native.lz4_compress_block(data, level)
+    if comp is not None:
+        return comp
     b = np.frombuffer(data, dtype=np.uint8)
     n = len(b)
     out = bytearray()
