@@ -144,3 +144,33 @@ def test_entry_serialization_roundtrip():
     blob = e.serialize()
     entries, comp, uncomp = records.parse_file_entries(blob, 1)
     assert entries[0] == e and comp == 5 and uncomp == 9
+
+
+@pytest.mark.parametrize("method", [C.CompressionMethod.NONE, C.CompressionMethod.ZSTD, C.CompressionMethod.LZ4])
+@pytest.mark.parametrize("streaming", [False, True])
+@pytest.mark.parametrize("to_file", [False, True])
+def test_write_matrix(golden, method, streaming, to_file, tmp_path):
+    """Parity: tests/write_archive.c:146-187 — method × {oneshot, streaming}
+    × {file, heap} = 12 combinations, streamed with 16-byte chunks."""
+    w = Writer.open(tmp_path / "m.zpk") if to_file else Writer.to_heap()
+    w.write_header()
+    w.write_data_header()
+    for name in ["file1.txt", "file2.txt"]:
+        data = golden[name]
+        if streaming:
+            w.write_file_stream_begin(name, CompressOptions(method))
+            for i in range(0, len(data), 16):
+                w.write_file_stream(data[i : i + 16])
+            w.write_file_stream_end()
+        else:
+            w.add_file(name, data, CompressOptions(method))
+    w.write_cdr()
+    w.write_eocdr()
+    if to_file:
+        w.close()
+        r = Reader.open(tmp_path / "m.zpk")
+    else:
+        r = Reader.from_memory(w.buffer)
+    for name in ["file1.txt", "file2.txt"]:
+        assert r.read_file(name) == golden[name]
+    r.close()
