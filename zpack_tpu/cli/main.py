@@ -48,6 +48,7 @@ def print_help(out=None):
         "    -x <file>: exclude file from extraction\n"
         "    -h, --help: show this help message\n"
         "    --unsafe: allow files to be extracted outside of destination\n"
+        "    --engine <tpu|native|python>: select the compression engine\n"
     )
 
 
@@ -61,6 +62,7 @@ class Options:
     output: str = ""
     options: CompressOptions = field(default_factory=CompressOptions)
     unsafe: bool = False
+    engine: str = ""
 
 
 _METHODS = {"none": C.CompressionMethod.NONE, "zstd": C.CompressionMethod.ZSTD,
@@ -78,6 +80,12 @@ def parse_args(argv: list[str]) -> Options | None:
             return None
         if a == "--unsafe":
             opts.unsafe = True
+        elif a == "--engine":
+            i += 1
+            if i >= len(argv):
+                print("Error: --engine requires a parameter (tpu|native|python)")
+                return None
+            opts.engine = argv[i]
         elif a == "-m":
             i += 1
             if i >= len(argv):
@@ -409,6 +417,16 @@ def main(argv: list[str] | None = None) -> int:
     if opts is None:
         print_help()
         return 1
+    if opts.engine:
+        import os
+
+        if opts.engine == "python":
+            os.environ["ZPACK_TPU_NO_NATIVE"] = "1"
+        elif opts.engine == "tpu":
+            os.environ["ZPACK_TPU_ENGINE"] = "tpu"
+        elif opts.engine != "native":
+            print(f"Error: unknown engine {opts.engine}")
+            return 1
     handler = _COMMANDS.get(opts.command)
     if handler is None:
         print(f"Invalid command: {opts.command}")

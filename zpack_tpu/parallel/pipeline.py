@@ -14,7 +14,6 @@ the reference CLI).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -44,15 +43,6 @@ def make_mesh(devices=None, entry_axis: int | None = None) -> Mesh:
     block_axis = n // entry_axis
     arr = np.array(devices[: entry_axis * block_axis]).reshape(entry_axis, block_axis)
     return Mesh(arr, ("entry", "block"))
-
-
-@dataclass
-class TokenizedBlocks:
-    """Device results for a batch of blocks, pre-serialization."""
-
-    src: np.ndarray  # (nb, B)
-    mlen: np.ndarray  # (nb, B)
-    est_compressed: int  # psum'd size estimate across the mesh
 
 
 def _step_fn(mesh: Mesh, depth: int):
