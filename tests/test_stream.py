@@ -90,3 +90,18 @@ def test_stream_reset():
     s.total_in = 5
     s.reset()
     assert s.total_in == 0 and s.total_out == 0 and s.read_back == 0
+
+
+def test_raw_file_stream(golden):
+    """parity: zpack_read_raw_file_stream — chunked raw reads reassemble
+    the exact compressed bytes."""
+    r = Reader.from_memory(golden["archive_zstd.zpk"])
+    entry = r.get_file_entry("file1.txt")
+    stream = S.init_stream()
+    stream.avail_out = 16
+    raw = bytearray()
+    more = True
+    while more:
+        more = S.read_raw_file_stream(r, entry, stream)
+        raw += stream.next_out
+    assert bytes(raw) == r.read_raw_file(entry)

@@ -113,6 +113,28 @@ def read_file_stream(reader, entry, stream: ZPackStream, verify: bool = True) ->
     return not done
 
 
+def read_raw_file_stream(reader, entry, stream: ZPackStream) -> bool:
+    """Chunked *raw* (still-compressed) reads of an entry
+    (parity: zpack_read_raw_file_stream, lib/zpack_read.c:473-513): each
+    call fills ``stream.next_out`` with up to ``avail_out`` compressed
+    bytes from the entry's data; returns True while more remain."""
+    entry = reader._resolve(entry)
+    if stream._entry is None:
+        stream._entry = entry
+    elif stream._entry is not entry:
+        raise StreamStateError("stream already bound to another entry")
+    if stream.avail_out <= 0:
+        raise StreamStateError("no output space provided")
+    take = min(stream.avail_out, entry.comp_size - stream.total_in)
+    raw = reader._source.read_at(entry.offset + stream.total_in, take) if take else b""
+    if len(raw) < take:
+        raise ZPackError(Result.ERROR_FILE_INCOMPLETE, "entry data truncated")
+    stream.next_out = bytearray(raw)
+    stream.total_in += take
+    stream.total_out += take
+    return stream.total_in < entry.comp_size
+
+
 def read_stream_done(stream: ZPackStream, entry) -> bool:
     """parity: ZPACK_READ_STREAM_DONE (lib/zpack.h:713-714)."""
     return (

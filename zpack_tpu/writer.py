@@ -128,17 +128,19 @@ class Writer:
         """parity: zpack_write_data_header, lib/zpack_write.c:100-123."""
         self._emit(records.serialize_data_header())
 
-    def write_cdr(self) -> None:
-        """parity: zpack_write_cdr[_ex], lib/zpack_write.c:713-785 — records
-        cdr_offset for the EOCDR."""
+    def write_cdr(self, entries: list | None = None) -> None:
+        """parity: zpack_write_cdr / _ex (explicit entry list),
+        lib/zpack_write.c:713-785 — records cdr_offset for the EOCDR."""
         self.cdr_offset = self.write_offset
-        cdr = records.CDR(self.file_entries)
+        cdr = records.CDR(self.file_entries if entries is None else entries)
         self._emit(cdr.serialize())
 
-    def write_eocdr(self) -> None:
-        """parity: zpack_write_eocdr[_ex], lib/zpack_write.c:787-816."""
+    def write_eocdr(self, cdr_offset: int | None = None) -> None:
+        """parity: zpack_write_eocdr / _ex (explicit CDR offset),
+        lib/zpack_write.c:787-816."""
         self.eocdr_offset = self.write_offset
-        self._emit(records.serialize_eocdr(self.cdr_offset))
+        self._emit(records.serialize_eocdr(
+            self.cdr_offset if cdr_offset is None else cdr_offset))
         self._sink.flush()
 
     # -- one-shot compression path ------------------------------------------
