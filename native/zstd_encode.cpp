@@ -1,3 +1,5 @@
+#include <cstdio>
+#include <cstdlib>
 // zpack-tpu native zstd encoder (RFC 8878), self-contained.
 //
 // Role parity: ZSTD_compressCCtx as used by the reference
@@ -702,6 +704,226 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
     lit_tail = end - lit_start;
 }
 
+
+// ---------------------------------------------------------------------------
+// optimal parse (btopt-style): DP with per-cell repeat-offset state and
+// statistics-driven bit prices (derived from a first greedy pass)
+// ---------------------------------------------------------------------------
+
+struct OptPrices {
+    uint16_t lit8[256];       // literal bits, 8x fixed point
+    uint16_t llc8[36];
+    uint16_t mlc8[53];
+    uint16_t ofc8[32];
+};
+
+static inline uint16_t bits8_from_freq(uint32_t c, uint32_t total) {
+    // -log2((c+1)/(total+alphabet)) approximated via highbit, 8x fixed point
+    if (!total) return 8 * 8;
+    double p = (double)(c + 1) / (double)(total + 64);
+    double bits = -1.4426950408889634 * __builtin_log(p);
+    if (bits < 0.05) bits = 0.05;
+    if (bits > 20) bits = 20;
+    return (uint16_t)(bits * 8);
+}
+
+static void build_opt_prices(const uint8_t* block, size_t bsize,
+                             const std::vector<Seq>& seqs, OptPrices& P) {
+    uint32_t lh[256] = {0};
+    for (size_t i = 0; i < bsize; i++) lh[block[i]]++;  // block bytes ≈ literals
+    for (int s = 0; s < 256; s++) P.lit8[s] = bits8_from_freq(lh[s], (uint32_t)bsize);
+    uint32_t llh[36] = {0}, mlh[53] = {0}, ofh[32] = {0};
+    for (const Seq& q : seqs) {
+        llh[ll_code(q.ll)]++;
+        mlh[ml_code(q.ml)]++;
+        ofh[highbit32(q.ov)]++;
+    }
+    uint32_t tot = (uint32_t)seqs.size();
+    for (int c = 0; c < 36; c++) P.llc8[c] = bits8_from_freq(llh[c], tot);
+    for (int c = 0; c < 53; c++) P.mlc8[c] = bits8_from_freq(mlh[c], tot);
+    for (int c = 0; c < 32; c++) P.ofc8[c] = bits8_from_freq(ofh[c], tot);
+}
+
+struct OCell {
+    uint32_t price;
+    uint32_t len;   // 0 = literal step
+    uint32_t off;
+    uint32_t rep0, rep1, rep2;
+};
+
+// persistent binary-tree matchfinder state (absolute positions over the
+// whole input, so matches cross block boundaries like the greedy passes)
+struct OptState {
+    std::vector<int32_t> bt_hash;  // 1<<H4B roots
+    std::vector<int32_t> bt;       // 2 children per absolute position
+    void init(size_t n_total) {
+        bt_hash.assign(1u << 17, -1);
+        bt.assign(2 * n_total + 2, -1);
+    }
+};
+
+static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk_end,
+                               size_t n_total, size_t max_offset, OptState& ost,
+                               EncCtx& ctx, const OptPrices& P,
+                               std::vector<Seq>& seqs, size_t& lit_tail) {
+    size_t n = blk_end - blk_start;
+    seqs.clear();
+    if (n < 16) { lit_tail = n; return; }
+    const uint32_t INF = 0xFFFFFFFFu;
+    static thread_local std::vector<OCell> cells;
+    cells.assign(n + 1, OCell{INF, 0, 0, 0, 0, 0});
+    cells[0] = OCell{0, 0, 0, (uint32_t)ctx.rep[0], (uint32_t)ctx.rep[1], (uint32_t)ctx.rep[2]};
+    size_t mf = n >= 4 ? n - 4 : 0;
+
+    const int H4B = 17;
+    const int BT_DEPTH = 256;
+    const size_t SUFFICIENT = 1024;
+
+    auto ml_price = [&](uint32_t l) -> uint32_t {
+        int c = ml_code(l);
+        return P.mlc8[c] + ML_EXTRA[c] * 8;
+    };
+
+    struct Cand { uint32_t off; uint32_t len; };
+    static thread_local std::vector<Cand> cands;
+    std::vector<int32_t>& bt_hash = ost.bt_hash;
+    std::vector<int32_t>& bt = ost.bt;
+    // per-block compare budget: degenerate (hugely repetitive) data would
+    // otherwise drive multi-MB prefix extensions per node; when exhausted
+    // the BT degrades to insert-only and the greedy strategies win the block
+    long long block_budget = 16ll << 20;
+
+    // insert absolute position p into the BT; collect (off, capped len)
+    // improvements as DP candidates for the current block
+    auto bt_insert_search = [&](size_t p, bool collect) {
+        cands.clear();
+        if (p + 4 > n_total) return;
+        uint32_t h4 = (rd32e(base + p) * 2654435761u) >> (32 - H4B);
+        int32_t cur = bt_hash[h4];
+        bt_hash[h4] = (int32_t)p;
+        int32_t* smaller = &bt[2 * p];
+        int32_t* larger = &bt[2 * p + 1];
+        size_t len0 = 0, len1 = 0;
+        size_t bestl = 3;
+        size_t cap = blk_end - p;  // matches must end within the block
+        int d = block_budget > 0 ? BT_DEPTH : 2;
+        long long byte_budget = 1 << 14;  // bounds walks on degenerate data
+        while (cur >= 0 && d-- > 0 && byte_budget > 0) {
+            size_t len = len0 < len1 ? len0 : len1;
+            size_t lim = n_total - p;
+            size_t clim = n_total - (size_t)cur;
+            size_t mx = lim < clim ? lim : clim;
+            size_t len_in = len;
+            while (len < mx && base[cur + len] == base[p + len]) len++;
+            byte_budget -= (long long)(len - len_in) + 8;
+            block_budget -= (long long)(len - len_in) + 8;
+            size_t clen = len < cap ? len : cap;
+            if (collect && clen > bestl && p - (size_t)cur <= max_offset) {
+                bestl = clen;
+                cands.push_back({(uint32_t)(p - (size_t)cur), (uint32_t)clen});
+                if (clen >= 1024) { d = 0; }  // long enough; stop searching
+            }
+            if (len >= mx) break;  // one suffix prefixes the other
+            if (base[cur + len] < base[p + len]) {
+                *smaller = cur;
+                smaller = &bt[2 * cur + 1];
+                cur = *smaller;
+                len0 = len;
+            } else {
+                *larger = cur;
+                larger = &bt[2 * cur];
+                cur = *larger;
+                len1 = len;
+            }
+        }
+        *smaller = -1;
+        *larger = -1;
+    };
+
+    for (size_t i = 0; i < n; i++) {
+        const OCell cur = cells[i];
+        size_t pos = blk_start + i;
+        bool reachable = cur.price != INF;
+        bt_insert_search(pos, reachable && i < mf);
+        if (!reachable) continue;
+        // literal step (reps inherited)
+        {
+            uint32_t p = cur.price + P.lit8[base[pos]];  // absolute pos
+            if (p < cells[i + 1].price)
+                cells[i + 1] = OCell{p, 0, 0, cur.rep0, cur.rep1, cur.rep2};
+        }
+        if (i >= mf) continue;
+
+        auto relax_match = [&](size_t off, size_t L, bool is_rep, int rep_slot) {
+            if (L < 4) return;
+            // offset price
+            uint32_t ofp;
+            if (is_rep) {
+                ofp = P.ofc8[rep_slot <= 0 ? 0 : 1] + (rep_slot > 0 ? 8 : 0);
+            } else {
+                uint32_t ov = (uint32_t)(off + 3);
+                int oc = highbit32(ov);
+                ofp = P.ofc8[oc] + oc * 8;
+            }
+            uint32_t base_p = cur.price + ofp + P.llc8[2];  // avg ll-code cost
+            // updated rep triple
+            uint32_t r0, r1, r2;
+            if (is_rep && rep_slot == 0) { r0 = cur.rep0; r1 = cur.rep1; r2 = cur.rep2; }
+            else if (is_rep && rep_slot == 1) { r0 = cur.rep1; r1 = cur.rep0; r2 = cur.rep2; }
+            else if (is_rep && rep_slot == 2) { r0 = cur.rep2; r1 = cur.rep0; r2 = cur.rep1; }
+            else { r0 = (uint32_t)off; r1 = cur.rep0; r2 = cur.rep1; }
+            auto relax_one = [&](uint32_t l) {
+                uint32_t p = base_p + ml_price(l);
+                OCell& dst = cells[i + l];
+                if (p < dst.price) dst = OCell{p, l, (uint32_t)off, r0, r1, r2};
+            };
+            uint32_t dense = (uint32_t)(L < 36 ? L : 36);
+            for (uint32_t l = 4; l <= dense; l++) relax_one(l);
+            for (uint32_t l = 48; l < L; l = l + (l >> 1)) relax_one(l);
+            relax_one((uint32_t)L);
+        };
+
+        // repeat candidates from this cell's rep state
+        size_t longest = 0;
+        uint32_t reps[3] = {cur.rep0, cur.rep1, cur.rep2};
+        for (int r = 0; r < 3; r++) {
+            size_t off = reps[r];
+            if (!off || off > pos) continue;
+            if (rd32e(base + pos) != rd32e(base + pos - off)) continue;
+            size_t L = match_len(base + pos, base + pos - off, blk_end - pos);
+            relax_match(off, L, true, r);
+            if (L > longest) longest = L;
+        }
+        if (longest >= SUFFICIENT) continue;  // long rep dominates
+        // BT candidates (each improvement along the walk, longest last)
+        for (const Cand& c : cands) {
+            relax_match(c.off, c.len, false, -1);
+            if (c.len > longest) longest = c.len;
+        }
+        (void)pos;
+    }
+    // backward reconstruction (cells[n] is always reachable via literals)
+    static thread_local std::vector<std::pair<uint32_t, uint32_t>> steps;
+    steps.clear();
+    size_t i = n;
+    while (i > 0) {
+        const OCell& c = cells[i];
+        if (c.len == 0) { steps.push_back({0, 0}); i -= 1; }
+        else { steps.push_back({c.len, c.off}); i -= c.len; }
+    }
+    size_t lit_run = 0;
+    for (auto it = steps.rbegin(); it != steps.rend(); ++it) {
+        if (it->first == 0) { lit_run++; continue; }
+        Seq s;
+        s.ll = (uint32_t)lit_run;
+        s.ml = it->first;
+        s.ov = offset_value(it->second, s.ll, ctx.rep);
+        seqs.push_back(s);
+        lit_run = 0;
+    }
+    lit_tail = lit_run;
+}
+
 static bool encode_block_body(const uint8_t* block, size_t bsize,
                               const std::vector<Seq>& seqs, size_t lit_tail,
                               std::vector<uint8_t>& out) {
@@ -857,6 +1079,8 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
 
     std::vector<Seq> seqs;
     std::vector<uint8_t> body;
+    OptState opt_state;
+    if (level > 12) opt_state.init(n);
     for (size_t off = 0; off < n; off += BS) {
         size_t bsize = n - off < BS ? n - off : BS;
         int last = off + bsize >= n;
@@ -889,11 +1113,8 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
         body.clear();
         bool ok = encode_block_body(src + off, bsize, seqs, lit_tail, body);
         if (level > 12) {
-            // second strategy: fast greedy parse (fewer, cheaper choices
-            // often win on rep-chain-heavy data); keep the smaller body.
-            // NOTE: both strategies share the hash/chain tables — the second
-            // pass re-inserts positions, which only enriches the tables.
-            uint64_t rep_deep[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
+            uint64_t rep_greedy[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
+            // strategy 2: plain fast greedy (wins on rep-chain-heavy data)
             ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
             std::vector<Seq> seqs2;
             size_t lit_tail2 = 0;
@@ -901,12 +1122,31 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
                            max_offset, seqs2, lit_tail2, 0, lit_bits);
             std::vector<uint8_t> body2;
             bool ok2 = encode_block_body(src + off, bsize, seqs2, lit_tail2, body2);
-            if (ok2 && (!ok || body2.size() < body.size())) {
-                body.swap(body2);
-                ok = ok2;
-                // keep the fast strategy's rep evolution (already in ctx.rep)
+            bool fast_won = ok2 && (!ok || body2.size() < body.size());
+            uint64_t rep_fast[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
+            if (fast_won) { body.swap(body2); ok = ok2; }
+            // strategy 3: optimal parse (persistent cross-block BT) with
+            // prices from the best-so-far
+            OptPrices P;
+            build_opt_prices(src + off, bsize, fast_won ? seqs2 : seqs, P);
+            ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
+            std::vector<Seq> seqs3;
+            size_t lit_tail3 = 0;
+            find_sequences_opt(src, off, off + bsize, n, max_offset, opt_state,
+                               ctx, P, seqs3, lit_tail3);
+            std::vector<uint8_t> body3;
+            bool ok3 = encode_block_body(src + off, bsize, seqs3, lit_tail3, body3);
+            if (getenv("ZN_DEBUG"))
+                fprintf(stderr, "blk %zu: greedy=%zu fast=%zu opt=%zu\n",
+                        off / BS, body.size(), ok2 ? body2.size() : 0,
+                        ok3 ? body3.size() : 0);
+            if (ok3 && (!ok || body3.size() < body.size())) {
+                body.swap(body3);
+                ok = ok3;  // ctx.rep already holds the opt evolution
+            } else if (fast_won) {
+                ctx.rep[0] = rep_fast[0]; ctx.rep[1] = rep_fast[1]; ctx.rep[2] = rep_fast[2];
             } else {
-                ctx.rep[0] = rep_deep[0]; ctx.rep[1] = rep_deep[1]; ctx.rep[2] = rep_deep[2];
+                ctx.rep[0] = rep_greedy[0]; ctx.rep[1] = rep_greedy[1]; ctx.rep[2] = rep_greedy[2];
             }
         }
         if (ok && body.size() < bsize) {
