@@ -12,7 +12,7 @@ Role parity: the bit-level machinery inside the reference's vendored zstd
 
 from __future__ import annotations
 
-from ...errors import CompressError, DecompressError
+from ...errors import DecompressError
 
 
 class ForwardBitReader:

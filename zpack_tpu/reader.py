@@ -18,7 +18,6 @@ memory-backed readers are safe for concurrent reads; file-backed are not.
 
 from __future__ import annotations
 
-import io
 import os
 from typing import BinaryIO, Iterable
 
