@@ -447,3 +447,117 @@ size_t zn_lz4f_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// XXH3-64 streaming state (bit-compatible with XXH3_64bits_reset/update/
+// digest; mirrors zpack_tpu/codecs/xxh3.py XXH3State)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct ZnXxh3State {
+    uint64_t acc[8];
+    uint8_t buf[320];
+    size_t buflen;
+    uint8_t last64[64];
+    size_t last_len;
+    uint64_t total;
+    int stripe_in_block;
+    uint8_t small_buf[241];
+    int small_mode;  // 1 while total <= 240 (retain everything)
+};
+
+static void zn_xxh3_reset_state(ZnXxh3State* s) {
+    static const uint64_t init[8] = {P32_3, P64_1, P64_2, P64_3, P64_4, P32_2, P64_5, P32_1};
+    memcpy(s->acc, init, sizeof(init));
+    s->buflen = 0;
+    s->last_len = 0;
+    s->total = 0;
+    s->stripe_in_block = 0;
+    s->small_mode = 1;
+}
+
+void* zn_xxh3_new(void) {
+    ZnXxh3State* s = new ZnXxh3State();
+    zn_xxh3_reset_state(s);
+    return s;
+}
+
+void zn_xxh3_free(void* p) { delete (ZnXxh3State*)p; }
+
+static void zn_xxh3_consume(ZnXxh3State* s, const uint8_t* d, size_t n) {
+    // accumulate whole stripes, keeping >= 1 byte buffered
+    // (stripe k only processed once a byte beyond its end has been seen)
+    // rolling last-64
+    if (n >= 64) {
+        memcpy(s->last64, d + n - 64, 64);
+        s->last_len = 64;
+    } else {
+        size_t keep = 64 - n < s->last_len ? 64 - n : s->last_len;
+        memmove(s->last64, s->last64 + s->last_len - keep, keep);
+        memcpy(s->last64 + keep, d, n);
+        s->last_len = keep + n;
+    }
+    size_t pos = 0;
+    while (s->buflen + (n - pos) >= 65) {
+        // fill buffer to one stripe
+        size_t need = 64 - s->buflen;
+        if (n - pos < need + 1) {
+            // can't complete a stripe while leaving 1 byte: buffer the rest
+            break;
+        }
+        memcpy(s->buf + s->buflen, d + pos, need);
+        pos += need;
+        accum512(s->acc, s->buf, kSecret + 8 * s->stripe_in_block);
+        s->buflen = 0;
+        s->stripe_in_block++;
+        if (s->stripe_in_block == 16) {
+            for (int i = 0; i < 8; i++) {
+                uint64_t a = s->acc[i];
+                a ^= a >> 47;
+                a ^= rd64(kSecret + 192 - 64 + 8 * i);
+                s->acc[i] = a * P32_1;
+            }
+            s->stripe_in_block = 0;
+        }
+    }
+    memcpy(s->buf + s->buflen, d + pos, n - pos);
+    s->buflen += n - pos;
+}
+
+void zn_xxh3_update(void* p, const uint8_t* d, size_t n) {
+    ZnXxh3State* s = (ZnXxh3State*)p;
+    if (!n) return;
+    if (s->small_mode) {
+        if (s->total + n <= 240) {
+            memcpy(s->small_buf + s->total, d, n);
+            s->total += n;
+            return;
+        }
+        // spill: feed the retained prefix through the long path
+        s->small_mode = 0;
+        uint64_t retained = s->total;
+        s->total += n;
+        zn_xxh3_consume(s, s->small_buf, (size_t)retained);
+        zn_xxh3_consume(s, d, n);
+        return;
+    }
+    s->total += n;
+    zn_xxh3_consume(s, d, n);
+}
+
+uint64_t zn_xxh3_digest(void* p) {
+    ZnXxh3State* s = (ZnXxh3State*)p;
+    if (s->small_mode) return zn_xxh3_64(s->small_buf, (size_t)s->total);
+    uint64_t acc[8];
+    memcpy(acc, s->acc, sizeof(acc));
+    // no whole stripes remain (buflen <= 64); final overlapping stripe
+    accum512(acc, s->last64, kSecret + 192 - 64 - 7);
+    uint64_t result = s->total * P64_1;
+    for (int i = 0; i < 4; i++)
+        result += mul128_fold64(acc[2 * i] ^ rd64(kSecret + 11 + 16 * i),
+                                acc[2 * i + 1] ^ rd64(kSecret + 11 + 16 * i + 8));
+    return avalanche3(result);
+}
+
+}  // extern "C"

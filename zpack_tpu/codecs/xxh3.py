@@ -552,6 +552,18 @@ def xxh3_64(data: bytes, seed: int = 0) -> int:
     return _hash_long(data, derive_secret(seed))
 
 
+def make_xxh3_state(seed: int = 0):
+    """Streaming state factory: native backend for seed 0 (fast path),
+    numpy implementation otherwise/as fallback."""
+    if seed == 0:
+        from .. import native
+
+        st = native.xxh3_state()
+        if st is not None:
+            return st
+    return XXH3State(seed)
+
+
 class XXH3State:
     """Streaming XXH3-64 state, bit-compatible with XXH3_64bits_reset /
     _update / _digest (used by zpack_stream, reference: lib/zpack.h:183,

@@ -63,7 +63,11 @@ class _ZstdStreamDecompressor:
     """Block-incremental streaming decoder (parity: ZSTD_decompressStream
     at lib/zpack_read.c:572): consumes arbitrary chunks, emits output as
     each block completes; retained state = entropy tables + history window,
-    so memory stays bounded for arbitrarily long frames."""
+    so memory stays bounded for arbitrarily long frames.
+
+    Fast path: when a whole frame with a declared content size fits in the
+    buffer, it is scanned (block headers only) and decoded in one native
+    call; the python per-block path handles everything else."""
 
     def __init__(self):
         import struct as _struct
@@ -74,6 +78,37 @@ class _ZstdStreamDecompressor:
         self._dec: frame.FrameDecoder | None = None
         self._skip_left = 0
         self.finished = False
+
+    def _try_native_frame(self, out: bytearray) -> bool:
+        """At a frame magic: scan block headers; if the complete frame is
+        buffered and declares its content size, decode it natively."""
+        from ... import native
+
+        buf = self._buf
+        try:
+            hdr = frame.parse_frame_header(bytes(buf[4:22]), 0)
+        except Exception:
+            return False
+        if hdr.content_size is None:
+            return False
+        p = 4 + hdr.header_size
+        while True:
+            if len(buf) < p + 3:
+                return False  # frame not fully buffered yet
+            bh = buf[p] | (buf[p + 1] << 8) | (buf[p + 2] << 16)
+            p += 3 + (1 if ((bh >> 1) & 3) == frame.BLOCK_RLE else (bh >> 3))
+            if bh & 1:
+                break
+        if hdr.has_checksum:
+            p += 4
+        if len(buf) < p:
+            return False
+        decoded = native.zstd_decompress(bytes(buf[:p]), hdr.content_size)
+        if decoded is None or len(decoded) != hdr.content_size:
+            return False
+        out += decoded
+        del buf[:p]
+        return True
 
     def decompress(self, chunk: bytes, is_final: bool = False) -> tuple[bytes, int]:
         from ...errors import DecompressError
@@ -97,6 +132,10 @@ class _ZstdStreamDecompressor:
                     continue
                 if magic != frame.MAGIC:
                     raise DecompressError(f"bad zstd magic {magic:#x}")
+                if self._try_native_frame(out):
+                    continue  # whole frame decoded natively
+                if not is_final and len(buf) < (12 << 20):
+                    break  # wait for more of the frame before falling back
                 del buf[:4]
                 self._state = "header"
                 continue

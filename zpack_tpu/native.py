@@ -92,6 +92,14 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_size_t,
         ]
+        lib.zn_xxh3_new.restype = ctypes.c_void_p
+        lib.zn_xxh3_new.argtypes = []
+        lib.zn_xxh3_free.restype = None
+        lib.zn_xxh3_free.argtypes = [ctypes.c_void_p]
+        lib.zn_xxh3_update.restype = None
+        lib.zn_xxh3_update.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+        lib.zn_xxh3_digest.restype = ctypes.c_uint64
+        lib.zn_xxh3_digest.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -180,3 +188,34 @@ def zstd_decompress(data: bytes, max_out: int) -> bytes | None:
     if n == _FAIL:
         return None
     return arr[:n].tobytes()
+
+
+class NativeXXH3State:
+    """Streaming XXH3-64 over the native backend (seed 0)."""
+
+    def __init__(self):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native backend unavailable")
+        self._lib = lib
+        self._ptr = lib.zn_xxh3_new()
+
+    def update(self, data: bytes):
+        self._lib.zn_xxh3_update(self._ptr, bytes(data), len(data))
+        return self
+
+    def digest(self) -> int:
+        return int(self._lib.zn_xxh3_digest(self._ptr))
+
+    def __del__(self):
+        try:
+            self._lib.zn_xxh3_free(self._ptr)
+        except Exception:
+            pass
+
+
+def xxh3_state():
+    """Native streaming state or None when unavailable."""
+    if get_lib() is None:
+        return None
+    return NativeXXH3State()

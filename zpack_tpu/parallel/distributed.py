@@ -40,6 +40,37 @@ def shard_ranges(n_blocks: int, num_processes: int) -> list[tuple[int, int]]:
             for h in range(num_processes)]
 
 
+def compress_multihost_zstd(data: bytes, level: int = 19,
+                            chunk_size: int = 8 << 20) -> bytes | None:
+    """BASELINE config-5 shape: zstd blocks sharded data-parallel across
+    hosts.  Each host compresses its contiguous chunk range into separate
+    zstd frames (native backend, GIL-free threads over local cores), the
+    ragged frames allgather, and every host assembles the identical
+    concatenated multi-frame stream in chunk order."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from .. import native
+
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    data = bytes(data)
+    n_chunks = max(1, -(-len(data) // chunk_size))
+    lo, hi = shard_ranges(n_chunks, nproc)[pid]
+    local = b"".join(
+        native.zstd_compress(data[i * chunk_size : (i + 1) * chunk_size], level) or b""
+        for i in range(lo, hi)
+    )
+    lens = np.asarray(
+        multihost_utils.process_allgather(np.array([len(local)], np.int64))
+    ).reshape(-1)
+    maxlen = int(lens.max()) if len(lens) else 0
+    padded = np.zeros(max(maxlen, 1), dtype=np.uint8)
+    padded[: len(local)] = np.frombuffer(local, dtype=np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(padded)).reshape(nproc, -1)
+    return b"".join(gathered[h][: lens[h]].tobytes() for h in range(nproc))
+
+
 def compress_multihost(data: bytes, level: int = 1, block_size: int = 64 << 10) -> bytes | None:
     """Compress ``data`` with each host handling its contiguous block range
     on its local devices, then gather the ragged compressed blocks to every

@@ -18,7 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .codecs import get_codec
-from .codecs.xxh3 import XXH3State
+from .codecs.xxh3 import XXH3State, make_xxh3_state
 from .errors import HashMismatchError, Result, StreamStateError, ZPackError
 
 
@@ -33,13 +33,17 @@ class ZPackStream:
     avail_out: int = 0
     total_out: int = 0
     read_back: int = 0
-    xxh3: XXH3State = field(default_factory=XXH3State)
+    xxh3: object = field(default_factory=make_xxh3_state)
 
     # internal decode state (reference keeps the codec ctx on the reader;
     # we keep per-stream state so concurrent streams never collide)
     _decomp: object | None = None
     _stash: bytearray = field(default_factory=bytearray)
+    _stash_pos: int = 0
     _entry: object | None = None
+
+    def _stash_left(self) -> int:
+        return len(self._stash) - self._stash_pos
 
     def reset(self) -> None:
         """parity: zpack_reset_stream (lib/zpack_stream.c:14-22)."""
@@ -50,9 +54,10 @@ class ZPackStream:
         self.avail_out = 0
         self.total_out = 0
         self.read_back = 0
-        self.xxh3 = XXH3State()
+        self.xxh3 = make_xxh3_state()
         self._decomp = None
         self._stash = bytearray()
+        self._stash_pos = 0
         self._entry = None
 
 
@@ -81,7 +86,7 @@ def read_file_stream(reader, entry, stream: ZPackStream, verify: bool = True) ->
         raise StreamStateError("no output space provided")
 
     # pull raw bytes only when no decoded output is pending
-    if not stream._stash and stream.total_in < entry.comp_size:
+    if not stream._stash_left() and stream.total_in < entry.comp_size:
         take = min(stream.avail_in or (1 << 20), entry.comp_size - stream.total_in)
         raw = reader._source.read_at(entry.offset + stream.total_in, take)
         if len(raw) < take:
@@ -92,14 +97,16 @@ def read_file_stream(reader, entry, stream: ZPackStream, verify: bool = True) ->
         stream.read_back = 0
         if out:
             stream.xxh3.update(out)
-            stream._stash += out
+            stream._stash = bytearray(out)
+            stream._stash_pos = 0
 
-    emit = min(stream.avail_out, len(stream._stash))
-    stream.next_out = bytearray(stream._stash[:emit])
-    del stream._stash[:emit]
+    emit = min(stream.avail_out, stream._stash_left())
+    p = stream._stash_pos
+    stream.next_out = bytearray(stream._stash[p : p + emit])
+    stream._stash_pos = p + emit
     stream.total_out += emit
 
-    done = stream.total_in >= entry.comp_size and not stream._stash
+    done = stream.total_in >= entry.comp_size and not stream._stash_left()
     if done:
         if stream.total_out != entry.uncomp_size:
             raise ZPackError(
@@ -140,7 +147,7 @@ def read_stream_done(stream: ZPackStream, entry) -> bool:
     return (
         stream.total_in >= entry.comp_size
         and stream.read_back == 0
-        and not stream._stash
+        and not stream._stash_left()
     )
 
 

@@ -20,7 +20,7 @@ from typing import BinaryIO
 
 from . import constants as C
 from .codecs import get_codec
-from .codecs.xxh3 import XXH3State, xxh3_64
+from .codecs.xxh3 import make_xxh3_state, xxh3_64
 from .errors import Result, ZPackError
 from .format import records
 
@@ -210,7 +210,7 @@ class Writer:
             "filename": filename,
             "options": options,
             "compressor": codec.compressor(options.resolved_level()),
-            "hash": XXH3State(),
+            "hash": make_xxh3_state(),
             "offset": self.write_offset,
             "total_in": 0,
             "total_out": 0,
