@@ -78,6 +78,7 @@ class Reader:
         self.cdr_offset = 0
         self.eocdr_offset = 0
         self.last_return: int | None = None
+        self._name_index: dict | None = None
         self._read_archive()
 
     # -- constructors -------------------------------------------------------
@@ -139,12 +140,17 @@ class Reader:
         return len(self.file_entries)
 
     def get_file_entry(self, filename: str) -> records.FileEntry:
-        """Linear filename lookup (parity: zpack_get_file_entry,
-        lib/zpack_read.c:760-769)."""
-        for e in self.file_entries:
-            if e.filename == filename:
-                return e
-        raise FileNotFoundInArchiveError(filename)
+        """Filename lookup (parity: zpack_get_file_entry,
+        lib/zpack_read.c:760-769 — the reference scans linearly; we build a
+        lazy index so 10k-entry archives stay O(1) per lookup)."""
+        if self._name_index is None:
+            self._name_index = {}
+            for e in self.file_entries:
+                self._name_index.setdefault(e.filename, e)
+        e = self._name_index.get(filename)
+        if e is None:
+            raise FileNotFoundInArchiveError(filename)
+        return e
 
     def __iter__(self) -> Iterable[records.FileEntry]:
         return iter(self.file_entries)
