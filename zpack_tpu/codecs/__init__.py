@@ -54,11 +54,16 @@ def register(method: CompressionMethod):
 def _disabled(method: int) -> bool:
     """Runtime analog of the reference's build-time codec gates
     (ZPACK_DISABLE_{ZSTD,LZ4}, reference: CMakeLists.txt:10-21 →
-    ZPACK_ERROR_NOT_AVAILABLE paths e.g. lib/zpack_read.c:371,397)."""
+    ZPACK_ERROR_NOT_AVAILABLE paths e.g. lib/zpack_read.c:371,397).
+    Checked per call so tests/users can toggle at runtime; the dict lookup
+    is the only overhead on the hot path."""
     import os
 
-    name = {1: "ZSTD", 2: "LZ4"}.get(int(method))
-    return name is not None and bool(os.environ.get(f"ZPACK_TPU_DISABLE_{name}"))
+    name = _GATE_NAMES.get(int(method))
+    return name is not None and name in os.environ
+
+
+_GATE_NAMES = {1: "ZPACK_TPU_DISABLE_ZSTD", 2: "ZPACK_TPU_DISABLE_LZ4"}
 
 
 def get_codec(method: int) -> Codec:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from ... import native
 from ...errors import DecompressError
 from .. import match as M
 
@@ -46,8 +47,6 @@ def compress_block(data: bytes, level: int = 1) -> bytes:
     higher levels (and any environment without the toolchain) use the
     numpy parallel-first matcher below."""
     data = bytes(data)
-    from ... import native
-
     comp = native.lz4_compress_block(data, level)
     if comp is not None:
         return comp
@@ -108,8 +107,6 @@ def decompress_block(data: bytes, max_out: int | None = None,
     bound is known.
     """
     if max_out is not None:
-        from ... import native
-
         out = native.lz4_decompress_block(bytes(data), max_out, bytes(prefix))
         if out is not None:
             return out

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import struct
 
+from ... import native
 from ...errors import CompressError, DecompressError
 from ..xxh3 import XXH32State, xxh32
 from . import block as lz4block
@@ -60,8 +61,6 @@ def compress_frame(data: bytes, level: int = 1, *,
     data = bytes(data)
     if (level <= 2 and block_size == DEFAULT_BLOCK_SIZE and block_indep
             and not content_checksum and not store_content_size):
-        from ... import native
-
         comp = native.lz4f_compress(data, level)
         if comp is not None:
             return comp
@@ -252,8 +251,6 @@ class FrameDecompressor:
 
 def decompress_frame(data: bytes, max_out: int | None = None) -> bytes:
     if max_out is not None:
-        from ... import native
-
         out = native.lz4f_decompress(bytes(data), max_out)
         if out is not None:
             return out

@@ -537,7 +537,7 @@ def xxh3_64(data: bytes, seed: int = 0) -> int:
     """
     data = bytes(data)
     if seed == 0:
-        from .. import native
+        from .. import native  # deferred: avoids a cycle at package import
 
         h = native.xxh3_64(data)
         if h is not None:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from ... import native
 from ...constants import CompressionMethod
 from .. import Codec, register
 from . import frame
@@ -16,8 +17,6 @@ class ZstdCodec(Codec):
     method = CompressionMethod.ZSTD
 
     def compress(self, data: bytes, level: int = 3) -> bytes:
-        from ... import native
-
         if len(data) > (16 << 20):
             from ...parallel import host
 
@@ -33,8 +32,6 @@ class ZstdCodec(Codec):
 
     def decompress(self, data: bytes, uncomp_size: int | None = None) -> bytes:
         if uncomp_size is not None:
-            from ... import native
-
             if uncomp_size > (16 << 20):
                 from ...parallel import host
 
