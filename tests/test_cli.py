@@ -121,3 +121,37 @@ def test_unsafe_extraction_path_kept(tree):
     dest = tree / "uout"
     assert main(["x", "--unsafe", str(arc), "-o", str(dest)]) == 0
     assert (dest / "a.txt").exists()
+
+
+def test_mutation_crash_safety(tree, monkeypatch):
+    """a/d/m write to a temp file and only replace on success
+    (parity: utils_get_tmp_path + utils_move, programs/utils.c:477-500,
+    143-158): a failure mid-rewrite must leave the original intact."""
+    arc = tree / "safe.zpk"
+    assert main(["c", str(arc), str(tree / "src" / "a.txt")]) == 0
+    original = arc.read_bytes()
+
+    from zpack_tpu.errors import Result, ZPackError
+
+    def boom(self, entries=None):
+        raise ZPackError(Result.ERROR_WRITE_FAILED, "boom")
+
+    monkeypatch.setattr("zpack_tpu.writer.Writer.write_cdr", boom)
+    assert main(["d", str(arc), "a.txt"]) == 1
+    assert arc.read_bytes() == original  # untouched
+    leftovers = [p for p in arc.parent.iterdir() if ".tmp" in p.name]
+    assert not leftovers  # temp file cleaned up
+
+
+def test_parallel_extract_many_files(tmp_path):
+    """>16 entries extract via the thread pool on memory-backed readers."""
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(30):
+        (src / f"f{i:02d}.txt").write_bytes(b"content %d " % i * 50)
+    arc = tmp_path / "many.zpk"
+    assert main(["c", str(arc), str(src)]) == 0
+    dest = tmp_path / "out"
+    assert main(["x", str(arc), "-o", str(dest)]) == 0
+    for i in range(30):
+        assert (dest / "many" / f"f{i:02d}.txt").read_bytes() == b"content %d " % i * 50

@@ -227,14 +227,21 @@ def _extract(opts: Options, full_path: bool) -> int:
     only = set(opts.path_list[1:])
     print(f"-- Reading archive: {archive_path}")
     try:
-        reader = Reader.open(archive_path)
-    except ZPackError as e:
-        print(f'Error: Failed to open "{archive_path}" for reading (code {e.code})')
+        # memory-backed when the archive fits: thread-safe parallel decode
+        if os.path.getsize(archive_path) <= (512 << 20):
+            with open(archive_path, "rb") as f:
+                reader = Reader.from_memory(f.read(), shared=True)
+        else:
+            reader = Reader.open(archive_path)
+    except (ZPackError, OSError) as e:
+        code = getattr(e, "code", "io")
+        print(f'Error: Failed to open "{archive_path}" for reading (code {code})')
         return 1
     out_dir = opts.output or "."
     errors = 0
     extracted = 0
     print("-- Extracting files...")
+    jobs = []
     for entry in reader.file_entries:
         if only and entry.filename not in only:
             continue
@@ -247,17 +254,41 @@ def _extract(opts: Options, full_path: bool) -> int:
             name = P.process_path(name)
         if not name:
             continue
-        dest = os.path.join(out_dir, name)
-        print(f"  {entry.filename}")
-        try:
-            P.mkdir_p(os.path.dirname(dest))
-            with open(dest, "wb") as f:
-                for chunk in read_file_stream_iter(reader, entry):
-                    f.write(chunk)
-            extracted += 1
-        except (ZPackError, OSError) as e:
-            print(f"Error: Failed to extract {entry.filename}: {e}")
-            errors += 1
+        jobs.append((entry, os.path.join(out_dir, name)))
+
+    def extract_one(entry, dest):
+        P.mkdir_p(os.path.dirname(dest))
+        with open(dest, "wb") as f:
+            for chunk in read_file_stream_iter(reader, entry):
+                f.write(chunk)
+
+    # memory-backed readers are thread-safe (lib/zpack.h:337-340 contract);
+    # the native codecs release the GIL, so many small entries extract in
+    # parallel across cores.  File-backed readers stay sequential.
+    parallel = len(jobs) > 16 and reader.buffer_shared is not None and         not isinstance(reader._source, type(None))
+    use_threads = len(jobs) > 16 and hasattr(reader._source, "buf")
+    if use_threads:
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            futs = {ex.submit(extract_one, e, d): e for e, d in jobs}
+            for fut, entry in futs.items():
+                print(f"  {entry.filename}")
+                try:
+                    fut.result()
+                    extracted += 1
+                except (ZPackError, OSError) as e:
+                    print(f"Error: Failed to extract {entry.filename}: {e}")
+                    errors += 1
+    else:
+        for entry, dest in jobs:
+            print(f"  {entry.filename}")
+            try:
+                extract_one(entry, dest)
+                extracted += 1
+            except (ZPackError, OSError) as e:
+                print(f"Error: Failed to extract {entry.filename}: {e}")
+                errors += 1
     reader.close()
     print(f"-- Done. {extracted} files extracted, {errors} errors.")
     return 1 if errors else 0
