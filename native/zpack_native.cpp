@@ -11,6 +11,38 @@
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdlib>
+#include <atomic>
+#include <memory>
+#include <thread>
+#include <vector>
+
+// Worker-thread count for the parallel frame codec (blocks are independent).
+// ZPACK_NATIVE_THREADS overrides; default = hardware concurrency, capped.
+static unsigned zn_nthreads() {
+    static unsigned n = [] {
+        const char* e = getenv("ZPACK_NATIVE_THREADS");
+        unsigned hw = std::thread::hardware_concurrency();
+        long v = e ? atol(e) : (hw ? hw : 1);
+        if (v < 1) v = 1;
+        if (v > 16) v = 16;
+        return (unsigned)v;
+    }();
+    return n;
+}
+
+// Run fn(i) for i in [0, n) across `nt` threads (including the caller).
+template <typename F>
+static void zn_parallel_for(size_t n, unsigned nt, F fn) {
+    std::atomic<size_t> next{0};
+    auto worker = [&] {
+        for (size_t i = next.fetch_add(1); i < n; i = next.fetch_add(1)) fn(i);
+    };
+    std::vector<std::thread> ts;
+    for (unsigned t = 1; t < nt && t < n; t++) ts.emplace_back(worker);
+    worker();
+    for (auto& t : ts) t.join();
+}
 
 extern "C" {
 
@@ -177,18 +209,88 @@ static inline uint8_t* write_lsic(uint8_t* op, size_t v) {
     return op;
 }
 
+// Emit one sequence (literals + match). Returns NULL on output overflow.
+static inline uint8_t* lz4_emit(uint8_t* op, uint8_t* oend, const uint8_t* src,
+                                size_t lit_start, size_t ll, size_t off, size_t ml) {
+    size_t need = 1 + ll / 255 + 1 + ll + 2 + ml / 255 + 1;
+    if (op + need > oend) return NULL;
+    size_t mlc = ml - LZ4_MINMATCH;
+    *op++ = (uint8_t)(((ll < 15 ? ll : 15) << 4) | (mlc < 15 ? mlc : 15));
+    if (ll >= 15) op = write_lsic(op, ll - 15);
+    memcpy(op, src + lit_start, ll); op += ll;
+    *op++ = (uint8_t)off; *op++ = (uint8_t)(off >> 8);
+    if (mlc >= 15) op = write_lsic(op, mlc - 15);
+    return op;
+}
+
+#define HASH_LOG_FAST 13
+static inline uint32_t lz4_hash_fast(uint32_t v) { return (v * 2654435761U) >> (32 - HASH_LOG_FAST); }
+
+// Fast greedy path for blocks whose positions fit in 16 bits (the 64 KiB
+// frame block size): L1-resident u16 hash table storing pos+1 (0 = empty).
+static size_t lz4_compress_fast64k(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
+    uint8_t* op = dst;
+    uint8_t* oend = dst + cap;
+    static thread_local uint16_t table[1 << HASH_LOG_FAST];
+    memset(table, 0, sizeof(table));
+    size_t lit_start = 0;
+    size_t pos = 1;
+    size_t mflimit = n - LZ4_MFLIMIT;
+    size_t limit = n - LZ4_LASTLITS;
+    table[lz4_hash_fast(rd32(src))] = 1;
+    size_t attempts = 1u << 6;  // lz4 skip-trigger acceleration
+    while (pos < mflimit) {
+        uint32_t v = rd32(src + pos);
+        uint32_t h = lz4_hash_fast(v);
+        uint32_t cand1 = table[h];
+        table[h] = (uint16_t)(pos + 1);
+        if (cand1 && rd32(src + cand1 - 1) == v) {
+            size_t cand = cand1 - 1;
+            size_t ml = LZ4_MINMATCH;
+            size_t maxml = limit - pos;
+            while (ml + 8 <= maxml && rd64(src + cand + ml) == rd64(src + pos + ml)) ml += 8;
+            while (ml < maxml && src[cand + ml] == src[pos + ml]) ml++;
+            // extend backwards into pending literals
+            while (pos > lit_start && cand > 0 && src[pos - 1] == src[cand - 1]) {
+                pos--; cand--; ml++;
+            }
+            op = lz4_emit(op, oend, src, lit_start, pos - lit_start, pos - cand, ml);
+            if (!op) return (size_t)-1;
+            pos += ml;
+            lit_start = pos;
+            if (pos < mflimit) {
+                table[lz4_hash_fast(rd32(src + pos - 2))] = (uint16_t)(pos - 1);
+            }
+            attempts = 1u << 6;
+            continue;
+        }
+        pos += attempts++ >> 6;  // step grows every 64 failed probes
+    }
+    // final literals
+    size_t ll = n - lit_start;
+    size_t need = 1 + ll / 255 + 1 + ll;
+    if (op + need > oend) return (size_t)-1;
+    *op++ = (uint8_t)((ll < 15 ? ll : 15) << 4);
+    if (ll >= 15) op = write_lsic(op, ll - 15);
+    memcpy(op, src + lit_start, ll);
+    op += ll;
+    return (size_t)(op - dst);
+}
+
 // Greedy hash-table encoder; level>=3 walks a hash chain (HC-style).
 size_t zn_lz4_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level) {
     uint8_t* op = dst;
     uint8_t* oend = dst + cap;
     if (n == 0) return 0;
+    if (level <= 2 && n >= LZ4_MFLIMIT + 1 && n <= (1u << 16))
+        return lz4_compress_fast64k(src, n, dst, cap);
     size_t lit_start = 0;
     if (n >= LZ4_MFLIMIT + 1) {
         static thread_local int32_t table[1 << HASH_LOG];
         static thread_local int32_t chain[1 << 16];
         int depth = level <= 2 ? 1 : level <= 6 ? 1 << (level - 1) : level <= 9 ? 64 : 256;
-        for (size_t i = 0; i < (1u << HASH_LOG); i++) table[i] = -1;
-        if (depth > 1) for (size_t i = 0; i < (1u << 16); i++) chain[i] = -1;
+        memset(table, 0xFF, sizeof(table));   // -1 sentinel in every slot
+        if (depth > 1) memset(chain, 0xFF, sizeof(chain));
         size_t pos = 1;
         size_t mflimit = n - LZ4_MFLIMIT;
         size_t limit = n - LZ4_LASTLITS;
@@ -219,31 +321,24 @@ size_t zn_lz4_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, i
             if (best_ml >= LZ4_MINMATCH) {
                 size_t ml = best_ml;
                 size_t cand2 = best_cand;
-                {
-                    size_t ll = pos - lit_start;
-                    size_t need = 1 + ll / 255 + 1 + ll + 2 + ml / 255 + 1;
-                    if (op + need > oend) return (size_t)-1;
-                    size_t mlc = ml - LZ4_MINMATCH;
-                    uint8_t tok = (uint8_t)(((ll < 15 ? ll : 15) << 4) | (mlc < 15 ? mlc : 15));
-                    *op++ = tok;
-                    if (ll >= 15) op = write_lsic(op, ll - 15);
-                    memcpy(op, src + lit_start, ll); op += ll;
-                    size_t off = pos - cand2;
-                    *op++ = (uint8_t)off; *op++ = (uint8_t)(off >> 8);
-                    if (mlc >= 15) op = write_lsic(op, mlc - 15);
-                    // insert positions inside the match for future matches
-                    size_t end_pos = pos + ml;
-                    size_t step_in = depth > 1 ? 1 : 3;
-                    for (size_t q = pos + 1; q < end_pos && q < mflimit; q += step_in) {
-                        uint32_t hq = lz4_hash(rd32(src + q));
-                        if (depth > 1) chain[q & 0xFFFF] = table[hq];
-                        table[hq] = (int32_t)q;
-                    }
-                    pos = end_pos;
-                    lit_start = pos;
-                    attempts = 1u << 6;
-                    continue;
+                // extend backwards into pending literals
+                while (pos > lit_start && cand2 > 0 && src[pos - 1] == src[cand2 - 1]) {
+                    pos--; cand2--; ml++;
                 }
+                op = lz4_emit(op, oend, src, lit_start, pos - lit_start, pos - cand2, ml);
+                if (!op) return (size_t)-1;
+                // insert positions inside the match for future matches
+                size_t end_pos = pos + ml;
+                size_t step_in = depth > 1 ? 1 : 3;
+                for (size_t q = pos + 1; q < end_pos && q < mflimit; q += step_in) {
+                    uint32_t hq = lz4_hash(rd32(src + q));
+                    if (depth > 1) chain[q & 0xFFFF] = table[hq];
+                    table[hq] = (int32_t)q;
+                }
+                pos = end_pos;
+                lit_start = pos;
+                attempts = 1u << 6;
+                continue;
             }
             pos += attempts++ >> 6;  // step grows every 64 failed probes
         }
@@ -264,13 +359,82 @@ size_t zn_lz4_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, i
 size_t zn_lz4_decompress(const uint8_t* src, size_t n,
                          uint8_t* dst, size_t cap,
                          const uint8_t* prefix, size_t prefix_len) {
+    // pattern-expansion tables for overlapping (offset < 8) match copies
+    static const unsigned inc32tab[8] = {0, 1, 2, 1, 0, 4, 4, 4};
+    static const int dec64tab[8] = {0, 0, 0, -1, -4, 1, 2, 3};
     const uint8_t* ip = src;
     const uint8_t* iend = src + n;
     uint8_t* op = dst;
     uint8_t* oend = dst + cap;
+    // fast-loop bounds: enough slack that 16/32-byte wildcopies cannot
+    // scribble past either buffer end
+    const uint8_t* ifast = n >= 32 ? iend - 32 : src;
+    uint8_t* ofast = cap >= 64 ? oend - 64 : dst;
     while (ip < iend) {
         uint8_t tok = *ip++;
         size_t ll = tok >> 4;
+        if (ip < ifast && op < ofast) {
+            // --- fast path: wildcopies, minimal per-sequence branching ---
+            if (ll < 15) {
+                memcpy(op, ip, 16);  // ll <= 14; 32B input slack, 64B output slack
+                op += ll; ip += ll;
+            } else {
+                uint8_t c;
+                do { if (ip >= iend) return (size_t)-1; c = *ip++; ll += c; } while (c == 255);
+                if ((size_t)(iend - ip) < ll || (size_t)(oend - op) < ll) return (size_t)-1;
+                memcpy(op, ip, ll); op += ll; ip += ll;
+            }
+            if (ip >= iend) break;  // last sequence: literals only
+            if (iend - ip < 2) return (size_t)-1;
+            size_t off = ip[0] | ((size_t)ip[1] << 8);
+            ip += 2;
+            if (off == 0) return (size_t)-1;
+            size_t ml = (tok & 0xF) + LZ4_MINMATCH;
+            if ((tok & 0xF) == 15) {
+                uint8_t c;
+                do { if (ip >= iend) return (size_t)-1; c = *ip++; ml += c; } while (c == 255);
+            }
+            size_t produced = (size_t)(op - dst);
+            if (off <= produced && op + ml <= ofast) {
+                const uint8_t* mp = op - off;
+                uint8_t* cpend = op + ml;
+                if (off >= 16) {
+                    do { memcpy(op, mp, 16); op += 16; mp += 16; } while (op < cpend);
+                } else if (off >= 8) {
+                    memcpy(op, mp, 8); memcpy(op + 8, mp + 8, 8);
+                    op += 16; mp += 16;
+                    while (op < cpend) { memcpy(op, mp, 8); op += 8; mp += 8; }
+                } else {
+                    op[0] = mp[0]; op[1] = mp[1]; op[2] = mp[2]; op[3] = mp[3];
+                    mp += inc32tab[off];
+                    memcpy(op + 4, mp, 4);
+                    mp -= dec64tab[off];
+                    op += 8;
+                    while (op < cpend) { memcpy(op, mp, 8); op += 8; mp += 8; }
+                }
+                op = cpend;
+                continue;
+            }
+            // rare: prefix-crossing match or near output end — safe copy below
+            if ((size_t)(oend - op) < ml) return (size_t)-1;
+            if (off > produced + prefix_len) return (size_t)-1;
+            if (off <= produced) {
+                const uint8_t* mp = op - off;
+                for (size_t i = 0; i < ml; i++) op[i] = mp[i];
+                op += ml;
+            } else {
+                size_t from_prefix = off - produced;
+                const uint8_t* pp = prefix + prefix_len - from_prefix;
+                size_t take = from_prefix < ml ? from_prefix : ml;
+                memcpy(op, pp, take); op += take;
+                size_t rest = ml - take;
+                const uint8_t* mp = op - off;
+                for (size_t i = 0; i < rest; i++) op[i] = mp[i];
+                op += rest;
+            }
+            continue;
+        }
+        // --- safe path (near either buffer end): exact bounds checks ---
         if (ll == 15) {
             uint8_t c;
             do { if (ip >= iend) return (size_t)-1; c = *ip++; ll += c; } while (c == 255);
@@ -292,15 +456,8 @@ size_t zn_lz4_decompress(const uint8_t* src, size_t n,
         if (off > produced + prefix_len) return (size_t)-1;
         if (off <= produced) {
             const uint8_t* mp = op - off;
-            if (off >= 8 && (size_t)(oend - op) >= ml + 8) {
-                // 8-byte chunk copy may scribble ≤7 bytes past ml (overwritten
-                // later); bounds-checked above
-                for (size_t i = 0; i < ml; i += 8) memcpy(op + i, mp + i, 8);
-                op += ml;
-            } else {
-                for (size_t i = 0; i < ml; i++) op[i] = mp[i];
-                op += ml;
-            }
+            for (size_t i = 0; i < ml; i++) op[i] = mp[i];
+            op += ml;
         } else {
             // match starts in the prefix (linked blocks)
             size_t from_prefix = off - produced;
@@ -363,19 +520,48 @@ size_t zn_lz4f_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
     op[4] = 0x60; op[5] = 0x40;
     op[6] = (uint8_t)(zn_xxh32(op + 4, 2, 0) >> 8);
     op += 7;
-    for (size_t off = 0; off < n; off += BS) {
-        size_t chunk = n - off < BS ? n - off : BS;
-        if ((size_t)(oend - op) < 4 + chunk + 16) return (size_t)-1;
-        size_t csz = zn_lz4_compress(src + off, chunk, op + 4, chunk ? chunk - 1 : 0, level);
-        if (csz != (size_t)-1 && csz < chunk) {
-            op[0] = (uint8_t)csz; op[1] = (uint8_t)(csz >> 8);
-            op[2] = (uint8_t)(csz >> 16); op[3] = (uint8_t)(csz >> 24);
-            op += 4 + csz;
-        } else {
-            uint32_t hdr = (uint32_t)chunk | 0x80000000u;
+    size_t nb = (n + BS - 1) / BS;
+    unsigned nt = zn_nthreads();
+    if (nt >= 2 && nb >= 4) {
+        // Parallel: blocks are independent — compress each into a scratch
+        // slot across threads, then pack serially (memcpy-bound).
+        size_t stride = BS;  // cap chunk-1 < BS guarantees fit
+        std::unique_ptr<uint8_t[]> scratch(new uint8_t[nb * stride]);
+        std::vector<uint32_t> sizes(nb);  // high bit = stored raw
+        zn_parallel_for(nb, nt, [&](size_t i) {
+            size_t off = i * BS;
+            size_t chunk = n - off < BS ? n - off : BS;
+            size_t csz = zn_lz4_compress(src + off, chunk, scratch.get() + i * stride,
+                                         chunk ? chunk - 1 : 0, level);
+            sizes[i] = (csz != (size_t)-1 && csz < chunk)
+                           ? (uint32_t)csz
+                           : ((uint32_t)chunk | 0x80000000u);
+        });
+        for (size_t i = 0; i < nb; i++) {
+            uint32_t hdr = sizes[i];
+            size_t payload = hdr & 0x7FFFFFFFu;
+            if ((size_t)(oend - op) < 4 + payload + 4) return (size_t)-1;
             memcpy(op, &hdr, 4);
-            memcpy(op + 4, src + off, chunk);
-            op += 4 + chunk;
+            const uint8_t* from =
+                (hdr & 0x80000000u) ? src + i * BS : scratch.get() + i * stride;
+            memcpy(op + 4, from, payload);
+            op += 4 + payload;
+        }
+    } else {
+        for (size_t off = 0; off < n; off += BS) {
+            size_t chunk = n - off < BS ? n - off : BS;
+            if ((size_t)(oend - op) < 4 + chunk + 16) return (size_t)-1;
+            size_t csz = zn_lz4_compress(src + off, chunk, op + 4, chunk ? chunk - 1 : 0, level);
+            if (csz != (size_t)-1 && csz < chunk) {
+                op[0] = (uint8_t)csz; op[1] = (uint8_t)(csz >> 8);
+                op[2] = (uint8_t)(csz >> 16); op[3] = (uint8_t)(csz >> 24);
+                op += 4 + csz;
+            } else {
+                uint32_t hdr = (uint32_t)chunk | 0x80000000u;
+                memcpy(op, &hdr, 4);
+                memcpy(op + 4, src + off, chunk);
+                op += 4 + chunk;
+            }
         }
     }
     if ((size_t)(oend - op) < 4) return (size_t)-1;
@@ -417,26 +603,76 @@ size_t zn_lz4f_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap
         if (!bmax) return (size_t)-1;
         ip += desc_len + 1;
         size_t frame_start = op;
+        // Scan the block table up front (sizes are in the headers) so that
+        // independent-block frames can decode blocks in parallel.
+        struct Blk { size_t off; uint32_t sz; bool raw; };
+        std::vector<Blk> blks;
+        size_t scan = ip;
         while (true) {
-            if (n - ip < 4) return (size_t)-1;
-            uint32_t bsz = rd32(src + ip);
-            ip += 4;
+            if (n - scan < 4) return (size_t)-1;
+            uint32_t bsz = rd32(src + scan);
+            scan += 4;
             if (bsz == 0) break;  // EndMark
             bool uncompressed = bsz & 0x80000000u;
             bsz &= 0x7FFFFFFFu;
-            if (bsz > bmax || n - ip < bsz + (b_chk ? 4u : 0u)) return (size_t)-1;
-            if (b_chk && zn_xxh32(src + ip, bsz, 0) != rd32(src + ip + bsz)) return (size_t)-1;
-            if (uncompressed) {
-                if (cap - op < bsz) return (size_t)-1;
-                memcpy(dst + op, src + ip, bsz);
-                op += bsz;
-            } else {
-                size_t produced = zn_lz4_decompress(src + ip, bsz, dst + op, cap - op, dst, op);
-                if (produced == (size_t)-1) return (size_t)-1;
-                op += produced;
-            }
-            ip += bsz + (b_chk ? 4 : 0);
+            if (bsz > bmax || n - scan < bsz + (b_chk ? 4u : 0u)) return (size_t)-1;
+            blks.push_back({scan, bsz, uncompressed});
+            scan += bsz + (b_chk ? 4 : 0);
         }
+        unsigned nt = zn_nthreads();
+        bool done_parallel = false;
+        if (b_indep && nt >= 2 && blks.size() >= 4) {
+            // Optimistic parallel decode at assumed offsets i*bmax: every
+            // non-final block of a full frame produces exactly bmax bytes.
+            // Any deviation → redo the frame sequentially (authoritative).
+            size_t nb = blks.size();
+            std::vector<size_t> produced(nb);
+            std::atomic<bool> bad{false};
+            zn_parallel_for(nb, nt, [&](size_t i) {
+                const Blk& b = blks[i];
+                size_t doff = op + i * bmax;
+                if (doff > cap) { bad.store(true); return; }
+                if (b_chk && zn_xxh32(src + b.off, b.sz, 0) != rd32(src + b.off + b.sz)) {
+                    bad.store(true); return;
+                }
+                // non-final blocks may not write past their bmax-sized slot
+                size_t bcap = cap - doff;
+                if (i + 1 < nb && bmax < bcap) bcap = bmax;
+                size_t out;
+                if (b.raw) {
+                    out = b.sz;
+                    if (bcap < out) { bad.store(true); return; }
+                    memcpy(dst + doff, src + b.off, out);
+                } else {
+                    out = zn_lz4_decompress(src + b.off, b.sz, dst + doff,
+                                            bcap, NULL, 0);
+                    if (out == (size_t)-1) { bad.store(true); return; }
+                }
+                produced[i] = out;
+                if (i + 1 < nb && out != bmax) bad.store(true);
+            });
+            if (!bad.load()) {
+                op += (nb - 1) * bmax + produced[nb - 1];
+                done_parallel = true;
+            }
+        }
+        if (!done_parallel) {
+            for (const Blk& b : blks) {
+                if (b_chk && zn_xxh32(src + b.off, b.sz, 0) != rd32(src + b.off + b.sz))
+                    return (size_t)-1;
+                if (b.raw) {
+                    if (cap - op < b.sz) return (size_t)-1;
+                    memcpy(dst + op, src + b.off, b.sz);
+                    op += b.sz;
+                } else {
+                    size_t out = zn_lz4_decompress(src + b.off, b.sz, dst + op,
+                                                   cap - op, dst, op);
+                    if (out == (size_t)-1) return (size_t)-1;
+                    op += out;
+                }
+            }
+        }
+        ip = scan;
         if (c_chk) {
             if (n - ip < 4) return (size_t)-1;
             if (zn_xxh32(dst + frame_start, op - frame_start, 0) != rd32(src + ip)) return (size_t)-1;

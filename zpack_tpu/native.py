@@ -36,7 +36,7 @@ def _build() -> bool:
         return True
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
              *[str(s) for s in srcs], "-o", str(_SO)],
             check=True, capture_output=True, timeout=180,
         )
