@@ -11,6 +11,9 @@
 #include <cstring>
 #include <cstddef>
 #include <vector>
+#include <atomic>
+
+#include "zn_threads.h"
 
 namespace {
 
@@ -55,8 +58,20 @@ struct BackBits {  // backward stream with sentinel bit
         return true;
     }
     inline uint64_t word_at(size_t start) const {
+        if (start + 8 <= size) {
+            uint64_t w;
+            memcpy(&w, data + start, 8);
+            return w;
+        }
+        if (size >= 8) {
+            // clamp to the last 8 bytes; bytes past the end read as zero
+            uint64_t w;
+            memcpy(&w, data + size - 8, 8);
+            return w >> (8 * (start - (size - 8)));
+        }
         uint64_t word = 0;
-        size_t lim = size - start < 8 ? size - start : 8;
+        size_t lim = start < size ? size - start : 0;
+        if (lim > 8) lim = 8;
         for (size_t i = 0; i < lim; i++) word |= (uint64_t)data[start + i] << (8 * i);
         return word;
     }
@@ -317,6 +332,10 @@ struct DCtx {
     std::vector<uint8_t> lits;
 };
 
+// overlap-copy helper tables (offset < 8 pattern expansion)
+static const unsigned kInc32[8] = {0, 1, 2, 1, 0, 4, 4, 4};
+static const int kDec64[8] = {0, 0, 0, -1, -4, 1, 2, 3};
+
 FseTable g_ll_def, g_of_def, g_ml_def;
 bool g_def_init = false;
 void init_defaults() {
@@ -350,9 +369,10 @@ long long read_seq_table(const uint8_t* block, size_t bsize, size_t pos, int mod
     return (long long)pos;
 }
 
-// decompress one compressed block into out (append). false on error.
+// Decompress one compressed block directly into dst at opos (history =
+// dst[base..opos)).  false on error.
 bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
-                  std::vector<uint8_t>& out, size_t block_max) {
+                  uint8_t* dst, size_t& opos, size_t base, size_t cap) {
     init_defaults();
     if (bsize < 1) return false;
     // ---- literals section
@@ -361,7 +381,9 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
     int sf = (b0 >> 2) & 3;
     size_t pos = 0;
     std::vector<uint8_t>& lits = ctx.lits;
-    lits.clear();
+    const uint8_t* lits_p = nullptr;  // literal bytes (may point into block)
+    size_t lits_n = 0;                // logical literal count
+    size_t lits_wild = 0;             // bytes safely readable from lits_p
     if (ltype <= 1) {
         size_t rs;
         if (sf == 0 || sf == 2) { rs = b0 >> 3; pos = 1; }
@@ -374,11 +396,17 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
         }
         if (ltype == 0) {
             if (pos + rs > bsize) return false;
-            lits.assign(block + pos, block + pos + rs);
+            lits_p = block + pos;
+            lits_n = rs;
+            size_t slack = bsize - (pos + rs);
+            lits_wild = rs + (slack < 16 ? slack : 16);
             pos += rs;
         } else {
             if (pos >= bsize) return false;
-            lits.assign(rs, block[pos]);
+            lits.assign(rs + 16, block[pos]);
+            lits_p = lits.data();
+            lits_n = rs;
+            lits_wild = rs + 16;
             pos += 1;
         }
     } else {
@@ -420,7 +448,10 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
             off = (size_t)consumed;
         }
         if (!ctx.huf.valid) return false;
-        lits.resize(rs);
+        lits.resize(rs + 16);
+        lits_p = lits.data();
+        lits_n = rs;
+        lits_wild = rs + 16;
         const uint8_t* body = payload + off;
         size_t body_n = cs - off;
         if (streams == 1) {
@@ -461,7 +492,9 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
         pos += 3;
     }
     if (nb_seq == 0) {
-        out.insert(out.end(), lits.begin(), lits.end());
+        if (opos + lits_n > cap) return false;
+        memcpy(dst + opos, lits_p, lits_n);
+        opos += lits_n;
         return true;
     }
     if (pos >= bsize) return false;
@@ -497,8 +530,14 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
         }
         // literals copy
         if (ll_val) {
-            if (lit_pos + ll_val > lits.size()) return false;
-            out.insert(out.end(), lits.begin() + lit_pos, lits.begin() + lit_pos + ll_val);
+            if (lit_pos + ll_val > lits_n) return false;
+            if (ll_val <= 16 && lit_pos + 16 <= lits_wild && opos + 16 <= cap) {
+                memcpy(dst + opos, lits_p + lit_pos, 16);
+            } else {
+                if (opos + ll_val > cap) return false;
+                memcpy(dst + opos, lits_p + lit_pos, ll_val);
+            }
+            opos += ll_val;
             lit_pos += ll_val;
         }
         // repeat-offset resolution
@@ -519,20 +558,135 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
                 rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset;
             }
         }
-        if (offset > out.size()) return false;
-        size_t start = out.size() - offset;
-        size_t cur = out.size();
-        out.resize(cur + ml_val);
-        if (offset >= ml_val) {
-            memcpy(out.data() + cur, out.data() + start, ml_val);
+        if (offset > opos - base) return false;
+        uint8_t* o = dst + opos;
+        const uint8_t* m = o - offset;
+        if (opos + ml_val + 32 <= cap) {
+            uint8_t* cpend = o + ml_val;
+            if (offset >= 16) {
+                do { memcpy(o, m, 16); o += 16; m += 16; } while (o < cpend);
+            } else if (offset >= 8) {
+                memcpy(o, m, 8); memcpy(o + 8, m + 8, 8);
+                o += 16; m += 16;
+                while (o < cpend) { memcpy(o, m, 8); o += 8; m += 8; }
+            } else {
+                o[0] = m[0]; o[1] = m[1]; o[2] = m[2]; o[3] = m[3];
+                m += kInc32[offset];
+                memcpy(o + 4, m, 4);
+                m -= kDec64[offset];
+                o += 8;
+                while (o < cpend) { memcpy(o, m, 8); o += 8; m += 8; }
+            }
+            opos += ml_val;
         } else {
-            uint8_t* op = out.data();
-            for (uint64_t k = 0; k < ml_val; k++) op[cur + k] = op[start + k];
+            if (opos + ml_val > cap) return false;
+            for (uint64_t k = 0; k < ml_val; k++) o[k] = m[k];
+            opos += ml_val;
         }
     }
-    out.insert(out.end(), lits.begin() + lit_pos, lits.end());
-    (void)block_max;
+    if (lit_pos > lits_n) return false;
+    size_t tail = lits_n - lit_pos;
+    if (opos + tail > cap) return false;
+    memcpy(dst + opos, lits_p + lit_pos, tail);
+    opos += tail;
     return true;
+}
+
+}  // namespace
+
+namespace {
+
+struct FrameInfo {
+    size_t blocks;           // offset of the first block header
+    size_t end;              // one past the frame (incl. checksum)
+    uint64_t content_size;   // ~0ull when not declared
+};
+
+// Parse one frame's header + hop its block headers. Returns false on
+// malformed input. `pos` is at the frame magic on entry, past it on exit.
+bool scan_frame(const uint8_t* src, size_t n, size_t& pos, FrameInfo& fi) {
+    pos += 4;  // magic (checked by caller)
+    if (pos >= n) return false;
+    uint8_t fhd = src[pos++];
+    int fcs_flag = fhd >> 6;
+    bool single_seg = fhd & 0x20;
+    if (fhd & 0x08) return false;
+    bool has_checksum = fhd & 0x04;
+    int did_flag = fhd & 3;
+    if (!single_seg) {
+        if (pos >= n) return false;
+        pos++;  // window descriptor
+    }
+    static const int did_len[4] = {0, 1, 2, 4};
+    if (did_flag) {
+        if (pos + (size_t)did_len[did_flag] > n) return false;
+        uint32_t dict_id = 0;
+        for (int i = 0; i < did_len[did_flag]; i++) dict_id |= (uint32_t)src[pos + i] << (8 * i);
+        pos += did_len[did_flag];
+        if (dict_id != 0) return false;  // external dicts unsupported
+    }
+    int fcs_len = (fcs_flag == 0) ? (single_seg ? 1 : 0) : (fcs_flag == 1 ? 2 : fcs_flag == 2 ? 4 : 8);
+    if (pos + (size_t)fcs_len > n) return false;
+    uint64_t csize = ~0ull;
+    if (fcs_len) {
+        csize = 0;
+        for (int i = 0; i < fcs_len; i++) csize |= (uint64_t)src[pos + i] << (8 * i);
+        if (fcs_len == 2) csize += 256;
+    }
+    pos += fcs_len;
+    fi.blocks = pos;
+    fi.content_size = csize;
+    // hop block headers
+    while (true) {
+        if (n - pos < 3) return false;
+        uint32_t bh = src[pos] | ((uint32_t)src[pos + 1] << 8) | ((uint32_t)src[pos + 2] << 16);
+        pos += 3;
+        int btype = (bh >> 1) & 3;
+        size_t bsize = bh >> 3;
+        if (btype == 3) return false;
+        size_t payload = btype == 1 ? 1 : bsize;
+        if (pos + payload > n) return false;
+        pos += payload;
+        if (bh & 1) break;
+    }
+    if (has_checksum) {
+        if (n - pos < 4) return false;
+        pos += 4;  // content checksum verified at the zpack layer via XXH3
+    }
+    fi.end = pos;
+    return true;
+}
+
+// Decode one frame's blocks into dst[0..cap). Returns produced or -1.
+size_t decode_frame(const uint8_t* src, size_t n, const FrameInfo& fi,
+                    uint8_t* dst, size_t cap) {
+    size_t pos = fi.blocks;
+    size_t opos = 0;
+    DCtx ctx;
+    while (true) {
+        uint32_t bh = src[pos] | ((uint32_t)src[pos + 1] << 8) | ((uint32_t)src[pos + 2] << 16);
+        pos += 3;
+        int last = bh & 1;
+        int btype = (bh >> 1) & 3;
+        size_t bsize = bh >> 3;
+        if (btype == 0) {  // raw
+            if (opos + bsize > cap) return (size_t)-1;
+            memcpy(dst + opos, src + pos, bsize);
+            opos += bsize;
+            pos += bsize;
+        } else if (btype == 1) {  // RLE
+            if (opos + bsize > cap) return (size_t)-1;
+            memset(dst + opos, src[pos], bsize);
+            opos += bsize;
+            pos += 1;
+        } else {  // compressed (scan_frame rejected btype 3)
+            if (!decode_block(ctx, src + pos, bsize, dst, opos, 0, cap)) return (size_t)-1;
+            pos += bsize;
+        }
+        if (last) break;
+    }
+    (void)n;
+    return opos;
 }
 
 }  // namespace
@@ -540,80 +694,55 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
 extern "C" {
 
 // Decompress concatenated zstd frames. Returns output size or (size_t)-1.
+// Multi-frame inputs with declared content sizes decode frame-parallel.
 size_t zn_zstd_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
-    std::vector<uint8_t> out;
-    out.reserve(cap < (64u << 20) ? cap : (64u << 20));
+    // scan pass: frame boundaries + declared sizes (headers only, cheap)
+    std::vector<FrameInfo> frames;
+    bool all_sized = true;
     size_t pos = 0;
     while (pos < n) {
         if (n - pos < 4) return (size_t)-1;
         uint32_t magic;
         memcpy(&magic, src + pos, 4);
-        if (magic >= 0x184D2A50u && magic <= 0x184D2A5Fu) {
+        if (magic >= 0x184D2A50u && magic <= 0x184D2A5Fu) {  // skippable
             if (n - pos < 8) return (size_t)-1;
             uint32_t sz;
             memcpy(&sz, src + pos + 4, 4);
+            if (n - pos < 8 + (size_t)sz) return (size_t)-1;
             pos += 8 + sz;
             continue;
         }
         if (magic != 0xFD2FB528u) return (size_t)-1;
-        pos += 4;
-        // frame header
-        if (pos >= n) return (size_t)-1;
-        uint8_t fhd = src[pos++];
-        int fcs_flag = fhd >> 6;
-        bool single_seg = fhd & 0x20;
-        if (fhd & 0x08) return (size_t)-1;
-        bool has_checksum = fhd & 0x04;
-        int did_flag = fhd & 3;
-        if (!single_seg) {
-            if (pos >= n) return (size_t)-1;
-            pos++;  // window descriptor (we keep the whole output as history)
-        }
-        static const int did_len[4] = {0, 1, 2, 4};
-        if (did_flag) {
-            uint32_t dict_id = 0;
-            for (int i = 0; i < did_len[did_flag]; i++) dict_id |= (uint32_t)src[pos + i] << (8 * i);
-            pos += did_len[did_flag];
-            if (dict_id != 0) return (size_t)-1;  // external dicts unsupported
-        }
-        int fcs_len = (fcs_flag == 0) ? (single_seg ? 1 : 0) : (fcs_flag == 1 ? 2 : fcs_flag == 2 ? 4 : 8);
-        pos += fcs_len;
-        if (pos > n) return (size_t)-1;
-
-        DCtx ctx;
-        while (true) {
-            if (n - pos < 3) return (size_t)-1;
-            uint32_t bh = src[pos] | ((uint32_t)src[pos + 1] << 8) | ((uint32_t)src[pos + 2] << 16);
-            pos += 3;
-            int last = bh & 1;
-            int btype = (bh >> 1) & 3;
-            size_t bsize = bh >> 3;
-            if (btype == 0) {  // raw
-                if (pos + bsize > n) return (size_t)-1;
-                out.insert(out.end(), src + pos, src + pos + bsize);
-                pos += bsize;
-            } else if (btype == 1) {  // RLE
-                if (pos >= n) return (size_t)-1;
-                out.insert(out.end(), bsize, src[pos]);
-                pos += 1;
-            } else if (btype == 2) {
-                if (pos + bsize > n) return (size_t)-1;
-                if (!decode_block(ctx, src + pos, bsize, out, 128u << 10)) return (size_t)-1;
-                pos += bsize;
-            } else {
-                return (size_t)-1;
-            }
-            if (out.size() > cap) return (size_t)-1;
-            if (last) break;
-        }
-        if (has_checksum) {
-            if (n - pos < 4) return (size_t)-1;
-            pos += 4;  // content checksum verified at the zpack layer via XXH3
-        }
+        FrameInfo fi;
+        if (!scan_frame(src, n, pos, fi)) return (size_t)-1;
+        if (fi.content_size == ~0ull) all_sized = false;
+        frames.push_back(fi);
     }
-    if (out.size() > cap) return (size_t)-1;
-    memcpy(dst, out.data(), out.size());
-    return out.size();
+    unsigned nt = zn_nthreads();
+    if (all_sized && frames.size() >= 2 && nt >= 2) {
+        size_t nf = frames.size();
+        std::vector<size_t> offs(nf + 1, 0);
+        for (size_t i = 0; i < nf; i++) {
+            if (frames[i].content_size > cap - offs[i]) return (size_t)-1;
+            offs[i + 1] = offs[i] + frames[i].content_size;
+        }
+        std::atomic<bool> bad{false};
+        zn_parallel_for(nf, nt, [&](size_t i) {
+            size_t want = frames[i].content_size;
+            size_t got = decode_frame(src, n, frames[i], dst + offs[i], want);
+            if (got != want) bad.store(true);
+        });
+        if (bad.load()) return (size_t)-1;
+        return offs[nf];
+    }
+    size_t opos = 0;
+    for (const FrameInfo& fi : frames) {
+        size_t got = decode_frame(src, n, fi, dst + opos, cap - opos);
+        if (got == (size_t)-1) return (size_t)-1;
+        if (fi.content_size != ~0ull && got != fi.content_size) return (size_t)-1;
+        opos += got;
+    }
+    return opos;
 }
 
 }  // extern "C"

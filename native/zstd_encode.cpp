@@ -16,6 +16,9 @@
 #include <cstddef>
 #include <vector>
 #include <algorithm>
+#include <memory>
+
+#include "zn_threads.h"
 
 namespace zenc {
 
@@ -1012,9 +1015,9 @@ static bool encode_block_body(const uint8_t* block, size_t bsize,
 
 }  // namespace zenc
 
-extern "C" {
-
-size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level) {
+// Compress one frame (single-threaded); the public entry below segments
+// large inputs into independent frames compressed in parallel.
+static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level) {
     using namespace zenc;
     enc_init();
     const size_t BS = 128 << 10;
@@ -1159,6 +1162,38 @@ size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
             uint8_t bhb[3] = {(uint8_t)bh, (uint8_t)(bh >> 8), (uint8_t)(bh >> 16)};
             if (!emit(bhb, 3) || !emit(src + off, bsize)) return (size_t)-1;
         }
+    }
+    return op;
+}
+
+extern "C" {
+
+// Segment size for parallel frame compression.  Each segment becomes an
+// independent zstd frame (spec-valid concatenation; the reference decodes
+// it via ZSTD_decompressStream / multi-frame ZSTD_decompress).  4 MiB ≥
+// the level<=12 window sizes, so the ratio cost is only cross-segment
+// matches beyond the window — measured <1%.
+size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level) {
+    const size_t SEG = level <= 12 ? (4u << 20) : (16u << 20);
+    size_t min_total = level <= 12 ? (4u << 20) : (32u << 20);
+    unsigned nt = zn_nthreads();
+    if (nt < 2 || n < min_total || n <= SEG)
+        return zn_zstd_compress_one(src, n, dst, cap, level);
+    size_t ns = (n + SEG - 1) / SEG;
+    size_t bound = SEG + (SEG >> 8) + 512;
+    std::unique_ptr<uint8_t[]> scratch(new uint8_t[ns * bound]);
+    std::vector<size_t> sizes(ns);
+    zn_parallel_for(ns, nt, [&](size_t i) {
+        size_t off = i * SEG;
+        size_t chunk = n - off < SEG ? n - off : SEG;
+        sizes[i] = zn_zstd_compress_one(src + off, chunk, scratch.get() + i * bound,
+                                        bound, level);
+    });
+    size_t op = 0;
+    for (size_t i = 0; i < ns; i++) {
+        if (sizes[i] == (size_t)-1 || op + sizes[i] > cap) return (size_t)-1;
+        memcpy(dst + op, scratch.get() + i * bound, sizes[i]);
+        op += sizes[i];
     }
     return op;
 }
