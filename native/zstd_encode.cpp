@@ -732,9 +732,18 @@ static inline uint16_t bits8_from_freq(uint32_t c, uint32_t total) {
 
 static void build_opt_prices(const uint8_t* block, size_t bsize,
                              const std::vector<Seq>& seqs, OptPrices& P) {
+    // literal histogram over the bytes the parse actually leaves as literals
     uint32_t lh[256] = {0};
-    for (size_t i = 0; i < bsize; i++) lh[block[i]]++;  // block bytes ≈ literals
-    for (int s = 0; s < 256; s++) P.lit8[s] = bits8_from_freq(lh[s], (uint32_t)bsize);
+    uint32_t ltot = 0;
+    size_t lpos = 0;
+    for (const Seq& q : seqs) {
+        for (uint32_t k = 0; k < q.ll; k++) lh[block[lpos + k]]++;
+        ltot += q.ll;
+        lpos += q.ll + q.ml;
+    }
+    for (size_t k = lpos; k < bsize; k++) lh[block[k]]++;  // tail literals
+    ltot += (uint32_t)(bsize - lpos);
+    for (int s = 0; s < 256; s++) P.lit8[s] = bits8_from_freq(lh[s], ltot);
     uint32_t llh[36] = {0}, mlh[53] = {0}, ofh[32] = {0};
     for (const Seq& q : seqs) {
         llh[ll_code(q.ll)]++;
@@ -742,16 +751,38 @@ static void build_opt_prices(const uint8_t* block, size_t bsize,
         ofh[highbit32(q.ov)]++;
     }
     uint32_t tot = (uint32_t)seqs.size();
-    for (int c = 0; c < 36; c++) P.llc8[c] = bits8_from_freq(llh[c], tot);
-    for (int c = 0; c < 53; c++) P.mlc8[c] = bits8_from_freq(mlh[c], tot);
-    for (int c = 0; c < 32; c++) P.ofc8[c] = bits8_from_freq(ofh[c], tot);
+    // Cap every code price at its predefined-table price (+1 bit slack):
+    // the encoder can always fall back to predef mode, so no code ever
+    // truly costs more.  Without the cap, codes unused by the seed parse
+    // price at 13+ bits and the DP can never explore them (e.g. the fresh
+    // mid-range offset that bootstraps a record-stride rep chain).
+    auto pre8 = [](int count, int al) -> uint16_t {
+        if (count <= 0) return (uint16_t)(al * 8 + 8);
+        return (uint16_t)((al - highbit32((uint32_t)count)) * 8);
+    };
+    for (int c = 0; c < 36; c++) {
+        uint16_t cap = pre8(LL_DEF[c], 6) + 8;
+        uint16_t m = bits8_from_freq(llh[c], tot);
+        P.llc8[c] = m < cap ? m : cap;
+    }
+    for (int c = 0; c < 53; c++) {
+        uint16_t cap = pre8(ML_DEF[c], 6) + 8;
+        uint16_t m = bits8_from_freq(mlh[c], tot);
+        P.mlc8[c] = m < cap ? m : cap;
+    }
+    for (int c = 0; c < 32; c++) {
+        uint16_t cap = pre8(c < 29 ? OF_DEF[c] : 1, 5) + 8;
+        uint16_t m = bits8_from_freq(ofh[c], tot);
+        P.ofc8[c] = m < cap ? m : cap;
+    }
 }
 
 struct OCell {
     uint32_t price;
-    uint32_t len;   // 0 = literal step
+    uint32_t len;     // 0 = literal step
     uint32_t off;
     uint32_t rep0, rep1, rep2;
+    uint32_t litlen;  // pending literal-run length at this cell
 };
 
 // persistent binary-tree matchfinder state (absolute positions over the
@@ -765,17 +796,29 @@ struct OptState {
     }
 };
 
+struct OptCand { uint32_t off; uint32_t len; };
+
+// Per-block candidate cache: lets a second (price-iteration) DP pass reuse
+// the BT walk results — re-inserting the same positions would corrupt the
+// persistent tree.
+struct CandCache {
+    std::vector<uint32_t> idx;   // n+1 prefix offsets into flat
+    std::vector<OptCand> flat;
+    bool filled = false;
+};
+
 static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk_end,
                                size_t n_total, size_t max_offset, OptState& ost,
                                EncCtx& ctx, const OptPrices& P,
-                               std::vector<Seq>& seqs, size_t& lit_tail) {
+                               std::vector<Seq>& seqs, size_t& lit_tail,
+                               CandCache& cache) {
     size_t n = blk_end - blk_start;
     seqs.clear();
     if (n < 16) { lit_tail = n; return; }
     const uint32_t INF = 0xFFFFFFFFu;
     static thread_local std::vector<OCell> cells;
-    cells.assign(n + 1, OCell{INF, 0, 0, 0, 0, 0});
-    cells[0] = OCell{0, 0, 0, (uint32_t)ctx.rep[0], (uint32_t)ctx.rep[1], (uint32_t)ctx.rep[2]};
+    cells.assign(n + 1, OCell{INF, 0, 0, 0, 0, 0, 0});
+    cells[0] = OCell{0, 0, 0, (uint32_t)ctx.rep[0], (uint32_t)ctx.rep[1], (uint32_t)ctx.rep[2], 0};
     size_t mf = n >= 4 ? n - 4 : 0;
 
     const int H4B = 17;
@@ -787,8 +830,7 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
         return P.mlc8[c] + ML_EXTRA[c] * 8;
     };
 
-    struct Cand { uint32_t off; uint32_t len; };
-    static thread_local std::vector<Cand> cands;
+    static thread_local std::vector<OptCand> cands;
     std::vector<int32_t>& bt_hash = ost.bt_hash;
     std::vector<int32_t>& bt = ost.bt;
     // per-block compare budget: degenerate (hugely repetitive) data would
@@ -843,68 +885,128 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
         *larger = -1;
     };
 
+    if (!cache.filled) {
+        cache.idx.assign(1, 0);
+        cache.flat.clear();
+    }
     for (size_t i = 0; i < n; i++) {
         const OCell cur = cells[i];
         size_t pos = blk_start + i;
         bool reachable = cur.price != INF;
-        bt_insert_search(pos, reachable && i < mf);
+        if (!cache.filled) {
+            bt_insert_search(pos, i < mf);
+            cache.flat.insert(cache.flat.end(), cands.begin(), cands.end());
+            cache.idx.push_back((uint32_t)cache.flat.size());
+        } else {
+            cands.assign(cache.flat.begin() + cache.idx[i],
+                         cache.flat.begin() + cache.idx[i + 1]);
+        }
         if (!reachable) continue;
-        // literal step (reps inherited)
+        // literal step (reps inherited, pending run grows)
         {
             uint32_t p = cur.price + P.lit8[base[pos]];  // absolute pos
             if (p < cells[i + 1].price)
-                cells[i + 1] = OCell{p, 0, 0, cur.rep0, cur.rep1, cur.rep2};
+                cells[i + 1] = OCell{p, 0, 0, cur.rep0, cur.rep1, cur.rep2,
+                                     cur.litlen + 1};
         }
         if (i >= mf) continue;
 
-        auto relax_match = [&](size_t off, size_t L, bool is_rep, int rep_slot) {
-            if (L < 4) return;
-            // offset price
+        // the pending literal run's LL code + extra bits are paid when a
+        // match closes the run (mirrors ZSTD_updatePrice's litlen pricing)
+        int llc = ll_code(cur.litlen);
+        uint32_t ll_price = P.llc8[llc] + LL_EXTRA[llc] * 8;
+
+        auto relax_match = [&](size_t off, size_t L, uint32_t rep_ov) {
+            // 3-byte matches (ML code 0) are legal and worth it for repeat
+            // offsets (~3 bits); fresh offsets never amortize below 4
+            uint32_t lmin = rep_ov ? 3 : 4;
+            if (L < lmin) return;
+            // offset price: rep_ov in 1..3 when `off` is addressable as a
+            // repeat code from this cell (depends on litlen), else fresh
             uint32_t ofp;
-            if (is_rep) {
-                ofp = P.ofc8[rep_slot <= 0 ? 0 : 1] + (rep_slot > 0 ? 8 : 0);
+            if (rep_ov) {
+                // optimistic floor for rep0 only: seed stats are rep-poor
+                // when the greedy pass avoided reps, trapping the DP in a
+                // rep-poor fixed point (reps also make FUTURE reps cheap —
+                // a dynamic static prices can't see).  rep2/rep3 stay at
+                // measured prices: cheap floors there make the DP shred
+                // data into mixed-slot mini-matches, destroying the code
+                // uniformity that makes rep chains nearly free in FSE.
+                int oc = highbit32(rep_ov);
+                uint32_t measured = P.ofc8[oc] + oc * 8;
+                uint32_t floor_p = 20 + oc * 8;
+                ofp = measured < floor_p ? measured : floor_p;
             } else {
                 uint32_t ov = (uint32_t)(off + 3);
                 int oc = highbit32(ov);
                 ofp = P.ofc8[oc] + oc * 8;
             }
-            uint32_t base_p = cur.price + ofp + P.llc8[2];  // avg ll-code cost
-            // updated rep triple
-            uint32_t r0, r1, r2;
-            if (is_rep && rep_slot == 0) { r0 = cur.rep0; r1 = cur.rep1; r2 = cur.rep2; }
-            else if (is_rep && rep_slot == 1) { r0 = cur.rep1; r1 = cur.rep0; r2 = cur.rep2; }
-            else if (is_rep && rep_slot == 2) { r0 = cur.rep2; r1 = cur.rep0; r2 = cur.rep1; }
-            else { r0 = (uint32_t)off; r1 = cur.rep0; r2 = cur.rep1; }
+            uint32_t base_p = cur.price + ofp + ll_price;
+            // updated rep triple: off moves to front, prior reps shift with
+            // off removed if present (mirrors offset_value / decoder rules)
+            uint32_t r0 = (uint32_t)off, r1, r2;
+            if (off == cur.rep0) { r1 = cur.rep1; r2 = cur.rep2; }
+            else if (off == cur.rep1) { r1 = cur.rep0; r2 = cur.rep2; }
+            else { r1 = cur.rep0; r2 = cur.rep1; }
             auto relax_one = [&](uint32_t l) {
-                uint32_t p = base_p + ml_price(l);
+                uint32_t mlp;
+                if (rep_ov) {
+                    // optimistic floor (4.5 bits) on rep-match length codes:
+                    // unseen codes (e.g. ml=3, unreachable for the greedy
+                    // seed pass) would otherwise price at 13+ bits and the
+                    // DP could never discover rep-chain parses.  Safe: the
+                    // final strategy selection compares real encoded sizes.
+                    int c = ml_code(l);
+                    uint32_t m = P.mlc8[c];
+                    mlp = (m < 36 ? m : 36) + ML_EXTRA[c] * 8;
+                } else {
+                    mlp = ml_price(l);
+                }
+                uint32_t p = base_p + mlp;
                 OCell& dst = cells[i + l];
-                if (p < dst.price) dst = OCell{p, l, (uint32_t)off, r0, r1, r2};
+                if (p < dst.price) dst = OCell{p, l, (uint32_t)off, r0, r1, r2, 0};
             };
-            uint32_t dense = (uint32_t)(L < 36 ? L : 36);
-            for (uint32_t l = 4; l <= dense; l++) relax_one(l);
-            for (uint32_t l = 48; l < L; l = l + (l >> 1)) relax_one(l);
-            relax_one((uint32_t)L);
+            // dense through the single-length ML codes + the first ranged
+            // ones; above that only code boundaries change the price, and a
+            // longer length at equal price never hurts the following cells
+            uint32_t dense = (uint32_t)(L < 130 ? L : 130);
+            for (uint32_t l = lmin; l <= dense; l++) relax_one(l);
+            if (L > 130) {
+                for (int c = 43; c < 53 && ML_BASE[c] <= L; c++)
+                    relax_one(ML_BASE[c] <= L ? (uint32_t)ML_BASE[c] : (uint32_t)L);
+                relax_one((uint32_t)L);
+            }
         };
 
-        // repeat candidates from this cell's rep state
+        // repeat candidates: the addressable set depends on whether a
+        // literal run is pending (ll==0 shifts codes to rep1/rep2/rep0-1)
         size_t longest = 0;
-        uint32_t reps[3] = {cur.rep0, cur.rep1, cur.rep2};
+        uint64_t avail[3];
+        if (cur.litlen) {
+            avail[0] = cur.rep0; avail[1] = cur.rep1; avail[2] = cur.rep2;
+        } else {
+            avail[0] = cur.rep1; avail[1] = cur.rep2;
+            avail[2] = cur.rep0 ? cur.rep0 - 1 : 0;
+        }
         for (int r = 0; r < 3; r++) {
-            size_t off = reps[r];
+            size_t off = avail[r];
             if (!off || off > pos) continue;
-            if (rd32e(base + pos) != rd32e(base + pos - off)) continue;
+            // 3-byte agreement suffices for rep matches (ML code 0)
+            if ((rd32e(base + pos) ^ rd32e(base + pos - off)) & 0xFFFFFF) continue;
             size_t L = match_len(base + pos, base + pos - off, blk_end - pos);
-            relax_match(off, L, true, r);
+            if (L < 3) L = 3;  // first 3 bytes agree even if match_len stopped short
+            relax_match(off, L, (uint32_t)(r + 1));
             if (L > longest) longest = L;
         }
         if (longest >= SUFFICIENT) continue;  // long rep dominates
         // BT candidates (each improvement along the walk, longest last)
-        for (const Cand& c : cands) {
-            relax_match(c.off, c.len, false, -1);
+        for (const OptCand& c : cands) {
+            relax_match(c.off, c.len, 0);
             if (c.len > longest) longest = c.len;
         }
         (void)pos;
     }
+    cache.filled = true;
     // backward reconstruction (cells[n] is always reachable via literals)
     static thread_local std::vector<std::pair<uint32_t, uint32_t>> steps;
     steps.clear();
@@ -1116,41 +1218,73 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
         body.clear();
         bool ok = encode_block_body(src + off, bsize, seqs, lit_tail, body);
         if (level > 12) {
-            uint64_t rep_greedy[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
-            // strategy 2: plain fast greedy (wins on rep-chain-heavy data)
-            ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
+            // per-block strategy tournament: each candidate runs from the
+            // same incoming rep state; the smallest actual encoded body
+            // wins and its rep evolution carries to the next block
+            uint64_t rep_win[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
+            const std::vector<Seq>* seed_seqs = &seqs;  // stats source for opt
+            auto restore = [&] {
+                ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
+            };
+            auto consider = [&](bool okc, std::vector<uint8_t>& bodyc,
+                                const std::vector<Seq>* seqsc) {
+                if (okc && (!ok || bodyc.size() < body.size())) {
+                    body.swap(bodyc);
+                    ok = true;
+                    rep_win[0] = ctx.rep[0]; rep_win[1] = ctx.rep[1]; rep_win[2] = ctx.rep[2];
+                    if (seqsc) seed_seqs = seqsc;
+                }
+            };
+            // strategy 2: plain fast greedy
+            restore();
             std::vector<Seq> seqs2;
             size_t lit_tail2 = 0;
             find_sequences(src, off, off + bsize, n, ctx, hash_bits, 4, false,
                            max_offset, seqs2, lit_tail2, 0, lit_bits);
             std::vector<uint8_t> body2;
             bool ok2 = encode_block_body(src + off, bsize, seqs2, lit_tail2, body2);
-            bool fast_won = ok2 && (!ok || body2.size() < body.size());
-            uint64_t rep_fast[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
-            if (fast_won) { body.swap(body2); ok = ok2; }
+            size_t fast_size = ok2 ? body2.size() : 0;
+            consider(ok2, body2, &seqs2);
             // strategy 3: optimal parse (persistent cross-block BT) with
-            // prices from the best-so-far
+            // prices seeded from the best strategy so far, then price
+            // iteration: re-run the DP with prices measured from its own
+            // output (btultra2's two-pass scheme; BT walk results cached)
             OptPrices P;
-            build_opt_prices(src + off, bsize, fast_won ? seqs2 : seqs, P);
-            ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
+            build_opt_prices(src + off, bsize, *seed_seqs, P);
+            CandCache cache;
             std::vector<Seq> seqs3;
-            size_t lit_tail3 = 0;
-            find_sequences_opt(src, off, off + bsize, n, max_offset, opt_state,
-                               ctx, P, seqs3, lit_tail3);
             std::vector<uint8_t> body3;
-            bool ok3 = encode_block_body(src + off, bsize, seqs3, lit_tail3, body3);
-            if (getenv("ZN_DEBUG"))
-                fprintf(stderr, "blk %zu: greedy=%zu fast=%zu opt=%zu\n",
-                        off / BS, body.size(), ok2 ? body2.size() : 0,
-                        ok3 ? body3.size() : 0);
-            if (ok3 && (!ok || body3.size() < body.size())) {
-                body.swap(body3);
-                ok = ok3;  // ctx.rep already holds the opt evolution
-            } else if (fast_won) {
-                ctx.rep[0] = rep_fast[0]; ctx.rep[1] = rep_fast[1]; ctx.rep[2] = rep_fast[2];
-            } else {
-                ctx.rep[0] = rep_greedy[0]; ctx.rep[1] = rep_greedy[1]; ctx.rep[2] = rep_greedy[2];
+            bool ok3 = false;
+            size_t opt1_size = 0;
+            for (int iter = 0; iter < 2; iter++) {
+                restore();
+                std::vector<Seq> seqs4;
+                size_t lit_tail4 = 0;
+                find_sequences_opt(src, off, off + bsize, n, max_offset, opt_state,
+                                   ctx, P, seqs4, lit_tail4, cache);
+                std::vector<uint8_t> body4;
+                bool ok4 = encode_block_body(src + off, bsize, seqs4, lit_tail4, body4);
+                if (!ok4) break;
+                if (iter == 0) opt1_size = body4.size();
+                bool improved = !ok3 || body4.size() < body3.size();
+                if (improved) {
+                    consider(ok4, body4, nullptr);
+                    // consider() may swap body4 into body; rebuild body3 as
+                    // the best opt body for the improvement test
+                    ok3 = true;
+                    std::vector<uint8_t> tmp;
+                    encode_block_body(src + off, bsize, seqs4, lit_tail4, tmp);
+                    body3.swap(tmp);
+                }
+                seqs3.swap(seqs4);
+                if (!improved) break;
+                build_opt_prices(src + off, bsize, seqs3, P);  // reprice from latest
             }
+            if (getenv("ZN_DEBUG"))
+                fprintf(stderr, "blk %zu: best=%zu fast=%zu opt=%zu opt_it=%zu\n",
+                        off / BS, body.size(), fast_size, opt1_size,
+                        ok3 ? body3.size() : 0);
+            ctx.rep[0] = rep_win[0]; ctx.rep[1] = rep_win[1]; ctx.rep[2] = rep_win[2];
         }
         if (ok && body.size() < bsize) {
             uint32_t bh = (uint32_t)last | (2u << 1) | ((uint32_t)body.size() << 3);
