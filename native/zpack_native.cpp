@@ -657,6 +657,75 @@ size_t zn_lz4f_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap
     return op;
 }
 
+// defined in zstd_encode.cpp / zstd_decode.cpp
+size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level);
+size_t zn_zstd_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap);
+
+// Batch decompress + XXH3-verify N archive entries in one call (parallel
+// worker threads; the read-side analog of zn_compress_batch).  Entries may
+// sit anywhere in `src` (comp_offs/comp_sizes per entry); outputs go to
+// dst at out_offs (n+1 prefix of uncompressed sizes).  Each entry's XXH3
+// must equal hashes[i] (reference always verifies: lib/zpack_read.c:466).
+// Returns the number of failed entries; fail_mask[i]=1 marks them.
+size_t zn_decompress_batch(const uint8_t* src, const uint64_t* comp_offs,
+                           const uint64_t* comp_sizes, size_t n,
+                           const int32_t* methods, uint8_t* dst,
+                           const uint64_t* out_offs, const uint64_t* hashes,
+                           uint8_t* fail_mask) {
+    std::atomic<size_t> fails{0};
+    zn_parallel_for(n, zn_nthreads(), [&](size_t i) {
+        const uint8_t* p = src + comp_offs[i];
+        size_t clen = (size_t)comp_sizes[i];
+        uint8_t* d = dst + out_offs[i];
+        size_t want = (size_t)(out_offs[i + 1] - out_offs[i]);
+        size_t got;
+        switch (methods[i]) {
+            case 0:
+                got = clen == want ? (memcpy(d, p, clen), clen) : (size_t)-1;
+                break;
+            case 1: got = zn_zstd_decompress(p, clen, d, want); break;
+            case 2: got = zn_lz4f_decompress(p, clen, d, want); break;
+            default: got = (size_t)-1;
+        }
+        bool ok = got == want && zn_xxh3_64(d, want) == hashes[i];
+        fail_mask[i] = ok ? 0 : 1;
+        if (!ok) fails.fetch_add(1);
+    });
+    return fails.load();
+}
+
+// Batch compress + hash: one call for N archive entries, parallelized over
+// worker threads inside the library (no per-entry FFI or GIL traffic —
+// the 10k-small-file BASELINE config is bound by per-entry overhead).
+// methods: 0=store 1=zstd 2=lz4f.  offs/dst_offs are n+1 prefix arrays.
+// out_sizes[i] = compressed size or UINT64_MAX; returns number of failures.
+size_t zn_compress_batch(const uint8_t* src, const uint64_t* offs, size_t n,
+                         const int32_t* methods, const int32_t* levels,
+                         uint8_t* dst, const uint64_t* dst_offs,
+                         uint64_t* out_sizes, uint64_t* out_hashes) {
+    std::atomic<size_t> fails{0};
+    zn_parallel_for(n, zn_nthreads(), [&](size_t i) {
+        const uint8_t* p = src + offs[i];
+        size_t len = (size_t)(offs[i + 1] - offs[i]);
+        uint8_t* d = dst + dst_offs[i];
+        size_t cap = (size_t)(dst_offs[i + 1] - dst_offs[i]);
+        out_hashes[i] = zn_xxh3_64(p, len);
+        size_t r;
+        switch (methods[i]) {
+            case 0:
+                if (len <= cap) { memcpy(d, p, len); r = len; }
+                else r = (size_t)-1;
+                break;
+            case 1: r = zn_zstd_compress(p, len, d, cap, levels[i]); break;
+            case 2: r = zn_lz4f_compress(p, len, d, cap, levels[i]); break;
+            default: r = (size_t)-1;
+        }
+        if (r == (size_t)-1) fails.fetch_add(1);
+        out_sizes[i] = (uint64_t)r;
+    });
+    return fails.load();
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -563,14 +563,14 @@ struct EncCtx {
     uint64_t rep[3] = {1, 4, 8};
     std::vector<int32_t> htab;    // 4-byte hash -> last pos
     std::vector<int32_t> htab8;   // 8-byte hash -> last pos (dfast-style)
+    int h8_bits = 17;
     std::vector<int32_t> chain;   // pos -> previous pos with same hash
     size_t chain_mask = 0xFFFF;   // 64K ring; full table at high levels
 };
 
 static inline uint32_t zhash(uint32_t v, int bits) { return (v * 2654435761u) >> (32 - bits); }
-#define H8_BITS 17
-static inline uint32_t zhash8(uint64_t v) {
-    return (uint32_t)((v * 0x9E3779B185EBCA87ULL) >> (64 - H8_BITS));
+static inline uint32_t zhash8(uint64_t v, int bits) {
+    return (uint32_t)((v * 0x9E3779B185EBCA87ULL) >> (64 - bits));
 }
 
 // resolve offset -> wire offset value with repeat codes; mirrors decoder rules
@@ -625,7 +625,7 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
         // long-hash probe first (8-byte hash: rare collisions, catches
         // far exact repeats the 4-byte chains drown in — dfast-style)
         if (pos + 8 <= end) {
-            uint32_t h8 = zhash8(rd64e(base + pos));
+            uint32_t h8 = zhash8(rd64e(base + pos), ctx.h8_bits);
             int32_t c8 = ctx.htab8[h8];
             ctx.htab8[h8] = (int32_t)pos;
             if (c8 >= 0 && (size_t)c8 < pos && pos - (size_t)c8 <= max_offset &&
@@ -695,7 +695,7 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
                 uint32_t hq = zhash(rd32e(base + q), hash_bits);
                 chain[q & cmask] = htab[hq];
                 htab[hq] = (int32_t)q;
-                if (q + 8 <= end) ctx.htab8[zhash8(rd64e(base + q))] = (int32_t)q;
+                if (q + 8 <= end) ctx.htab8[zhash8(rd64e(base + q), ctx.h8_bits)] = (int32_t)q;
             }
             pos = mend;
             lit_start = pos;
@@ -1164,13 +1164,19 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
 
     int hash_bits = level <= 3 ? 16 : 17;
     int depth = level <= 1 ? 1 : level <= 3 ? 4 : level <= 12 ? 16 : 128;
+    // shrink the tables for small inputs: fixed-size table memsets would
+    // dominate sub-64KB calls (10k-small-file archives, BASELINE config 4)
+    while (hash_bits > 10 && (1u << hash_bits) > 2 * n) hash_bits--;
+    int h8_bits = 17;
+    while (h8_bits > 10 && (1u << h8_bits) > 2 * n) h8_bits--;
     bool lazy = level > 3;
     size_t max_offset = level <= 3 ? (1u << 21) - 1 : level <= 12 ? (1u << 22) - 1 : (1u << 23) - 1;
     if (max_offset > n) max_offset = n;
     // chain ring is 64K deep; offsets beyond 64K only via htab head
     EncCtx ctx;
     ctx.htab.assign(1u << hash_bits, -1);
-    ctx.htab8.assign(1u << H8_BITS, -1);
+    ctx.htab8.assign(1u << h8_bits, -1);
+    ctx.h8_bits = h8_bits;
     if (level > 12) {
         // full chain table: far-offset chains stay walkable at high levels
         size_t cm = 1;
@@ -1178,8 +1184,10 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
         ctx.chain.assign(cm, -1);
         ctx.chain_mask = cm - 1;
     } else {
-        ctx.chain.assign(1u << 16, -1);
-        ctx.chain_mask = 0xFFFF;
+        size_t cm = 1;
+        while (cm < n + 1 && cm < (1u << 16)) cm <<= 1;
+        ctx.chain.assign(cm, -1);
+        ctx.chain_mask = cm - 1;
     }
 
     std::vector<Seq> seqs;

@@ -116,7 +116,8 @@ def config4(scale):
     w = Writer.to_heap()
     _, enc = timed(lambda: w.write_archive(files))
     r = Reader.from_memory(w.buffer, shared=True)
-    _, dec = timed(lambda: [r.read_file(n) for n, _, _ in files])
+    outs, dec = timed(lambda: r.read_files([n for n, _, _ in files]))
+    assert all(o == d for o, (_, d, _) in zip(outs, files))
     return {"config": 4, "files": n_files, "MB": total / 1e6,
             "enc_MBps": round(total / 1e6 / enc, 1),
             "dec_MBps": round(total / 1e6 / dec, 1)}

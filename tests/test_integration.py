@@ -139,3 +139,54 @@ def test_checkpoint_resume(tmp_path):
                                  chunk_size=64 << 10)
     comp3 = cc3.compress(data[:-1] + b"!")
     assert LF.decompress_frame(comp3) == data[:-1] + b"!"
+
+
+def test_batch_write_and_read_files_roundtrip():
+    """Batched writer (zn_compress_batch) + Reader.read_files
+    (zn_decompress_batch) against per-entry paths."""
+    import numpy as np
+
+    from zpack_tpu import constants as C
+    from zpack_tpu.reader import Reader
+    from zpack_tpu.writer import CompressOptions, Writer
+
+    rng = np.random.default_rng(11)
+    methods = [C.CompressionMethod.ZSTD, C.CompressionMethod.LZ4, C.CompressionMethod.NONE]
+    files = []
+    for i in range(60):
+        size = int(rng.integers(0, 5000))
+        blob = bytes(rng.integers(0, 48, size, dtype=np.uint8))
+        files.append((f"n{i:03d}", blob, CompressOptions(methods[i % 3])))
+    w = Writer.to_heap()
+    w.write_archive(files)
+    r = Reader.from_memory(w.buffer, shared=True)
+    outs = r.read_files([n for n, _, _ in files])
+    assert [o for o in outs] == [d for _, d, _ in files]
+    # per-entry path agrees (hash verified both ways)
+    for n, d, _ in files[:10]:
+        assert r.read_file(n) == d
+    # subset + FileEntry objects
+    subset = r.read_files(r.file_entries[5:15])
+    assert subset == [d for _, d, _ in files[5:15]]
+
+
+def test_batch_read_files_detects_corruption():
+    import numpy as np
+    import pytest
+
+    from zpack_tpu import constants as C
+    from zpack_tpu.errors import ZPackError
+    from zpack_tpu.reader import Reader
+    from zpack_tpu.writer import CompressOptions, Writer
+
+    rng = np.random.default_rng(12)
+    files = [(f"n{i}", bytes(rng.integers(0, 250, 3000, dtype=np.uint8)) * 2,
+              CompressOptions(C.CompressionMethod.LZ4)) for i in range(8)]
+    w = Writer.to_heap()
+    w.write_archive(files)
+    buf = bytearray(w.buffer)
+    e = Reader.from_memory(bytes(buf)).get_file_entry("n3")
+    buf[e.offset + e.comp_size // 2] ^= 0xFF
+    r = Reader.from_memory(bytes(buf))
+    with pytest.raises(ZPackError):
+        r.read_files([n for n, _, _ in files])

@@ -92,6 +92,19 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_size_t,
         ]
+        lib.zn_compress_batch.restype = ctypes.c_size_t
+        lib.zn_compress_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.zn_decompress_batch.restype = ctypes.c_size_t
+        lib.zn_decompress_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         lib.zn_xxh3_new.restype = ctypes.c_void_p
         lib.zn_xxh3_new.argtypes = []
         lib.zn_xxh3_free.restype = None
@@ -119,6 +132,57 @@ def _outbuf(cap: int):
     materialize lazily — corrupt size fields must not become a DoS)."""
     arr = np.empty(max(cap, 1), dtype=np.uint8)
     return arr, arr.ctypes.data
+
+
+def compress_batch(datas: list[bytes], methods: list[int], levels: list[int]):
+    """Compress + XXH3-hash N entries in ONE native call (worker threads
+    inside the library; methods: 0=store 1=zstd 2=lz4f).  Returns
+    (compressed list, hash list) or None when unavailable/failed."""
+    lib = get_lib()
+    if lib is None or not datas:
+        return None
+    n = len(datas)
+    offs = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum([len(d) for d in datas], out=offs[1:])
+    src = b"".join(datas)
+    caps = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum([len(d) + len(d) // 255 + 512 for d in datas], out=caps[1:])
+    dst = np.empty(int(caps[-1]), dtype=np.uint8)
+    sizes = np.zeros(n, dtype=np.uint64)
+    hashes = np.zeros(n, dtype=np.uint64)
+    m = np.asarray(methods, dtype=np.int32)
+    lv = np.asarray(levels, dtype=np.int32)
+    fails = int(lib.zn_compress_batch(
+        src, offs.ctypes.data, n, m.ctypes.data, lv.ctypes.data,
+        dst.ctypes.data, caps.ctypes.data, sizes.ctypes.data, hashes.ctypes.data))
+    if fails:
+        return None
+    out = [dst[int(caps[i]) : int(caps[i]) + int(sizes[i])].tobytes() for i in range(n)]
+    return out, [int(h) for h in hashes]
+
+
+def decompress_batch(buf: bytes, comp_offs, comp_sizes, methods, out_sizes, hashes):
+    """Decompress + XXH3-verify N entries of an archive buffer in ONE
+    native call (read-side analog of compress_batch).  Returns
+    (list of bytes, fail_mask list) or None when unavailable."""
+    lib = get_lib()
+    if lib is None or not comp_offs:
+        return None
+    n = len(comp_offs)
+    co = np.asarray(comp_offs, dtype=np.uint64)
+    cs = np.asarray(comp_sizes, dtype=np.uint64)
+    m = np.asarray(methods, dtype=np.int32)
+    oo = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(np.asarray(out_sizes, dtype=np.uint64), out=oo[1:])
+    h = np.asarray(hashes, dtype=np.uint64)
+    dst = np.empty(max(int(oo[-1]), 1), dtype=np.uint8)
+    mask = np.zeros(n, dtype=np.uint8)
+    lib.zn_decompress_batch(
+        buf, co.ctypes.data, cs.ctypes.data, n, m.ctypes.data,
+        dst.ctypes.data, oo.ctypes.data, h.ctypes.data, mask.ctypes.data)
+    outs = [dst[int(oo[i]) : int(oo[i + 1])].tobytes() if not mask[i] else None
+            for i in range(n)]
+    return outs, mask.tolist()
 
 
 def lz4_compress_block(data: bytes, level: int = 1) -> bytes | None:

@@ -200,6 +200,42 @@ class Reader:
                 raise HashMismatchError(e.hash, h)
         return out
 
+    def read_files(self, entries=None, verify: bool = True) -> list[bytes]:
+        """Decompress + verify many entries at once.  Uses the native batch
+        path (one FFI call, parallel worker threads — the read-side of the
+        batched writer) when every entry is store/zstd/lz4; falls back to
+        per-entry :meth:`read_file`.  The reference is single-threaded by
+        design; batch reads are this framework's addition."""
+        ents = [self._resolve(e) for e in (entries if entries is not None else self.file_entries)]
+        if verify and len(ents) >= 4 and all(e.comp_method in (0, 1, 2) for e in ents):
+            from . import native
+
+            for e in ents:
+                get_codec(e.comp_method)  # enforce codec gates
+                if e.offset + e.comp_size > self.file_size:
+                    raise ZPackError(Result.ERROR_FILE_OFFSET_INVALID, "entry data beyond file")
+                if e.comp_size and e.uncomp_size > e.comp_size * 1_000_000 + (1 << 20):
+                    raise ZPackError(Result.ERROR_FILE_SIZE_INVALID, "implausible uncompressed size")
+            lo = min(e.offset for e in ents)
+            hi = max(e.offset + e.comp_size for e in ents)
+            buf = self._source.read_at(lo, hi - lo)
+            if len(buf) == hi - lo:
+                res = native.decompress_batch(
+                    bytes(buf),
+                    [e.offset - lo for e in ents],
+                    [e.comp_size for e in ents],
+                    [e.comp_method for e in ents],
+                    [e.uncomp_size for e in ents],
+                    [e.hash for e in ents],
+                )
+                if res is not None:
+                    outs, mask = res
+                    # failed entries re-run through read_file so callers get
+                    # the exact error (hash mismatch vs decode error)
+                    return [self.read_file(e) if m else o
+                            for (o, m, e) in zip(outs, mask, ents)]
+        return [self.read_file(e, verify=verify) for e in ents]
+
     def extract_iter(self, entry, chunk_size: int = 1 << 20, verify: bool = True):
         """Chunked decode generator (TPU-pythonic face of the reference's
         zpack_read_file_stream, lib/zpack_read.c:473-640)."""

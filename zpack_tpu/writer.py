@@ -152,9 +152,37 @@ class Writer:
 
         ``files``: iterable of (filename, data[, CompressOptions]) tuples or
         dicts with those keys.
+
+        Batches of many files compress + hash on a thread pool (the native
+        codec calls release the GIL); serialization stays in entry order.
+        The reference is single-threaded by design — parallelism across
+        entries is this framework's addition (SURVEY.md §2 north star).
         """
-        for item in files:
-            name, data, options = _normalize_file(item)
+        batch = [_normalize_file(item) for item in files]
+        if len(batch) >= 8 and all(
+            int(o.method) in (0, 1, 2) for _, _, o in batch
+        ):
+            from . import native
+
+            for _, _, o in batch:
+                get_codec(o.method)  # enforce codec gates (disabled methods raise)
+            datas = [bytes(d) for _, d, _ in batch]
+            res = native.compress_batch(
+                datas,
+                [int(o.method) for _, _, o in batch],
+                [o.resolved_level() for _, _, o in batch],
+            )
+            if res is not None:
+                comps, hashes = res
+                for (name, _, options), data, comp, h in zip(batch, datas, comps, hashes):
+                    offset = self.write_offset
+                    self._emit(comp)
+                    self.file_entries.append(records.FileEntry(
+                        filename=name, offset=offset, comp_size=len(comp),
+                        uncomp_size=len(data), hash=h,
+                        comp_method=int(options.method)))
+                return
+        for name, data, options in batch:
             self.add_file(name, data, options)
 
     def add_file(self, filename: str, data: bytes, options: CompressOptions | None = None) -> records.FileEntry:
