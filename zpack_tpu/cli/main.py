@@ -131,10 +131,38 @@ def parse_args(argv: list[str]) -> Options | None:
 
 def _write_files_streaming(writer: Writer, files: list[tuple[str, str]], opts: Options) -> int:
     """parity: write_files (programs/commands.c:56-168): per-file chunked
-    read + streaming compress, printing each name."""
+    read + streaming compress, printing each name.
+
+    Small files accumulate into batches routed through the writer's native
+    batch path (one FFI call compresses+hashes the whole group on worker
+    threads); large files stream with bounded memory like the reference."""
     chunk = 128 << 10
+    batch_limit = 64 << 20  # max bytes buffered for a batch
+    pending: list[tuple[str, bytes]] = []
+    pending_bytes = 0
+
+    def flush_batch():
+        nonlocal pending, pending_bytes
+        if pending:
+            writer.write_files([(n, d, opts.options) for n, d in pending])
+            pending = []
+            pending_bytes = 0
+
     for fs_path, arc_name in files:
         print(f"  {arc_name}")
+        try:
+            small = os.path.getsize(fs_path) <= (1 << 20)
+        except OSError:
+            small = False
+        if small:
+            with open(fs_path, "rb") as f:
+                data = f.read()
+            pending.append((arc_name, data))
+            pending_bytes += len(data)
+            if pending_bytes >= batch_limit:
+                flush_batch()
+            continue
+        flush_batch()  # keep archive entry order
         writer.write_file_stream_begin(arc_name, opts.options)
         with open(fs_path, "rb") as f:
             while True:
@@ -143,6 +171,7 @@ def _write_files_streaming(writer: Writer, files: list[tuple[str, str]], opts: O
                     break
                 writer.write_file_stream(data)
         writer.write_file_stream_end()
+    flush_batch()
     return 0
 
 
@@ -262,33 +291,52 @@ def _extract(opts: Options, full_path: bool) -> int:
             for chunk in read_file_stream_iter(reader, entry):
                 f.write(chunk)
 
-    # memory-backed readers are thread-safe (lib/zpack.h:337-340 contract);
-    # the native codecs release the GIL, so many small entries extract in
-    # parallel across cores.  File-backed readers stay sequential.
-    parallel = len(jobs) > 16 and reader.buffer_shared is not None and         not isinstance(reader._source, type(None))
-    use_threads = len(jobs) > 16 and hasattr(reader._source, "buf")
-    if use_threads:
-        import concurrent.futures as cf
+    # Small entries of memory-backed archives decode through the native
+    # batch path (one FFI call, worker threads, XXH3 verified inside);
+    # large entries stream with bounded memory like the reference.
+    group: list[tuple] = []
+    group_bytes = 0
 
-        with cf.ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
-            futs = {ex.submit(extract_one, e, d): e for e, d in jobs}
-            for fut, entry in futs.items():
-                print(f"  {entry.filename}")
-                try:
-                    fut.result()
-                    extracted += 1
-                except (ZPackError, OSError) as e:
-                    print(f"Error: Failed to extract {entry.filename}: {e}")
-                    errors += 1
-    else:
-        for entry, dest in jobs:
+    def flush_group():
+        nonlocal group, group_bytes, extracted, errors
+        if not group:
+            return
+        outs = None
+        try:
+            outs = reader.read_files([e for e, _ in group])
+        except (ZPackError, OSError):
+            pass  # isolate the bad entry below
+        for i, (entry, dest) in enumerate(group):
             print(f"  {entry.filename}")
             try:
-                extract_one(entry, dest)
+                data = outs[i] if outs is not None else reader.read_file(entry)
+                P.mkdir_p(os.path.dirname(dest))
+                with open(dest, "wb") as f:
+                    f.write(data)
                 extracted += 1
             except (ZPackError, OSError) as e:
                 print(f"Error: Failed to extract {entry.filename}: {e}")
                 errors += 1
+        group = []
+        group_bytes = 0
+
+    batchable = len(jobs) > 8 and hasattr(reader._source, "buf")
+    for entry, dest in jobs:
+        if batchable and entry.uncomp_size <= (1 << 20):
+            group.append((entry, dest))
+            group_bytes += entry.uncomp_size
+            if group_bytes >= (128 << 20):
+                flush_group()
+            continue
+        flush_group()
+        print(f"  {entry.filename}")
+        try:
+            extract_one(entry, dest)
+            extracted += 1
+        except (ZPackError, OSError) as e:
+            print(f"Error: Failed to extract {entry.filename}: {e}")
+            errors += 1
+    flush_group()
     reader.close()
     print(f"-- Done. {extracted} files extracted, {errors} errors.")
     return 1 if errors else 0
