@@ -128,14 +128,16 @@ def main() -> int:
         script = (
             "import time, numpy as np, jax, jax.numpy as jnp\n"
             "jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')\n"
+            "from functools import partial\n"
             "from zpack_tpu.kernels.lz4_jax import tokenize_block\n"
             "rng = np.random.default_rng(0)\n"
-            "blk = jnp.asarray(rng.integers(0, 90, 65536).astype(np.uint8))\n"
-            "r = tokenize_block(blk, 2); jax.block_until_ready(r)\n"
+            "blks = jnp.asarray(rng.integers(0, 90, (16, 65536)).astype(np.uint8))\n"
+            "fn = jax.jit(jax.vmap(partial(tokenize_block, depth=2)))\n"
+            "r = fn(blks); jax.block_until_ready(r)\n"
             "t0 = time.perf_counter()\n"
-            "for _ in range(20): r = tokenize_block(blk, 2)\n"
+            "for _ in range(10): r = fn(blks)\n"
             "jax.block_until_ready(r)\n"
-            "print(65536 / ((time.perf_counter()-t0)/20) / 1e6)\n"
+            "print(16 * 65536 / ((time.perf_counter()-t0)/10) / 1e6)\n"
         )
         proc = subprocess.run(
             [sys.executable, "-c", script], capture_output=True, text=True,

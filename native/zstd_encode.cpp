@@ -17,6 +17,7 @@
 #include <vector>
 #include <algorithm>
 #include <memory>
+#include <climits>
 
 #include "zn_threads.h"
 
@@ -383,6 +384,98 @@ static bool huf_build(const uint32_t* hist, HufEnc& t) {
     return true;
 }
 
+// FSE-compress huffman weights (header byte < 128): two interleaved states
+// over the weight array, dual of read_huf_weights in zstd_decode.cpp.
+// Enables tables whose symbol range exceeds the 128-entry direct-weights
+// cap and shrinks tree descriptions on skewed weight distributions.
+static bool fse_weights(const std::vector<int>& W, std::vector<uint8_t>& out) {
+    size_t n = W.size();
+    if (n < 2) return false;
+    uint32_t hist[16] = {0};
+    int maxw = 0;
+    for (int v : W) {
+        if (v < 0 || v > 12) return false;
+        hist[v]++;
+        if (v > maxw) maxw = v;
+    }
+    uint32_t total = (uint32_t)n;
+    int al = optimal_al(total, maxw, 6);
+    std::vector<int> norm;
+    if (!normalize_counts(hist, maxw + 1, al, total, norm)) return false;
+    std::vector<uint8_t> desc;
+    if (!write_ncount(norm, al, desc)) return false;
+    FseEnc enc;
+    if (!enc.init(norm, al)) return false;
+    BitW w;
+    // even state decodes w0,w2,…; odd decodes w1,w3,… — encode backward
+    int st[2] = {-1, -1};
+    for (size_t k = n; k-- > 0;) {
+        int parity = (int)(k & 1);
+        if (st[parity] < 0) st[parity] = enc.init_state(W[k]);
+        else st[parity] = enc.encode(w, st[parity], W[k]);
+    }
+    if (st[1] < 0) return false;
+    enc.flush(w, st[1]);  // odd flushed first → read second
+    enc.flush(w, st[0]);  // even read first by the decoder
+    w.finish();
+    size_t csize = desc.size() + w.out.size();
+    if (csize >= 128) return false;
+    // Self-verify by simulating the spec decoder (stream exhaustion — not a
+    // count — terminates it; 0-bit states could otherwise over-run):
+    {
+        std::vector<uint16_t> symbols;
+        if (!spread_symbols(norm, al, symbols)) return false;
+        int size = 1 << al;
+        std::vector<int> next(norm.size());
+        for (size_t s = 0; s < norm.size(); s++) next[s] = norm[s] == -1 ? 1 : norm[s];
+        std::vector<uint8_t> nb(size);
+        std::vector<uint16_t> ns(size);
+        for (int u = 0; u < size; u++) {
+            int s = symbols[u];
+            int x = next[s]++;
+            int hb = 31 - __builtin_clz((uint32_t)x);
+            nb[u] = (uint8_t)(al - hb);
+            ns[u] = (uint16_t)((x << (al - hb)) - size);
+        }
+        const uint8_t* bs = w.out.data();
+        size_t bn = w.out.size();
+        if (!bn || bs[bn - 1] == 0) return false;
+        long long bits_left = (long long)(bn - 1) * 8 + (31 - __builtin_clz((uint32_t)bs[bn - 1]));
+        auto rd = [&](int nbits) -> uint32_t {
+            if (!nbits) return 0;
+            bits_left -= nbits;
+            long long pos = bits_left;
+            uint64_t word = 0;
+            if (pos >= 0) {
+                size_t byte = (size_t)(pos >> 3);
+                for (size_t i = 0; i < 8 && byte + i < bn; i++)
+                    word |= (uint64_t)bs[byte + i] << (8 * i);
+                return (uint32_t)((word >> (pos & 7)) & ((1ull << nbits) - 1));
+            }
+            return 0;
+        };
+        uint32_t even = rd(al), odd = rd(al);
+        std::vector<int> got;
+        while (got.size() <= 255) {
+            got.push_back(symbols[even]);
+            int bits = nb[even];
+            if (bits_left < bits) { got.push_back(symbols[odd]); break; }
+            even = ns[even] + rd(bits);
+            got.push_back(symbols[odd]);
+            bits = nb[odd];
+            if (bits_left < bits) { got.push_back(symbols[even]); break; }
+            odd = ns[odd] + rd(bits);
+        }
+        if (got.size() != n) return false;
+        for (size_t k = 0; k < n; k++) if (got[k] != W[k]) return false;
+    }
+    out.clear();
+    out.push_back((uint8_t)csize);
+    out.insert(out.end(), desc.begin(), desc.end());
+    out.insert(out.end(), w.out.begin(), w.out.end());
+    return true;
+}
+
 static void huf_encode_stream(const uint8_t* d, size_t n, const HufEnc& t,
                               std::vector<uint8_t>& out) {
     out.clear();
@@ -413,7 +506,16 @@ static void huf_encode_stream(const uint8_t* d, size_t n, const HufEnc& t,
 
 struct Seq { uint32_t ll, ml, ov; };
 
-static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>& out) {
+// Per-frame literal-table state: a block may reuse the previous Huffman
+// table ("treeless", literals type 3) when it covers the block's symbols
+// and re-describing a fresh tree wouldn't pay (RFC 8878 §3.1.1.3.1.4).
+struct LitState {
+    HufEnc prev;
+    bool valid = false;
+};
+
+static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>& out,
+                            LitState& ls) {
     out.clear();
     if (rs == 0) { out.push_back(0); return; }
     // RLE literals
@@ -451,34 +553,68 @@ static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>
             est_bits += (double)c * lb;
         }
         HufEnc t;
-        if (est_bits / 8 + 64 < rs && huf_build(hist, t) && (int)t.weights.size() <= 128) {
-            // direct weights
-            std::vector<uint8_t> tree;
-            tree.push_back((uint8_t)(127 + t.weights.size()));
-            for (size_t i = 0; i < t.weights.size(); i += 2) {
-                int hi = t.weights[i] << 4;
-                int lo = i + 1 < t.weights.size() ? t.weights[i + 1] : 0;
-                tree.push_back((uint8_t)(hi | lo));
+        bool own_ok = est_bits / 8 + 64 < rs && huf_build(hist, t);
+        // tree description: direct weights vs FSE-compressed weights
+        std::vector<uint8_t> tree;
+        if (own_ok) {
+            if (t.weights.size() <= 128) {
+                tree.push_back((uint8_t)(127 + t.weights.size()));
+                for (size_t i = 0; i < t.weights.size(); i += 2) {
+                    int hi = t.weights[i] << 4;
+                    int lo = i + 1 < t.weights.size() ? t.weights[i + 1] : 0;
+                    tree.push_back((uint8_t)(hi | lo));
+                }
             }
+            std::vector<uint8_t> fsed;
+            if (fse_weights(t.weights, fsed) && (tree.empty() || fsed.size() < tree.size()))
+                tree.swap(fsed);
+            if (tree.empty()) own_ok = false;  // >128 weights and FSE failed
+        }
+        // treeless candidate: previous table covers this block's symbols and
+        // its (tree-free) streams estimate no bigger than fresh table+tree
+        const HufEnc* table = own_ok ? &t : nullptr;
+        int ltype = 2;
+        if (ls.valid) {
+            bool covers = true;
+            long long bits_prev = 0;
+            for (int sym = 0; sym < 256 && covers; sym++) {
+                if (!hist[sym]) continue;
+                if (!ls.prev.lengths[sym]) covers = false;
+                else bits_prev += (long long)hist[sym] * ls.prev.lengths[sym];
+            }
+            if (covers) {
+                long long bits_own = LLONG_MAX;
+                if (own_ok) {
+                    bits_own = (long long)tree.size() * 8;
+                    for (int sym = 0; sym < 256; sym++)
+                        if (hist[sym]) bits_own += (long long)hist[sym] * t.lengths[sym];
+                }
+                if (bits_prev <= bits_own) {
+                    table = &ls.prev;
+                    ltype = 3;
+                    tree.clear();
+                }
+            }
+        }
+        if (table) {
             size_t per = (rs + 3) / 4;
             std::vector<uint8_t> s[4];
             bool four = rs >= 256 && rs - 3 * per > 0;
             size_t cs;
             if (four) {
-                huf_encode_stream(lits, per, t, s[0]);
-                huf_encode_stream(lits + per, per, t, s[1]);
-                huf_encode_stream(lits + 2 * per, per, t, s[2]);
-                huf_encode_stream(lits + 3 * per, rs - 3 * per, t, s[3]);
+                huf_encode_stream(lits, per, *table, s[0]);
+                huf_encode_stream(lits + per, per, *table, s[1]);
+                huf_encode_stream(lits + 2 * per, per, *table, s[2]);
+                huf_encode_stream(lits + 3 * per, rs - 3 * per, *table, s[3]);
                 cs = tree.size() + 6 + s[0].size() + s[1].size() + s[2].size() + s[3].size();
             } else {
-                huf_encode_stream(lits, rs, t, s[0]);
+                huf_encode_stream(lits, rs, *table, s[0]);
                 cs = tree.size() + s[0].size();
             }
             bool fits = four ? (s[0].size() <= 0xFFFF && s[1].size() <= 0xFFFF && s[2].size() <= 0xFFFF)
                              : (rs <= 1023 && cs <= 1023);
             if (fits && cs + 5 < rs) {
                 // compressed literals header
-                int ltype = 2;
                 if (!four) {
                     out.push_back((uint8_t)(ltype | (0 << 2) | ((rs & 0xF) << 4)));
                     out.push_back((uint8_t)((rs >> 4) | ((cs & 3) << 6)));
@@ -510,6 +646,10 @@ static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>
                     for (int i = 0; i < 4; i++) out.insert(out.end(), s[i].begin(), s[i].end());
                 } else {
                     out.insert(out.end(), s[0].begin(), s[0].end());
+                }
+                if (ltype == 2) {  // fresh table becomes the frame's current
+                    ls.prev = t;
+                    ls.valid = true;
                 }
                 return;
             }
@@ -1031,7 +1171,7 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
 
 static bool encode_block_body(const uint8_t* block, size_t bsize,
                               const std::vector<Seq>& seqs, size_t lit_tail,
-                              std::vector<uint8_t>& out) {
+                              std::vector<uint8_t>& out, LitState& ls) {
     // collect literals
     std::vector<uint8_t> lits;
     lits.reserve(bsize);
@@ -1042,7 +1182,7 @@ static bool encode_block_body(const uint8_t* block, size_t bsize,
     }
     lits.insert(lits.end(), block + pos, block + pos + lit_tail);
 
-    encode_literals(lits.data(), lits.size(), out);
+    encode_literals(lits.data(), lits.size(), out, ls);
     size_t nb = seqs.size();
     if (nb < 128) out.push_back((uint8_t)nb);
     else if (nb < 0x7F00) {
@@ -1192,6 +1332,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
 
     std::vector<Seq> seqs;
     std::vector<uint8_t> body;
+    LitState lit_state;
     OptState opt_state;
     if (level > 12) opt_state.init(n);
     for (size_t off = 0; off < n; off += BS) {
@@ -1211,6 +1352,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
         }
         size_t lit_tail = 0;
         uint64_t rep_backup[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
+        LitState lit_backup = lit_state;
         // crude per-block byte entropy (bits/byte) for match-vs-literal costs
         int lit_bits;
         {
@@ -1224,15 +1366,17 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
         find_sequences(src, off, off + bsize, n, ctx, hash_bits, depth, lazy,
                        max_offset, seqs, lit_tail, level > 12 ? 3 : 0, lit_bits);
         body.clear();
-        bool ok = encode_block_body(src + off, bsize, seqs, lit_tail, body);
+        bool ok = encode_block_body(src + off, bsize, seqs, lit_tail, body, lit_state);
         if (level > 12) {
             // per-block strategy tournament: each candidate runs from the
             // same incoming rep state; the smallest actual encoded body
             // wins and its rep evolution carries to the next block
             uint64_t rep_win[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
+            LitState lit_win = lit_state;
             const std::vector<Seq>* seed_seqs = &seqs;  // stats source for opt
             auto restore = [&] {
                 ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
+                lit_state = lit_backup;
             };
             auto consider = [&](bool okc, std::vector<uint8_t>& bodyc,
                                 const std::vector<Seq>* seqsc) {
@@ -1240,6 +1384,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                     body.swap(bodyc);
                     ok = true;
                     rep_win[0] = ctx.rep[0]; rep_win[1] = ctx.rep[1]; rep_win[2] = ctx.rep[2];
+                    lit_win = lit_state;
                     if (seqsc) seed_seqs = seqsc;
                 }
             };
@@ -1250,7 +1395,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             find_sequences(src, off, off + bsize, n, ctx, hash_bits, 4, false,
                            max_offset, seqs2, lit_tail2, 0, lit_bits);
             std::vector<uint8_t> body2;
-            bool ok2 = encode_block_body(src + off, bsize, seqs2, lit_tail2, body2);
+            bool ok2 = encode_block_body(src + off, bsize, seqs2, lit_tail2, body2, lit_state);
             size_t fast_size = ok2 ? body2.size() : 0;
             consider(ok2, body2, &seqs2);
             // strategy 3: optimal parse (persistent cross-block BT) with
@@ -1271,7 +1416,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                 find_sequences_opt(src, off, off + bsize, n, max_offset, opt_state,
                                    ctx, P, seqs4, lit_tail4, cache);
                 std::vector<uint8_t> body4;
-                bool ok4 = encode_block_body(src + off, bsize, seqs4, lit_tail4, body4);
+                bool ok4 = encode_block_body(src + off, bsize, seqs4, lit_tail4, body4, lit_state);
                 if (!ok4) break;
                 if (iter == 0) opt1_size = body4.size();
                 bool improved = !ok3 || body4.size() < body3.size();
@@ -1281,7 +1426,8 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                     // the best opt body for the improvement test
                     ok3 = true;
                     std::vector<uint8_t> tmp;
-                    encode_block_body(src + off, bsize, seqs4, lit_tail4, tmp);
+                    LitState scratch = lit_backup;
+                    encode_block_body(src + off, bsize, seqs4, lit_tail4, tmp, scratch);
                     body3.swap(tmp);
                 }
                 seqs3.swap(seqs4);
@@ -1293,6 +1439,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                         off / BS, body.size(), fast_size, opt1_size,
                         ok3 ? body3.size() : 0);
             ctx.rep[0] = rep_win[0]; ctx.rep[1] = rep_win[1]; ctx.rep[2] = rep_win[2];
+            lit_state = lit_win;
         }
         if (ok && body.size() < bsize) {
             uint32_t bh = (uint32_t)last | (2u << 1) | ((uint32_t)body.size() << 3);
@@ -1300,6 +1447,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             if (!emit(bhb, 3) || !emit(body.data(), body.size())) return (size_t)-1;
         } else {
             ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
+            lit_state = lit_backup;
             uint32_t bh = (uint32_t)last | (0u << 1) | ((uint32_t)bsize << 3);
             uint8_t bhb[3] = {(uint8_t)bh, (uint8_t)(bh >> 8), (uint8_t)(bh >> 16)};
             if (!emit(bhb, 3) || !emit(src + off, bsize)) return (size_t)-1;

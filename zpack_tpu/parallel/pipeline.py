@@ -90,7 +90,7 @@ class MeshCompressor:
     #: blocks processed per device per jitted step — small fixed batches keep
     #: one compiled program (the remote TPU compiler scales badly with the
     #: vmap width) that is reused across however much data flows through
-    BLOCKS_PER_DEVICE_STEP = 4
+    BLOCKS_PER_DEVICE_STEP = 16
 
     def __init__(self, mesh: Mesh | None = None, level: int = 1, block_size: int = BLOCK):
         self.mesh = mesh if mesh is not None else make_mesh()
