@@ -284,9 +284,30 @@ bool huf_decode_stream(const uint8_t* data, size_t size, const HufTable& t,
                        uint8_t* out, size_t n_symbols) {
     BackBits br;
     if (!br.init(data, size)) return false;
-    // peek-based decode: maintain a window of max_bits bits
     int mb = t.max_bits;
-    for (size_t i = 0; i < n_symbols; i++) {
+    const uint8_t* syms = t.symbols.data();
+    const uint8_t* nbb = t.nb_bits.data();
+    size_t i = 0;
+    // fast loop: one 8-byte load serves ~(57-mb)/avg_bits symbols — the
+    // window covers bits [base*8, base*8+64) and symbols consume downward
+    uint32_t mask = (1u << mb) - 1;
+    while (i < n_symbols && br.bits_left >= mb) {
+        size_t byte_end = (size_t)((br.bits_left + 7) >> 3);
+        if (byte_end < 8 || byte_end > size) break;
+        size_t base = byte_end - 8;
+        uint64_t w;
+        memcpy(&w, data + base, 8);
+        long long base_bits = (long long)base * 8 + mb;
+        long long bl = br.bits_left;
+        while (i < n_symbols && bl >= base_bits) {
+            uint32_t idx = (uint32_t)((w >> (bl - base_bits)) & mask);
+            out[i++] = syms[idx];
+            bl -= nbb[idx];
+        }
+        br.bits_left = bl;
+    }
+    // tail (stream start / under-run): exact bit-window semantics
+    for (; i < n_symbols; i++) {
         long long pos = br.bits_left;
         uint32_t idx;
         if (pos >= mb) {
