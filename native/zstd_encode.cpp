@@ -735,6 +735,93 @@ static inline size_t match_len(const uint8_t* a, const uint8_t* b, size_t limit)
     return n;
 }
 
+// zstd_fast-class matcher for the speed levels: ONE 6-byte-hash table
+// probe + a rep0 check per position, lz4-style skip acceleration,
+// backward extension, insert-at-match-end.  (The general matcher below
+// runs rep triples + a dfast 8-byte probe + chain walks — 3x the work.)
+static inline uint32_t zhash6(uint64_t v, int bits) {
+    return (uint32_t)(((v << 16) * 0x9E3779B185EBCA87ULL) >> (64 - bits));
+}
+
+static void find_sequences_fast(const uint8_t* base, size_t start, size_t end,
+                                EncCtx& ctx, int hash_bits, size_t max_offset,
+                                std::vector<Seq>& seqs, size_t& lit_tail) {
+    enc_init();
+    std::vector<int32_t>& htab = ctx.htab;
+    size_t pos = start;
+    size_t lit_start = start;
+    seqs.clear();
+    if (end < 13 || end - start < 13) { lit_tail = end - start; return; }
+    size_t mf = end - 8;  // 8-byte reads at pos
+    size_t limit = end;
+    size_t accel = 1;
+    while (pos + 1 < mf) {
+        size_t best_len = 0, best_off = 0;
+        // rep0 first: cheapest code, and only addressable with ll >= 1
+        uint64_t r0 = ctx.rep[0];
+        if (pos > lit_start && r0 && r0 <= pos &&
+            rd32e(base + pos) == rd32e(base + pos - r0)) {
+            best_len = match_len(base + pos, base + pos - r0, limit - pos);
+            best_off = r0;
+        }
+        // dual-position probe (zstd_fast's ip0/ip1 pipeline): two table
+        // lookups issue together, halving the effective skip granularity
+        uint32_t h0 = zhash6(rd64e(base + pos), hash_bits);
+        uint32_t h1 = zhash6(rd64e(base + pos + 1), hash_bits);
+        int32_t cand0 = htab[h0];
+        htab[h0] = (int32_t)pos;
+        if (best_len < 4) {
+            int32_t cand = cand0;
+            if (cand >= 0 && (size_t)cand < pos && pos - (size_t)cand <= max_offset &&
+                rd32e(base + cand) == rd32e(base + pos)) {
+                size_t l = match_len(base + pos, base + cand, limit - pos);
+                if (l >= 6) {  // mml 6: short fresh matches lose to literals here
+                    best_len = l;
+                    best_off = pos - (size_t)cand;
+                    // extend backwards into pending literals
+                    while (pos > lit_start && cand > 0 &&
+                           base[pos - 1] == base[cand - 1]) {
+                        pos--; cand--; best_len++;
+                    }
+                }
+            }
+            if (best_len < 4) {
+                int32_t c1 = htab[h1];
+                htab[h1] = (int32_t)(pos + 1);
+                if (c1 >= 0 && (size_t)c1 < pos + 1 && pos + 1 - (size_t)c1 <= max_offset &&
+                    rd32e(base + c1) == rd32e(base + pos + 1)) {
+                    size_t l = match_len(base + pos + 1, base + c1, limit - pos - 1);
+                    if (l >= 6) {
+                        pos += 1;
+                        best_len = l;
+                        best_off = pos - (size_t)c1;
+                        size_t cnd = (size_t)c1;
+                        while (pos > lit_start && cnd > 0 &&
+                               base[pos - 1] == base[cnd - 1]) {
+                            pos--; cnd--; best_len++;
+                        }
+                    }
+                }
+            }
+        }
+        if (best_len >= 4) {
+            Seq s;
+            s.ll = (uint32_t)(pos - lit_start);
+            s.ml = (uint32_t)best_len;
+            s.ov = offset_value(best_off, s.ll, ctx.rep);
+            seqs.push_back(s);
+            pos += best_len;
+            lit_start = pos;
+            if (pos + 8 <= end && pos >= 2)
+                htab[zhash6(rd64e(base + pos - 2), hash_bits)] = (int32_t)(pos - 2);
+            accel = 1;
+            continue;
+        }
+        pos += 2 + (accel++ >> 6);
+    }
+    lit_tail = end - lit_start;
+}
+
 // greedy matcher over [start, end) of base; sequences relative to block
 static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t src_total,
                            EncCtx& ctx, int hash_bits, int chain_depth, bool lazy,
@@ -1363,8 +1450,12 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             lit_bits = nz <= 1 ? 1 : highbit32(nz - 1) + 1;  // ≈ log2(alphabet)
             if (lit_bits > 8) lit_bits = 8;
         }
-        find_sequences(src, off, off + bsize, n, ctx, hash_bits, depth, lazy,
-                       max_offset, seqs, lit_tail, level > 12 ? 3 : 0, lit_bits);
+        if (level <= 1)
+            find_sequences_fast(src, off, off + bsize, ctx, hash_bits,
+                                max_offset, seqs, lit_tail);
+        else
+            find_sequences(src, off, off + bsize, n, ctx, hash_bits, depth, lazy,
+                           max_offset, seqs, lit_tail, level > 12 ? 3 : 0, lit_bits);
         body.clear();
         bool ok = encode_block_body(src + off, bsize, seqs, lit_tail, body, lit_state);
         if (level > 12) {
