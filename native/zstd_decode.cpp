@@ -280,14 +280,15 @@ bool build_huf_table(const std::vector<int>& weights, HufTable& t) {
     return true;
 }
 
-bool huf_decode_stream(const uint8_t* data, size_t size, const HufTable& t,
-                       uint8_t* out, size_t n_symbols) {
-    BackBits br;
-    if (!br.init(data, size)) return false;
+// Decode symbols [i..n) of one stream from an already-initialized reader
+// (the resumable core shared by the 1- and 4-stream entry points).
+static bool huf_decode_tail(BackBits& br, const HufTable& t,
+                            uint8_t* out, size_t i, size_t n_symbols) {
     int mb = t.max_bits;
     const uint8_t* syms = t.symbols.data();
     const uint8_t* nbb = t.nb_bits.data();
-    size_t i = 0;
+    const uint8_t* data = br.data;
+    size_t size = br.size;
     // fast loop: one 8-byte load serves ~(57-mb)/avg_bits symbols — the
     // window covers bits [base*8, base*8+64) and symbols consume downward
     uint32_t mask = (1u << mb) - 1;
@@ -323,6 +324,60 @@ bool huf_decode_stream(const uint8_t* data, size_t size, const HufTable& t,
         br.bits_left -= t.nb_bits[idx];
     }
     return br.bits_left == 0;
+}
+
+bool huf_decode_stream(const uint8_t* data, size_t size, const HufTable& t,
+                       uint8_t* out, size_t n_symbols) {
+    BackBits br;
+    if (!br.init(data, size)) return false;
+    return huf_decode_tail(br, t, out, 0, n_symbols);
+}
+
+// Four independent streams decoded round-robin: each round reloads one
+// 8-byte window per stream, then runs R check-free symbols per stream —
+// four dependency chains keep the load ports busy (HUF_decompress4X's
+// interleave, adapted to the windowed reader).
+bool huf_decode_4streams(const uint8_t* sp[4], const size_t sizes[4],
+                         uint8_t* outp[4], const size_t ns[4], const HufTable& t) {
+    BackBits br[4];
+    for (int k = 0; k < 4; k++)
+        if (!br[k].init(sp[k], sizes[k])) return false;
+    int mb = t.max_bits;
+    const uint8_t* syms = t.symbols.data();
+    const uint8_t* nbb = t.nb_bits.data();
+    uint32_t mask = (1u << mb) - 1;
+    // R symbols per window are safe: the window holds >= 57 bits above its
+    // base and each symbol consumes at most mb
+    int R = (57 - mb) / mb;
+    if (R < 1) R = 1;
+    size_t i[4] = {0, 0, 0, 0};
+    uint64_t w[4];
+    long long base_bits[4];
+    while (true) {
+        bool all_ok = true;
+        size_t min_left = (size_t)-1;
+        for (int k = 0; k < 4; k++) {
+            size_t left = ns[k] - i[k];
+            if (left < min_left) min_left = left;
+            long long bl = br[k].bits_left;
+            size_t byte_end = (size_t)((bl + 7) >> 3);
+            if (bl < mb || byte_end < 8 || byte_end > sizes[k]) { all_ok = false; break; }
+            memcpy(&w[k], sp[k] + byte_end - 8, 8);
+            base_bits[k] = (long long)(byte_end - 8) * 8 + mb;
+        }
+        if (!all_ok || min_left < (size_t)R) break;
+        for (int r = 0; r < R; r++) {
+            for (int k = 0; k < 4; k++) {
+                long long bl = br[k].bits_left;
+                uint32_t idx = (uint32_t)((w[k] >> (bl - base_bits[k])) & mask);
+                outp[k][i[k]++] = syms[idx];
+                br[k].bits_left = bl - nbb[idx];
+            }
+        }
+    }
+    for (int k = 0; k < 4; k++)
+        if (!huf_decode_tail(br[k], t, outp[k], i[k], ns[k])) return false;
+    return true;
 }
 
 // ---------------------------------------------------------------------------
@@ -488,13 +543,16 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
             const uint8_t* sp = body + 6;
             size_t sizes[4] = {s1, s2, s3, body_n - 6 - s1 - s2 - s3};
             size_t outs[4] = {per, per, per, rs - 3 * per};
+            const uint8_t* sps[4];
+            uint8_t* ops[4];
             size_t o = 0;
             for (int i = 0; i < 4; i++) {
-                if (!huf_decode_stream(sp, sizes[i], ctx.huf, lits.data() + o, outs[i]))
-                    return false;
+                sps[i] = sp;
+                ops[i] = lits.data() + o;
                 sp += sizes[i];
                 o += outs[i];
             }
+            if (!huf_decode_4streams(sps, sizes, ops, outs, ctx.huf)) return false;
         }
         pos += cs;
     }

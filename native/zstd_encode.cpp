@@ -1390,7 +1390,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
     }
 
     int hash_bits = level <= 3 ? 16 : 17;
-    int depth = level <= 1 ? 1 : level <= 3 ? 4 : level <= 12 ? 16 : 128;
+    int depth = level <= 2 ? 1 : level <= 3 ? 4 : level <= 12 ? 16 : 128;
     // shrink the tables for small inputs: fixed-size table memsets would
     // dominate sub-64KB calls (10k-small-file archives, BASELINE config 4)
     while (hash_bits > 10 && (1u << hash_bits) > 2 * n) hash_bits--;
