@@ -456,18 +456,58 @@ def command_test(opts: Options) -> int:
     archive_path = opts.path_list[0]
     print(f"-- Reading archive: {archive_path}")
     try:
-        reader = Reader.open(archive_path)
-    except ZPackError as e:
-        print(f'Error: Failed to open "{archive_path}" for reading (code {e.code})')
+        # memory-backed when it fits: small entries verify through the
+        # native batch path (parallel decompress + XXH3 inside one call)
+        if os.path.getsize(archive_path) <= (512 << 20):
+            with open(archive_path, "rb") as f:
+                reader = Reader.from_memory(f.read(), shared=True)
+        else:
+            reader = Reader.open(archive_path)
+    except (ZPackError, OSError) as e:
+        code = getattr(e, "code", "io")
+        print(f'Error: Failed to open "{archive_path}" for reading (code {code})')
         return 1
     print("-- Testing files...")
     failed = 0
-    for entry in reader.file_entries:
+
+    def verify_streaming(entry) -> bool:
         try:
             for _ in read_file_stream_iter(reader, entry):
                 pass
-            print(f"  OK: {entry.filename}")
+            return True
         except ZPackError:
+            return False
+
+    batchable = (len(reader.file_entries) > 8 and hasattr(reader._source, "buf"))
+    small = [e for e in reader.file_entries if e.uncomp_size <= (1 << 20)]
+    ok_map = {}
+    if batchable and len(small) > 8:
+        try:
+            from .. import native
+
+            res = native.decompress_batch(
+                bytes(reader._source.buf),
+                [e.offset for e in small],
+                [e.comp_size for e in small],
+                [e.comp_method for e in small],
+                [e.uncomp_size for e in small],
+                [e.hash for e in small],
+            ) if all(
+                e.comp_method in (0, 1, 2)
+                and e.offset + e.comp_size <= reader.file_size
+                and (not e.comp_size or e.uncomp_size <= e.comp_size * 1_000_000 + (1 << 20))
+                for e in small
+            ) else None
+            if res is not None:
+                _, mask = res
+                ok_map = {id(e): not m for e, m in zip(small, mask)}
+        except ZPackError:
+            pass
+    for entry in reader.file_entries:
+        ok = ok_map[id(entry)] if id(entry) in ok_map else verify_streaming(entry)
+        if ok:
+            print(f"  OK: {entry.filename}")
+        else:
             print(f"  FAILED: {entry.filename}")
             failed += 1
     reader.close()
