@@ -159,7 +159,10 @@ class Writer:
         entries is this framework's addition (SURVEY.md §2 north star).
         """
         batch = [_normalize_file(item) for item in files]
-        if len(batch) >= 8 and all(
+        batch_worthy = len(batch) >= 8 or (
+            len(batch) >= 2 and sum(len(d) for _, d, _ in batch) >= (2 << 20)
+        )
+        if batch_worthy and all(
             int(o.method) in (0, 1, 2) for _, _, o in batch
         ):
             from . import native
