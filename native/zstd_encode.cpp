@@ -935,6 +935,77 @@ static void find_sequences(const uint8_t* base, size_t start, size_t end, size_t
 }
 
 
+// Dominant-stride detection: fixed-record data (tables, logs, telemetry)
+// compresses best when every sequence uses ONE offset — the record stride —
+// so all three FSE code streams have near-zero entropy.  A static-price DP
+// cannot coordinate on that global pattern (measured: libzstd's converged
+// parse on stride-32 records is 25% smaller than our DP's local optimum),
+// so we detect the stride by sampled autocorrelation and run a dedicated
+// offset-locked greedy as one more tournament strategy.
+static size_t detect_stride(const uint8_t* p, size_t n) {
+    if (n < 4096) return 0;
+    const size_t MAXS = 2048;
+    static thread_local uint32_t score[2048 + 1];
+    memset(score, 0, sizeof(uint32_t) * (MAXS + 1));
+    size_t samples = 2048;
+    size_t step = (n - MAXS - 4) / samples;
+    if (!step) step = 1;
+    uint32_t total = 0;
+    for (size_t q = MAXS; q + 4 <= n; q += step) {
+        uint32_t v = rd32e(p + q);
+        // fine linear band for small strides (typical record sizes)…
+        for (size_t s = 4; s <= 80; s++)
+            if (rd32e(p + q - s) == v) score[s]++;
+        // …plus powers of two above it
+        for (size_t s = 128; s <= MAXS; s <<= 1)
+            if (rd32e(p + q - s) == v) score[s]++;
+        total++;
+    }
+    size_t best = 0;
+    uint32_t best_score = 0;
+    for (size_t s = 4; s <= MAXS; s++)
+        if (score[s] > best_score) { best_score = score[s]; best = s; }
+    // require a strong signal: a quarter of samples repeat at the stride
+    if (best_score * 4 < total) return 0;
+    return best;
+}
+
+// Offset-locked greedy: match ONLY at `stride` (3-byte min once the stride
+// is the active rep0), everything else literals.
+static void find_sequences_stride(const uint8_t* base, size_t start, size_t end,
+                                  size_t stride, EncCtx& ctx,
+                                  std::vector<Seq>& seqs, size_t& lit_tail) {
+    size_t pos = start;
+    size_t lit_start = start;
+    seqs.clear();
+    if (end < start + 16) { lit_tail = end - start; return; }
+    size_t mf = end - 4;
+    while (pos < mf) {
+        if (pos >= stride) {
+            uint32_t a = rd32e(base + pos);
+            uint32_t b = rd32e(base + pos - stride);
+            bool is_rep = ctx.rep[0] == stride && pos > lit_start;
+            // 3-byte matches only pay as rep codes; fresh needs 6+
+            size_t lmin = is_rep ? 3 : 6;
+            if (!((a ^ b) & 0xFFFFFF)) {
+                size_t l = match_len(base + pos, base + pos - stride, end - pos);
+                if (l >= lmin) {
+                    Seq s;
+                    s.ll = (uint32_t)(pos - lit_start);
+                    s.ml = (uint32_t)l;
+                    s.ov = offset_value(stride, s.ll, ctx.rep);
+                    seqs.push_back(s);
+                    pos += l;
+                    lit_start = pos;
+                    continue;
+                }
+            }
+        }
+        pos++;
+    }
+    lit_tail = end - lit_start;
+}
+
 // ---------------------------------------------------------------------------
 // optimal parse (btopt-style): DP with per-cell repeat-offset state and
 // statistics-driven bit prices (derived from a first greedy pass)
@@ -1489,7 +1560,22 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             bool ok2 = encode_block_body(src + off, bsize, seqs2, lit_tail2, body2, lit_state);
             size_t fast_size = ok2 ? body2.size() : 0;
             consider(ok2, body2, &seqs2);
-            // strategy 3: optimal parse (persistent cross-block BT) with
+            // strategy 3: stride-locked greedy on fixed-record data
+            size_t stride_size = 0;
+            size_t stride = detect_stride(src + off, bsize);
+            std::vector<Seq> seqsS;  // outlives the tournament (seed_seqs may point here)
+            if (stride) {
+                restore();
+                size_t lit_tailS = 0;
+                find_sequences_stride(src, off, off + bsize, stride, ctx,
+                                      seqsS, lit_tailS);
+                std::vector<uint8_t> bodyS;
+                bool okS = encode_block_body(src + off, bsize, seqsS, lit_tailS,
+                                             bodyS, lit_state);
+                stride_size = okS ? bodyS.size() : 0;
+                consider(okS, bodyS, &seqsS);
+            }
+            // strategy 4: optimal parse (persistent cross-block BT) with
             // prices seeded from the best strategy so far, then price
             // iteration: re-run the DP with prices measured from its own
             // output (btultra2's two-pass scheme; BT walk results cached)
@@ -1526,9 +1612,9 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                 build_opt_prices(src + off, bsize, seqs3, P);  // reprice from latest
             }
             if (getenv("ZN_DEBUG"))
-                fprintf(stderr, "blk %zu: best=%zu fast=%zu opt=%zu opt_it=%zu\n",
-                        off / BS, body.size(), fast_size, opt1_size,
-                        ok3 ? body3.size() : 0);
+                fprintf(stderr, "blk %zu: best=%zu fast=%zu stride[%zu]=%zu opt=%zu opt_it=%zu\n",
+                        off / BS, body.size(), fast_size, stride, stride_size,
+                        opt1_size, ok3 ? body3.size() : 0);
             ctx.rep[0] = rep_win[0]; ctx.rep[1] = rep_win[1]; ctx.rep[2] = rep_win[2];
             lit_state = lit_win;
         }
