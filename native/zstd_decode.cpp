@@ -193,8 +193,10 @@ void build_rle_table(int symbol, FseTable& t) {
 
 struct HufTable {
     int max_bits = 0;
-    std::vector<uint8_t> symbols;  // 2^max_bits
-    std::vector<uint8_t> nb_bits;
+    // fused entry: nb_bits | (symbol << 8) — one 16-bit load per decoded
+    // symbol; nb_bits sits in the LOW byte so the loop-carried bit-position
+    // update is a zero-extend with no shift on the critical path
+    std::vector<uint16_t> ent;  // 2^max_bits
     bool valid = false;
 };
 
@@ -260,17 +262,14 @@ bool build_huf_table(const std::vector<int>& weights, HufTable& t) {
     if ((1ull << max_bits) != total || max_bits > 11) return false;
     int size = 1 << max_bits;
     t.max_bits = max_bits;
-    t.symbols.assign(size, 0);
-    t.nb_bits.assign(size, 0);
+    t.ent.assign(size, 0);
     int pos = 0;
     for (int w = 1; w <= max_bits; w++) {
         for (size_t s = 0; s < weights.size(); s++) {
             if (weights[s] == w) {
                 int length = 1 << (w - 1);
-                for (int i = 0; i < length; i++) {
-                    t.symbols[pos + i] = (uint8_t)s;
-                    t.nb_bits[pos + i] = (uint8_t)(max_bits + 1 - w);
-                }
+                uint16_t e = (uint16_t)((max_bits + 1 - w) | (s << 8));
+                for (int i = 0; i < length; i++) t.ent[pos + i] = e;
                 pos += length;
             }
         }
@@ -285,27 +284,29 @@ bool build_huf_table(const std::vector<int>& weights, HufTable& t) {
 static bool huf_decode_tail(BackBits& br, const HufTable& t,
                             uint8_t* out, size_t i, size_t n_symbols) {
     int mb = t.max_bits;
-    const uint8_t* syms = t.symbols.data();
-    const uint8_t* nbb = t.nb_bits.data();
+    const uint16_t* ent = t.ent.data();
     const uint8_t* data = br.data;
     size_t size = br.size;
-    // fast loop: one 8-byte load serves ~(57-mb)/avg_bits symbols — the
-    // window covers bits [base*8, base*8+64) and symbols consume downward
-    uint32_t mask = (1u << mb) - 1;
+    // fast loop: one 8-byte load per window; the container is shifted left
+    // as bits are consumed so the per-symbol chain is shl + const-shr + load
+    // (no subtract/mask on the critical path)
     while (i < n_symbols && br.bits_left >= mb) {
         size_t byte_end = (size_t)((br.bits_left + 7) >> 3);
         if (byte_end < 8 || byte_end > size) break;
-        size_t base = byte_end - 8;
         uint64_t w;
-        memcpy(&w, data + base, 8);
-        long long base_bits = (long long)base * 8 + mb;
+        memcpy(&w, data + byte_end - 8, 8);
         long long bl = br.bits_left;
-        while (i < n_symbols && bl >= base_bits) {
-            uint32_t idx = (uint32_t)((w >> (bl - base_bits)) & mask);
-            out[i++] = syms[idx];
-            bl -= nbb[idx];
+        int q = (int)(bl - (long long)(byte_end - 8) * 8);  // usable bits, 57..64
+        uint64_t ws = w << (64 - q);
+        int c = 0;  // consumed this window
+        int budget = q - mb;
+        while (i < n_symbols && c <= budget) {
+            uint16_t e = ent[ws >> (64 - mb)];
+            out[i++] = (uint8_t)(e >> 8);
+            ws <<= (uint8_t)e;
+            c += (uint8_t)e;
         }
-        br.bits_left = bl;
+        br.bits_left = bl - c;
     }
     // tail (stream start / under-run): exact bit-window semantics
     for (; i < n_symbols; i++) {
@@ -320,8 +321,9 @@ static bool huf_decode_tail(BackBits& br, const HufTable& t,
             uint32_t avail = (uint32_t)(pos > 0 ? pos : 0);
             idx = (uint32_t)((word & ((1ull << avail) - 1)) << (mb - avail));
         }
-        out[i] = t.symbols[idx];
-        br.bits_left -= t.nb_bits[idx];
+        uint16_t e = ent[idx];
+        out[i] = (uint8_t)(e >> 8);
+        br.bits_left -= (uint8_t)e;
     }
     return br.bits_left == 0;
 }
@@ -337,47 +339,70 @@ bool huf_decode_stream(const uint8_t* data, size_t size, const HufTable& t,
 // 8-byte window per stream, then runs R check-free symbols per stream —
 // four dependency chains keep the load ports busy (HUF_decompress4X's
 // interleave, adapted to the windowed reader).
-bool huf_decode_4streams(const uint8_t* sp[4], const size_t sizes[4],
-                         uint8_t* outp[4], const size_t ns[4], const HufTable& t) {
+template <int MB>
+bool huf_decode_4streams_t(const uint8_t* sp[4], const size_t sizes[4],
+                           uint8_t* outp[4], const size_t ns[4], const HufTable& t) {
     BackBits br[4];
     for (int k = 0; k < 4; k++)
         if (!br[k].init(sp[k], sizes[k])) return false;
-    int mb = t.max_bits;
-    const uint8_t* syms = t.symbols.data();
-    const uint8_t* nbb = t.nb_bits.data();
-    uint32_t mask = (1u << mb) - 1;
+    constexpr int mb = MB;
+    const uint16_t* ent = t.ent.data();
     // R symbols per window are safe: the window holds >= 57 bits above its
     // base and each symbol consumes at most mb
-    int R = (57 - mb) / mb;
-    if (R < 1) R = 1;
+    constexpr int R = (57 - mb) / mb > 0 ? (57 - mb) / mb : 1;
     size_t i[4] = {0, 0, 0, 0};
-    uint64_t w[4];
-    long long base_bits[4];
     while (true) {
-        bool all_ok = true;
-        size_t min_left = (size_t)-1;
+        // reload: shifted containers (top mb bits = next table index); the
+        // four chains are pure shl/shr/load with consumption counted off
+        // the critical path
+        uint64_t ws[4];
+        uint32_t c[4];
+        bool ok = true;
         for (int k = 0; k < 4; k++) {
-            size_t left = ns[k] - i[k];
-            if (left < min_left) min_left = left;
+            if (ns[k] - i[k] < (size_t)R) { ok = false; break; }
             long long bl = br[k].bits_left;
             size_t byte_end = (size_t)((bl + 7) >> 3);
-            if (bl < mb || byte_end < 8 || byte_end > sizes[k]) { all_ok = false; break; }
-            memcpy(&w[k], sp[k] + byte_end - 8, 8);
-            base_bits[k] = (long long)(byte_end - 8) * 8 + mb;
+            if (bl < mb || byte_end < 8 || byte_end > sizes[k]) { ok = false; break; }
+            uint64_t w;
+            memcpy(&w, sp[k] + byte_end - 8, 8);
+            ws[k] = w << (64 - (int)(bl - (long long)(byte_end - 8) * 8));
+            c[k] = 0;
         }
-        if (!all_ok || min_left < (size_t)R) break;
+        if (!ok) break;
         for (int r = 0; r < R; r++) {
             for (int k = 0; k < 4; k++) {
-                long long bl = br[k].bits_left;
-                uint32_t idx = (uint32_t)((w[k] >> (bl - base_bits[k])) & mask);
-                outp[k][i[k]++] = syms[idx];
-                br[k].bits_left = bl - nbb[idx];
+                uint16_t e = ent[ws[k] >> (64 - mb)];
+                outp[k][i[k] + r] = (uint8_t)(e >> 8);
+                ws[k] <<= (uint8_t)e;
+                c[k] += (uint8_t)e;
             }
+        }
+        for (int k = 0; k < 4; k++) {
+            i[k] += R;
+            br[k].bits_left -= c[k];
         }
     }
     for (int k = 0; k < 4; k++)
         if (!huf_decode_tail(br[k], t, outp[k], i[k], ns[k])) return false;
     return true;
+}
+
+bool huf_decode_4streams(const uint8_t* sp[4], const size_t sizes[4],
+                         uint8_t* outp[4], const size_t ns[4], const HufTable& t) {
+    switch (t.max_bits) {  // compile-time mb: unrolled rounds, immediate shifts
+        case 1: return huf_decode_4streams_t<1>(sp, sizes, outp, ns, t);
+        case 2: return huf_decode_4streams_t<2>(sp, sizes, outp, ns, t);
+        case 3: return huf_decode_4streams_t<3>(sp, sizes, outp, ns, t);
+        case 4: return huf_decode_4streams_t<4>(sp, sizes, outp, ns, t);
+        case 5: return huf_decode_4streams_t<5>(sp, sizes, outp, ns, t);
+        case 6: return huf_decode_4streams_t<6>(sp, sizes, outp, ns, t);
+        case 7: return huf_decode_4streams_t<7>(sp, sizes, outp, ns, t);
+        case 8: return huf_decode_4streams_t<8>(sp, sizes, outp, ns, t);
+        case 9: return huf_decode_4streams_t<9>(sp, sizes, outp, ns, t);
+        case 10: return huf_decode_4streams_t<10>(sp, sizes, outp, ns, t);
+        case 11: return huf_decode_4streams_t<11>(sp, sizes, outp, ns, t);
+        default: return false;
+    }
 }
 
 // ---------------------------------------------------------------------------
@@ -401,8 +426,50 @@ static const int LL_DEF[36] = {4,3,2,2,2,2,2,2,2,2,2,2,2,1,1,1,2,2,2,2,2,2,2,2,2
 static const int ML_DEF[53] = {1,4,3,2,2,2,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1,-1,-1};
 static const int OF_DEF[29] = {1,1,1,1,1,1,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,-1,-1,-1,-1,-1};
 
+// Fused sequence-decode table entry (libzstd's seq_t table idea): the FSE
+// state transition and the symbol's baseline/extra-bit count baked into one
+// 8-byte record, so the hot loop does a single indexed load per field
+// instead of symbol -> BASE[] -> EXTRA[] chains.
+struct SeqEnt {
+    uint16_t new_state;
+    uint8_t nb_state;   // bits for the FSE state update
+    uint8_t nb_extra;   // extra value bits for this symbol
+    uint32_t base;      // value baseline (for OF: 1 << code)
+};
+
+struct SeqTable {
+    int al = 0;
+    std::vector<SeqEnt> e;
+    bool valid = false;
+};
+
+enum SeqKind { SEQ_LL = 0, SEQ_OF = 1, SEQ_ML = 2 };
+
+void fuse_seq_table(const FseTable& t, int kind, SeqTable& st) {
+    size_t n = t.symbols.size();
+    st.al = t.al;
+    st.e.resize(n);
+    for (size_t i = 0; i < n; i++) {
+        unsigned sym = t.symbols[i];
+        SeqEnt& e = st.e[i];
+        e.new_state = t.new_state[i];
+        e.nb_state = t.nb_bits[i];
+        if (kind == SEQ_LL) {
+            e.base = LL_BASE[sym];
+            e.nb_extra = LL_EXTRA[sym];
+        } else if (kind == SEQ_ML) {
+            e.base = ML_BASE[sym];
+            e.nb_extra = ML_EXTRA[sym];
+        } else {  // OF: of_val = (1 << code) + extra(code bits); code 0 -> 1
+            e.base = (uint32_t)(1u << sym);
+            e.nb_extra = (uint8_t)sym;
+        }
+    }
+    st.valid = true;
+}
+
 struct DCtx {
-    FseTable ll, of, ml;
+    SeqTable ll, of, ml;
     HufTable huf;
     uint64_t rep[3] = {1, 4, 8};
     std::vector<uint8_t> lits;
@@ -412,25 +479,32 @@ struct DCtx {
 static const unsigned kInc32[8] = {0, 1, 2, 1, 0, 4, 4, 4};
 static const int kDec64[8] = {0, 0, 0, -1, -4, 1, 2, 3};
 
-FseTable g_ll_def, g_of_def, g_ml_def;
+SeqTable g_ll_def, g_of_def, g_ml_def;
 bool g_def_init = false;
 void init_defaults() {
     if (g_def_init) return;
-    build_fse_table(std::vector<int>(LL_DEF, LL_DEF + 36), 6, g_ll_def);
-    build_fse_table(std::vector<int>(OF_DEF, OF_DEF + 29), 5, g_of_def);
-    build_fse_table(std::vector<int>(ML_DEF, ML_DEF + 53), 6, g_ml_def);
+    FseTable f;
+    build_fse_table(std::vector<int>(LL_DEF, LL_DEF + 36), 6, f);
+    fuse_seq_table(f, SEQ_LL, g_ll_def);
+    build_fse_table(std::vector<int>(OF_DEF, OF_DEF + 29), 5, f);
+    fuse_seq_table(f, SEQ_OF, g_of_def);
+    build_fse_table(std::vector<int>(ML_DEF, ML_DEF + 53), 6, f);
+    fuse_seq_table(f, SEQ_ML, g_ml_def);
     g_def_init = true;
 }
 
 // returns new pos or -1
 long long read_seq_table(const uint8_t* block, size_t bsize, size_t pos, int mode,
-                         const FseTable& predef, int max_code, int max_al, FseTable& t) {
+                         const SeqTable& predef, int kind, int max_code, int max_al,
+                         SeqTable& t) {
     if (mode == 0) { t = predef; return (long long)pos; }
     if (mode == 1) {
         if (pos >= bsize) return -1;
         int sym = block[pos];
         if (sym > max_code) return -1;
-        build_rle_table(sym, t);
+        FseTable f;
+        build_rle_table(sym, f);
+        fuse_seq_table(f, kind, t);
         return (long long)(pos + 1);
     }
     if (mode == 2) {
@@ -438,7 +512,9 @@ long long read_seq_table(const uint8_t* block, size_t bsize, size_t pos, int mod
         int al;
         long long consumed = read_ncount(block + pos, bsize - pos, max_code, max_al, counts, al);
         if (consumed < 0) return -1;
-        if (!build_fse_table(counts, al, t)) return -1;
+        FseTable f;
+        if (!build_fse_table(counts, al, f)) return -1;
+        fuse_seq_table(f, kind, t);
         return (long long)(pos + consumed);
     }
     if (!t.valid) return -1;  // repeat without previous
@@ -580,11 +656,11 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
     uint8_t modes = block[pos++];
     if (modes & 3) return false;
     long long r;
-    r = read_seq_table(block, bsize, pos, (modes >> 6) & 3, g_ll_def, 35, 9, ctx.ll);
+    r = read_seq_table(block, bsize, pos, (modes >> 6) & 3, g_ll_def, SEQ_LL, 35, 9, ctx.ll);
     if (r < 0) return false; pos = (size_t)r;
-    r = read_seq_table(block, bsize, pos, (modes >> 4) & 3, g_of_def, 31, 8, ctx.of);
+    r = read_seq_table(block, bsize, pos, (modes >> 4) & 3, g_of_def, SEQ_OF, 31, 8, ctx.of);
     if (r < 0) return false; pos = (size_t)r;
-    r = read_seq_table(block, bsize, pos, (modes >> 2) & 3, g_ml_def, 52, 9, ctx.ml);
+    r = read_seq_table(block, bsize, pos, (modes >> 2) & 3, g_ml_def, SEQ_ML, 52, 9, ctx.ml);
     if (r < 0) return false; pos = (size_t)r;
 
     BackBits br;
@@ -593,21 +669,15 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
     uint32_t of_state = br.read(ctx.of.al);
     uint32_t ml_state = br.read(ctx.ml.al);
     size_t lit_pos = 0;
-    uint64_t* rep = ctx.rep;
-    for (size_t i = 0; i < nb_seq; i++) {
-        uint32_t of_code = ctx.of.symbols[of_state];
-        if (of_code > 31) return false;
-        uint64_t of_val = of_code ? ((1ull << of_code) + br.read(of_code)) : 1;
-        uint32_t ml_c = ctx.ml.symbols[ml_state];
-        uint64_t ml_val = ML_BASE[ml_c] + (ML_EXTRA[ml_c] ? br.read(ML_EXTRA[ml_c]) : 0);
-        uint32_t ll_c = ctx.ll.symbols[ll_state];
-        uint64_t ll_val = LL_BASE[ll_c] + (LL_EXTRA[ll_c] ? br.read(LL_EXTRA[ll_c]) : 0);
-        if (i + 1 < nb_seq) {
-            ll_state = ctx.ll.new_state[ll_state] + br.read(ctx.ll.nb_bits[ll_state]);
-            ml_state = ctx.ml.new_state[ml_state] + br.read(ctx.ml.nb_bits[ml_state]);
-            of_state = ctx.of.new_state[of_state] + br.read(ctx.of.nb_bits[of_state]);
-        }
-        // literals copy
+    uint64_t r0 = ctx.rep[0], r1 = ctx.rep[1], r2 = ctx.rep[2];
+    const SeqEnt* LLT = ctx.ll.e.data();
+    const SeqEnt* OFT = ctx.of.e.data();
+    const SeqEnt* MLT = ctx.ml.e.data();
+    const uint8_t* sdata = br.data;
+    size_t ssize = br.size;
+
+    // one sequence's output: literal run + rep resolution + match copy
+    auto emit = [&](uint64_t ll_val, uint64_t ml_val, uint64_t of_val) -> bool {
         if (ll_val) {
             if (lit_pos + ll_val > lits_n) return false;
             if (ll_val <= 16 && lit_pos + 16 <= lits_wild && opos + 16 <= cap) {
@@ -619,22 +689,21 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
             opos += ll_val;
             lit_pos += ll_val;
         }
-        // repeat-offset resolution
         uint64_t offset;
         if (of_val > 3) {
             offset = of_val - 3;
-            rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset;
+            r2 = r1; r1 = r0; r0 = offset;
         } else if (ll_val != 0) {
-            if (of_val == 1) offset = rep[0];
-            else if (of_val == 2) { offset = rep[1]; rep[1] = rep[0]; rep[0] = offset; }
-            else { offset = rep[2]; rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; }
+            if (of_val == 1) offset = r0;
+            else if (of_val == 2) { offset = r1; r1 = r0; r0 = offset; }
+            else { offset = r2; r2 = r1; r1 = r0; r0 = offset; }
         } else {
-            if (of_val == 1) { offset = rep[1]; rep[1] = rep[0]; rep[0] = offset; }
-            else if (of_val == 2) { offset = rep[2]; rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; }
+            if (of_val == 1) { offset = r1; r1 = r0; r0 = offset; }
+            else if (of_val == 2) { offset = r2; r2 = r1; r1 = r0; r0 = offset; }
             else {
-                offset = rep[0] - 1;
+                offset = r0 - 1;
                 if (offset == 0) return false;
-                rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset;
+                r2 = r1; r1 = r0; r0 = offset;
             }
         }
         if (offset > opos - base) return false;
@@ -662,7 +731,61 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
             for (uint64_t k = 0; k < ml_val; k++) o[k] = m[k];
             opos += ml_val;
         }
+        return true;
+    };
+
+    size_t i = 0;
+    // Fast path: a 64-bit window replaces per-read loads — two 8-byte loads
+    // per sequence, every field extracted with register shifts.  Worst-case
+    // bit budget per sequence is 89 (of 31 + ml 16 + ll 16 + states 26);
+    // requiring bits_left >= 104 guarantees both windows sit fully inside
+    // the buffer, so the tail (and any corrupt under-run) takes the exact
+    // BackBits path below with unchanged semantics.
+    while (i + 1 < nb_seq && br.bits_left >= 104) {
+        size_t byte_end = (size_t)((br.bits_left + 7) >> 3);
+        if (byte_end > ssize) break;
+        uint64_t w;
+        memcpy(&w, sdata + byte_end - 8, 8);
+        long long wbase = (long long)(byte_end - 8) * 8;
+        long long bl = br.bits_left;
+        const SeqEnt oe = OFT[of_state];
+        const SeqEnt me = MLT[ml_state];
+        const SeqEnt le = LLT[ll_state];
+        bl -= oe.nb_extra;
+        uint64_t of_val = oe.base + ((w >> ((bl - wbase) & 63)) & ((1ull << oe.nb_extra) - 1));
+        bl -= me.nb_extra;
+        uint64_t ml_val = me.base + ((w >> ((bl - wbase) & 63)) & ((1ull << me.nb_extra) - 1));
+        byte_end = (size_t)((bl + 7) >> 3);  // reload: bl >= 57 here
+        memcpy(&w, sdata + byte_end - 8, 8);
+        wbase = (long long)(byte_end - 8) * 8;
+        bl -= le.nb_extra;
+        uint64_t ll_val = le.base + ((w >> ((bl - wbase) & 63)) & ((1ull << le.nb_extra) - 1));
+        bl -= le.nb_state;
+        ll_state = le.new_state + (uint32_t)((w >> ((bl - wbase) & 63)) & ((1ull << le.nb_state) - 1));
+        bl -= me.nb_state;
+        ml_state = me.new_state + (uint32_t)((w >> ((bl - wbase) & 63)) & ((1ull << me.nb_state) - 1));
+        bl -= oe.nb_state;
+        of_state = oe.new_state + (uint32_t)((w >> ((bl - wbase) & 63)) & ((1ull << oe.nb_state) - 1));
+        br.bits_left = bl;
+        if (!emit(ll_val, ml_val, of_val)) return false;
+        i++;
     }
+    // exact tail: bit-window semantics identical to the reference reader
+    for (; i < nb_seq; i++) {
+        const SeqEnt& oe = OFT[of_state];
+        uint64_t of_val = oe.base + (oe.nb_extra ? br.read(oe.nb_extra) : 0);
+        const SeqEnt& me = MLT[ml_state];
+        uint64_t ml_val = me.base + (me.nb_extra ? br.read(me.nb_extra) : 0);
+        const SeqEnt& le = LLT[ll_state];
+        uint64_t ll_val = le.base + (le.nb_extra ? br.read(le.nb_extra) : 0);
+        if (i + 1 < nb_seq) {
+            ll_state = le.new_state + br.read(le.nb_state);
+            ml_state = me.new_state + br.read(me.nb_state);
+            of_state = oe.new_state + br.read(oe.nb_state);
+        }
+        if (!emit(ll_val, ml_val, of_val)) return false;
+    }
+    ctx.rep[0] = r0; ctx.rep[1] = r1; ctx.rep[2] = r2;
     if (lit_pos > lits_n) return false;
     size_t tail = lits_n - lit_pos;
     if (opos + tail > cap) return false;

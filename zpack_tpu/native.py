@@ -134,6 +134,25 @@ def _outbuf(cap: int):
     return arr, arr.ctypes.data
 
 
+_pyapi = ctypes.pythonapi
+_pyapi.PyBytes_FromStringAndSize.restype = ctypes.py_object
+_pyapi.PyBytes_FromStringAndSize.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+_pyapi.PyBytes_AsString.restype = ctypes.c_void_p
+_pyapi.PyBytes_AsString.argtypes = [ctypes.py_object]
+
+
+def _bytes_out(cap: int):
+    """Uninitialized `bytes` of length cap + its writable address.
+
+    The single-reference-mutation idiom C extensions use: the native call
+    fills the object in place, so when the produced size equals cap (the
+    common decompress case — content size is known) the result is returned
+    with ZERO extra copies, vs np.empty scratch + .tobytes() (a full second
+    pass over the output)."""
+    b = _pyapi.PyBytes_FromStringAndSize(None, max(cap, 1))
+    return b, _pyapi.PyBytes_AsString(b)
+
+
 def compress_batch(datas: list[bytes], methods: list[int], levels: list[int]):
     """Compress + XXH3-hash N entries in ONE native call (worker threads
     inside the library; methods: 0=store 1=zstd 2=lz4f).  Returns
@@ -201,11 +220,11 @@ def lz4_decompress_block(data: bytes, max_out: int, prefix: bytes = b"") -> byte
     lib = get_lib()
     if lib is None:
         return None
-    arr, buf = _outbuf(max_out)
+    out, buf = _bytes_out(max_out)
     n = int(lib.zn_lz4_decompress(data, len(data), buf, max_out, prefix, len(prefix)))
     if n == _FAIL:
         return None
-    return arr[:n].tobytes()
+    return out if n == len(out) else out[:n]
 
 
 def lz4f_compress(data: bytes, level: int = 1) -> bytes | None:
@@ -224,11 +243,11 @@ def lz4f_decompress(data: bytes, max_out: int) -> bytes | None:
     lib = get_lib()
     if lib is None:
         return None
-    arr, buf = _outbuf(max_out)
+    out, buf = _bytes_out(max_out)
     n = int(lib.zn_lz4f_decompress(data, len(data), buf, max_out))
     if n == _FAIL:
         return None
-    return arr[:n].tobytes()
+    return out if n == len(out) else out[:n]
 
 
 def zstd_compress(data: bytes, level: int = 3) -> bytes | None:
@@ -247,11 +266,11 @@ def zstd_decompress(data: bytes, max_out: int) -> bytes | None:
     lib = get_lib()
     if lib is None:
         return None
-    arr, buf = _outbuf(max_out)
+    out, buf = _bytes_out(max_out)
     n = int(lib.zn_zstd_decompress(data, len(data), buf, max_out))
     if n == _FAIL:
         return None
-    return arr[:n].tobytes()
+    return out if n == len(out) else out[:n]
 
 
 class NativeXXH3State:
