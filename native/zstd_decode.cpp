@@ -35,8 +35,12 @@ struct FwdBits {  // LSB-first forward (FSE table descriptions)
         if (nbits == 0) return 0;
         size_t byte = bitpos >> 3;
         uint64_t word = 0;
-        for (int i = 0; i < 8 && byte + i < size; i++)
-            word |= (uint64_t)data[byte + i] << (8 * i);
+        if (byte + 8 <= size) {
+            memcpy(&word, data + byte, 8);
+        } else {
+            for (int i = 0; i < 8 && byte + i < size; i++)
+                word |= (uint64_t)data[byte + i] << (8 * i);
+        }
         return (uint32_t)((word >> (bitpos & 7)) & ((1u << nbits) - 1));
     }
     uint32_t read(int nbits) { uint32_t v = peek(nbits); bitpos += nbits; return v; }
@@ -445,34 +449,71 @@ struct SeqTable {
 
 enum SeqKind { SEQ_LL = 0, SEQ_OF = 1, SEQ_ML = 2 };
 
-void fuse_seq_table(const FseTable& t, int kind, SeqTable& st) {
-    size_t n = t.symbols.size();
-    st.al = t.al;
-    st.e.resize(n);
-    for (size_t i = 0; i < n; i++) {
-        unsigned sym = t.symbols[i];
-        SeqEnt& e = st.e[i];
-        e.new_state = t.new_state[i];
-        e.nb_state = t.nb_bits[i];
-        if (kind == SEQ_LL) {
-            e.base = LL_BASE[sym];
-            e.nb_extra = LL_EXTRA[sym];
-        } else if (kind == SEQ_ML) {
-            e.base = ML_BASE[sym];
-            e.nb_extra = ML_EXTRA[sym];
-        } else {  // OF: of_val = (1 << code) + extra(code bits); code 0 -> 1
-            e.base = (uint32_t)(1u << sym);
-            e.nb_extra = (uint8_t)sym;
+static inline void seq_value_fields(int kind, unsigned sym, SeqEnt& e) {
+    if (kind == SEQ_LL) {
+        e.base = LL_BASE[sym];
+        e.nb_extra = LL_EXTRA[sym];
+    } else if (kind == SEQ_ML) {
+        e.base = ML_BASE[sym];
+        e.nb_extra = ML_EXTRA[sym];
+    } else {  // OF: of_val = (1 << code) + extra(code bits); code 0 -> 1
+        e.base = (uint32_t)(1u << sym);
+        e.nb_extra = (uint8_t)sym;
+    }
+}
+
+// Single-pass: normalized counts -> fused SeqTable (spread + transitions +
+// value fields in one walk; scratch reused across blocks by the caller).
+bool build_seq_table(const std::vector<int>& counts, int al, int kind,
+                     SeqTable& st, std::vector<uint16_t>& sym_scratch,
+                     std::vector<int>& next_scratch) {
+    int size = 1 << al;
+    st.al = al;
+    st.e.resize(size);
+    std::vector<uint16_t>& syms = sym_scratch;
+    syms.resize(size);
+    int high = size - 1;
+    for (size_t s = 0; s < counts.size(); s++)
+        if (counts[s] == -1) syms[high--] = (uint16_t)s;
+    int step = (size >> 1) + (size >> 3) + 3;
+    int mask = size - 1;
+    int pos = 0;
+    for (size_t s = 0; s < counts.size(); s++) {
+        for (int c = 0; c < counts[s]; c++) {
+            syms[pos] = (uint16_t)s;
+            pos = (pos + step) & mask;
+            while (pos > high) pos = (pos + step) & mask;
         }
     }
+    if (pos != 0) return false;
+    std::vector<int>& next = next_scratch;
+    next.resize(counts.size());
+    for (size_t s = 0; s < counts.size(); s++) next[s] = counts[s] == -1 ? 1 : counts[s];
+    for (int u = 0; u < size; u++) {
+        unsigned s = syms[u];
+        int x = next[s]++;
+        int hb = 31 - __builtin_clz((uint32_t)x);
+        int nb = al - hb;
+        SeqEnt& e = st.e[u];
+        e.nb_state = (uint8_t)nb;
+        e.new_state = (uint16_t)((x << nb) - size);
+        seq_value_fields(kind, s, e);
+    }
     st.valid = true;
+    return true;
 }
 
 struct DCtx {
-    SeqTable ll, of, ml;
+    SeqTable ll, of, ml;              // block-local table storage
+    const SeqTable* llp = nullptr;    // active tables: storage above or the
+    const SeqTable* ofp = nullptr;    // shared predefined tables (no copy)
+    const SeqTable* mlp = nullptr;
     HufTable huf;
     uint64_t rep[3] = {1, 4, 8};
     std::vector<uint8_t> lits;
+    std::vector<int> counts_scratch;      // reused across blocks
+    std::vector<uint16_t> sym_scratch;
+    std::vector<int> next_scratch;
 };
 
 // overlap-copy helper tables (offset < 8 pattern expansion)
@@ -483,41 +524,44 @@ SeqTable g_ll_def, g_of_def, g_ml_def;
 bool g_def_init = false;
 void init_defaults() {
     if (g_def_init) return;
-    FseTable f;
-    build_fse_table(std::vector<int>(LL_DEF, LL_DEF + 36), 6, f);
-    fuse_seq_table(f, SEQ_LL, g_ll_def);
-    build_fse_table(std::vector<int>(OF_DEF, OF_DEF + 29), 5, f);
-    fuse_seq_table(f, SEQ_OF, g_of_def);
-    build_fse_table(std::vector<int>(ML_DEF, ML_DEF + 53), 6, f);
-    fuse_seq_table(f, SEQ_ML, g_ml_def);
+    std::vector<uint16_t> ss;
+    std::vector<int> ns;
+    build_seq_table(std::vector<int>(LL_DEF, LL_DEF + 36), 6, SEQ_LL, g_ll_def, ss, ns);
+    build_seq_table(std::vector<int>(OF_DEF, OF_DEF + 29), 5, SEQ_OF, g_of_def, ss, ns);
+    build_seq_table(std::vector<int>(ML_DEF, ML_DEF + 53), 6, SEQ_ML, g_ml_def, ss, ns);
     g_def_init = true;
 }
 
-// returns new pos or -1
-long long read_seq_table(const uint8_t* block, size_t bsize, size_t pos, int mode,
-                         const SeqTable& predef, int kind, int max_code, int max_al,
-                         SeqTable& t) {
-    if (mode == 0) { t = predef; return (long long)pos; }
+// Parse one table descriptor; leaves the active-table pointer in `act`
+// (predef tables are shared by pointer, never copied).  Returns new pos
+// or -1.
+long long read_seq_table(DCtx& ctx, const uint8_t* block, size_t bsize, size_t pos,
+                         int mode, const SeqTable& predef, int kind, int max_code,
+                         int max_al, SeqTable& t, const SeqTable*& act) {
+    if (mode == 0) { act = &predef; return (long long)pos; }
     if (mode == 1) {
         if (pos >= bsize) return -1;
         int sym = block[pos];
         if (sym > max_code) return -1;
-        FseTable f;
-        build_rle_table(sym, f);
-        fuse_seq_table(f, kind, t);
+        t.al = 0;
+        t.e.resize(1);
+        t.e[0].new_state = 0;
+        t.e[0].nb_state = 0;
+        seq_value_fields(kind, (unsigned)sym, t.e[0]);
+        t.valid = true;
+        act = &t;
         return (long long)(pos + 1);
     }
     if (mode == 2) {
-        std::vector<int> counts;
+        std::vector<int>& counts = ctx.counts_scratch;
         int al;
         long long consumed = read_ncount(block + pos, bsize - pos, max_code, max_al, counts, al);
         if (consumed < 0) return -1;
-        FseTable f;
-        if (!build_fse_table(counts, al, f)) return -1;
-        fuse_seq_table(f, kind, t);
+        if (!build_seq_table(counts, al, kind, t, ctx.sym_scratch, ctx.next_scratch)) return -1;
+        act = &t;
         return (long long)(pos + consumed);
     }
-    if (!t.valid) return -1;  // repeat without previous
+    if (act == nullptr || !act->valid) return -1;  // repeat without previous
     return (long long)pos;
 }
 
@@ -652,27 +696,32 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
         opos += lits_n;
         return true;
     }
+    size_t op = opos;  // local cursor: the reference param would be
+                       // reloaded around every byte store (char aliasing)
     if (pos >= bsize) return false;
     uint8_t modes = block[pos++];
     if (modes & 3) return false;
     long long r;
-    r = read_seq_table(block, bsize, pos, (modes >> 6) & 3, g_ll_def, SEQ_LL, 35, 9, ctx.ll);
+    r = read_seq_table(ctx, block, bsize, pos, (modes >> 6) & 3, g_ll_def, SEQ_LL, 35, 9,
+                       ctx.ll, ctx.llp);
     if (r < 0) return false; pos = (size_t)r;
-    r = read_seq_table(block, bsize, pos, (modes >> 4) & 3, g_of_def, SEQ_OF, 31, 8, ctx.of);
+    r = read_seq_table(ctx, block, bsize, pos, (modes >> 4) & 3, g_of_def, SEQ_OF, 31, 8,
+                       ctx.of, ctx.ofp);
     if (r < 0) return false; pos = (size_t)r;
-    r = read_seq_table(block, bsize, pos, (modes >> 2) & 3, g_ml_def, SEQ_ML, 52, 9, ctx.ml);
+    r = read_seq_table(ctx, block, bsize, pos, (modes >> 2) & 3, g_ml_def, SEQ_ML, 52, 9,
+                       ctx.ml, ctx.mlp);
     if (r < 0) return false; pos = (size_t)r;
 
     BackBits br;
     if (!br.init(block + pos, bsize - pos)) return false;
-    uint32_t ll_state = br.read(ctx.ll.al);
-    uint32_t of_state = br.read(ctx.of.al);
-    uint32_t ml_state = br.read(ctx.ml.al);
+    uint32_t ll_state = br.read(ctx.llp->al);
+    uint32_t of_state = br.read(ctx.ofp->al);
+    uint32_t ml_state = br.read(ctx.mlp->al);
     size_t lit_pos = 0;
     uint64_t r0 = ctx.rep[0], r1 = ctx.rep[1], r2 = ctx.rep[2];
-    const SeqEnt* LLT = ctx.ll.e.data();
-    const SeqEnt* OFT = ctx.of.e.data();
-    const SeqEnt* MLT = ctx.ml.e.data();
+    const SeqEnt* LLT = ctx.llp->e.data();
+    const SeqEnt* OFT = ctx.ofp->e.data();
+    const SeqEnt* MLT = ctx.mlp->e.data();
     const uint8_t* sdata = br.data;
     size_t ssize = br.size;
 
@@ -680,13 +729,13 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
     auto emit = [&](uint64_t ll_val, uint64_t ml_val, uint64_t of_val) -> bool {
         if (ll_val) {
             if (lit_pos + ll_val > lits_n) return false;
-            if (ll_val <= 16 && lit_pos + 16 <= lits_wild && opos + 16 <= cap) {
-                memcpy(dst + opos, lits_p + lit_pos, 16);
+            if (ll_val <= 16 && lit_pos + 16 <= lits_wild && op + 16 <= cap) {
+                memcpy(dst + op, lits_p + lit_pos, 16);
             } else {
-                if (opos + ll_val > cap) return false;
-                memcpy(dst + opos, lits_p + lit_pos, ll_val);
+                if (op + ll_val > cap) return false;
+                memcpy(dst + op, lits_p + lit_pos, ll_val);
             }
-            opos += ll_val;
+            op += ll_val;
             lit_pos += ll_val;
         }
         uint64_t offset;
@@ -706,10 +755,10 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
                 r2 = r1; r1 = r0; r0 = offset;
             }
         }
-        if (offset > opos - base) return false;
-        uint8_t* o = dst + opos;
+        if (offset > op - base) return false;
+        uint8_t* o = dst + op;
         const uint8_t* m = o - offset;
-        if (opos + ml_val + 32 <= cap) {
+        if (op + ml_val + 32 <= cap) {
             uint8_t* cpend = o + ml_val;
             if (offset >= 16) {
                 do { memcpy(o, m, 16); o += 16; m += 16; } while (o < cpend);
@@ -725,11 +774,11 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
                 o += 8;
                 while (o < cpend) { memcpy(o, m, 8); o += 8; m += 8; }
             }
-            opos += ml_val;
+            op += ml_val;
         } else {
-            if (opos + ml_val > cap) return false;
+            if (op + ml_val > cap) return false;
             for (uint64_t k = 0; k < ml_val; k++) o[k] = m[k];
-            opos += ml_val;
+            op += ml_val;
         }
         return true;
     };
@@ -755,9 +804,12 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
         uint64_t of_val = oe.base + ((w >> ((bl - wbase) & 63)) & ((1ull << oe.nb_extra) - 1));
         bl -= me.nb_extra;
         uint64_t ml_val = me.base + ((w >> ((bl - wbase) & 63)) & ((1ull << me.nb_extra) - 1));
-        byte_end = (size_t)((bl + 7) >> 3);  // reload: bl >= 57 here
-        memcpy(&w, sdata + byte_end - 8, 8);
-        wbase = (long long)(byte_end - 8) * 8;
+        if (bl - wbase < 42) {  // reload only when ll extra + states (<=42
+            // bits) might not fit the current window; bl >= 57 here
+            byte_end = (size_t)((bl + 7) >> 3);
+            memcpy(&w, sdata + byte_end - 8, 8);
+            wbase = (long long)(byte_end - 8) * 8;
+        }
         bl -= le.nb_extra;
         uint64_t ll_val = le.base + ((w >> ((bl - wbase) & 63)) & ((1ull << le.nb_extra) - 1));
         bl -= le.nb_state;
@@ -788,9 +840,10 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
     ctx.rep[0] = r0; ctx.rep[1] = r1; ctx.rep[2] = r2;
     if (lit_pos > lits_n) return false;
     size_t tail = lits_n - lit_pos;
-    if (opos + tail > cap) return false;
-    memcpy(dst + opos, lits_p + lit_pos, tail);
-    opos += tail;
+    if (op + tail > cap) return false;
+    memcpy(dst + op, lits_p + lit_pos, tail);
+    op += tail;
+    opos = op;
     return true;
 }
 

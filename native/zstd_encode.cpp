@@ -1,5 +1,10 @@
 #include <cstdio>
 #include <cstdlib>
+#include <chrono>
+static inline double zn_now() {
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
 // zpack-tpu native zstd encoder (RFC 8878), self-contained.
 //
 // Role parity: ZSTD_compressCCtx as used by the reference
@@ -1157,7 +1162,7 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
             size_t clim = n_total - (size_t)cur;
             size_t mx = lim < clim ? lim : clim;
             size_t len_in = len;
-            while (len < mx && base[cur + len] == base[p + len]) len++;
+            len += match_len(base + cur + len, base + p + len, mx - len);
             byte_budget -= (long long)(len - len_in) + 8;
             block_budget -= (long long)(len - len_in) + 8;
             size_t clen = len < cap ? len : cap;
@@ -1187,6 +1192,9 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
         cache.idx.assign(1, 0);
         cache.flat.clear();
     }
+    struct RepScan { size_t off, start, end; };
+    RepScan rep_scan[3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+    int rep_scan_i = 0;
     for (size_t i = 0; i < n; i++) {
         const OCell cur = cells[i];
         size_t pos = blk_start + i;
@@ -1291,12 +1299,46 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
             if (!off || off > pos) continue;
             // 3-byte agreement suffices for rep matches (ML code 0)
             if ((rd32e(base + pos) ^ rd32e(base + pos - off)) & 0xFFFFFF) continue;
-            size_t L = match_len(base + pos, base + pos - off, blk_end - pos);
+            // incremental scan cache: a prior scan at start<=pos with this
+            // offset verified [start, rc_end) matches [start-off, ...), so
+            // the length here is exactly rc_end - pos (rc_end is either a
+            // real mismatch or blk_end; both stay valid as pos advances).
+            // Exact, not heuristic — without it, rep-chain data (fixed
+            // stride records) rescans ~block_size bytes per DP cell and the
+            // block goes quadratic (measured 4x time per 2x input).
+            size_t L = 0;
+            for (int k = 0; k < 3; k++)
+                if (rep_scan[k].off == off && rep_scan[k].start <= pos &&
+                    pos < rep_scan[k].end) {
+                    L = rep_scan[k].end - pos;
+                    break;
+                }
+            if (!L) {
+                L = match_len(base + pos, base + pos - off, blk_end - pos);
+                rep_scan[rep_scan_i] = {off, pos, pos + L};
+                rep_scan_i = (rep_scan_i + 1) % 3;
+            }
             if (L < 3) L = 3;  // first 3 bytes agree even if match_len stopped short
             relax_match(off, L, (uint32_t)(r + 1));
             if (L > longest) longest = L;
         }
-        if (longest >= SUFFICIENT) continue;  // long rep dominates
+        if (longest >= SUFFICIENT) {
+            // immediate encoding (btultra2's sufficient_len shortcut): take
+            // the long rep greedily and skip the matched region outright —
+            // no BT inserts, no per-cell probes.  Without this, rep-chain
+            // data (fixed-stride records) pays a BT walk at every one of
+            // ~128K cells per block and L19 goes quadratic (measured 400s
+            // on 4.8 MiB that libzstd does in 0.06s).  Skipped cells get
+            // empty candidate ranges so a second price iteration replays
+            // the cache aligned by position.
+            size_t stop = i + longest - 1;
+            if (stop > n - 1) stop = n - 1;
+            if (!cache.filled)
+                for (size_t q = i + 1; q <= stop; q++)
+                    cache.idx.push_back((uint32_t)cache.flat.size());
+            i = stop;
+            continue;
+        }
         // BT candidates (each improvement along the walk, longest last)
         for (const OptCand& c : cands) {
             relax_match(c.off, c.len, 0);
@@ -1521,6 +1563,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             lit_bits = nz <= 1 ? 1 : highbit32(nz - 1) + 1;  // ≈ log2(alphabet)
             if (lit_bits > 8) lit_bits = 8;
         }
+        double t_blk = zn_now();
         if (level <= 1)
             find_sequences_fast(src, off, off + bsize, ctx, hash_bits,
                                 max_offset, seqs, lit_tail);
@@ -1551,6 +1594,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                 }
             };
             // strategy 2: plain fast greedy
+            double t_s2 = zn_now();
             restore();
             std::vector<Seq> seqs2;
             size_t lit_tail2 = 0;
@@ -1561,6 +1605,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             size_t fast_size = ok2 ? body2.size() : 0;
             consider(ok2, body2, &seqs2);
             // strategy 3: stride-locked greedy on fixed-record data
+            double t_s3 = zn_now();
             size_t stride_size = 0;
             size_t stride = detect_stride(src + off, bsize);
             std::vector<Seq> seqsS;  // outlives the tournament (seed_seqs may point here)
@@ -1579,6 +1624,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             // prices seeded from the best strategy so far, then price
             // iteration: re-run the DP with prices measured from its own
             // output (btultra2's two-pass scheme; BT walk results cached)
+            double t_s4 = zn_now();
             OptPrices P;
             build_opt_prices(src + off, bsize, *seed_seqs, P);
             CandCache cache;
@@ -1612,9 +1658,12 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                 build_opt_prices(src + off, bsize, seqs3, P);  // reprice from latest
             }
             if (getenv("ZN_DEBUG"))
-                fprintf(stderr, "blk %zu: best=%zu fast=%zu stride[%zu]=%zu opt=%zu opt_it=%zu\n",
+                fprintf(stderr,
+                        "blk %zu: best=%zu fast=%zu stride[%zu]=%zu opt=%zu opt_it=%zu"
+                        "  t: s1=%.3f s2=%.3f s3=%.3f s4=%.3f\n",
                         off / BS, body.size(), fast_size, stride, stride_size,
-                        opt1_size, ok3 ? body3.size() : 0);
+                        opt1_size, ok3 ? body3.size() : 0,
+                        t_s2 - t_blk, t_s3 - t_s2, t_s4 - t_s3, zn_now() - t_s4);
             ctx.rep[0] = rep_win[0]; ctx.rep[1] = rep_win[1]; ctx.rep[2] = rep_win[2];
             lit_state = lit_win;
         }
