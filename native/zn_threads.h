@@ -6,9 +6,14 @@
 #include <thread>
 #include <vector>
 
+// Set while the current thread is already running inside a zn_parallel_for
+// worker: nested codec calls (e.g. a multi-MB entry inside a batch) must not
+// spawn their own thread pools — up to nt×nt threads otherwise.
+inline thread_local bool zn_in_parallel = false;
+
 // Worker-thread count for the parallel frame codecs (blocks/frames are
 // independent).  ZPACK_NATIVE_THREADS overrides; default = hardware
-// concurrency, capped.
+// concurrency, capped.  Returns 1 inside a parallel region (no nesting).
 inline unsigned zn_nthreads() {
     static unsigned n = [] {
         const char* e = getenv("ZPACK_NATIVE_THREADS");
@@ -18,7 +23,7 @@ inline unsigned zn_nthreads() {
         if (v > 16) v = 16;
         return (unsigned)v;
     }();
-    return n;
+    return zn_in_parallel ? 1 : n;
 }
 
 // Run fn(i) for i in [0, n) across `nt` threads (including the caller).
@@ -26,7 +31,10 @@ template <typename F>
 inline void zn_parallel_for(size_t n, unsigned nt, F fn) {
     std::atomic<size_t> next{0};
     auto worker = [&] {
+        bool saved = zn_in_parallel;
+        zn_in_parallel = true;
         for (size_t i = next.fetch_add(1); i < n; i = next.fetch_add(1)) fn(i);
+        zn_in_parallel = saved;
     };
     std::vector<std::thread> ts;
     for (unsigned t = 1; t < nt && t < n; t++) ts.emplace_back(worker);

@@ -1,10 +1,3 @@
-#include <cstdio>
-#include <cstdlib>
-#include <chrono>
-static inline double zn_now() {
-    return std::chrono::duration<double>(
-        std::chrono::steady_clock::now().time_since_epoch()).count();
-}
 // zpack-tpu native zstd encoder (RFC 8878), self-contained.
 //
 // Role parity: ZSTD_compressCCtx as used by the reference
@@ -19,12 +12,27 @@ static inline double zn_now() {
 #include <cstdint>
 #include <cstring>
 #include <cstddef>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
 #include <algorithm>
 #include <memory>
 #include <climits>
+#include <chrono>
 
 #include "zn_threads.h"
+
+// ZN_DEBUG-only per-block strategy timing; zn_debug() gates every zn_now()
+// call so the steady_clock reads stay out of the hot path in normal runs.
+static inline bool zn_debug() {
+    static const bool on = getenv("ZN_DEBUG") != nullptr;
+    return on;
+}
+static inline double zn_now() {
+    if (!zn_debug()) return 0.0;
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
 
 namespace zenc {
 
@@ -1657,7 +1665,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                 if (!improved) break;
                 build_opt_prices(src + off, bsize, seqs3, P);  // reprice from latest
             }
-            if (getenv("ZN_DEBUG"))
+            if (zn_debug())
                 fprintf(stderr,
                         "blk %zu: best=%zu fast=%zu stride[%zu]=%zu opt=%zu opt_it=%zu"
                         "  t: s1=%.3f s2=%.3f s3=%.3f s4=%.3f\n",

@@ -93,3 +93,28 @@ def test_zstd_native_decode_rejects_corruption():
     # either detected (None) or wrong-size output; the zpack layer's XXH3
     # check catches any silent corruption
     assert out is None or out != data
+
+
+def test_read_files_sparse_span_reads_bounded():
+    """Selecting distant entries must read O(selected bytes), not the span
+    between them, and the batch path must still verify + decode them."""
+    import numpy as np
+
+    from zpack_tpu import constants as C
+    from zpack_tpu.reader import Reader
+    from zpack_tpu.writer import CompressOptions, Writer
+
+    rng = np.random.default_rng(0)
+    filler = rng.integers(0, 256, 4 << 20).astype(np.uint8).tobytes()
+    store = CompressOptions(C.CompressionMethod.NONE)
+    small = [(f"s{i}.bin", bytes([i]) * 4096, store) for i in range(4)]
+    items = small[:2] + [("filler.bin", filler, store)] + small[2:]
+    w = Writer.to_heap()
+    w.write_archive(items)
+    r = Reader.from_memory(w.buffer, shared=True)
+    reads = []
+    orig = r._source.read_at
+    r._source.read_at = lambda off, size: (reads.append(size), orig(off, size))[1]
+    outs = r.read_files([f"s{i}.bin" for i in range(4)])
+    assert outs == [bytes([i]) * 4096 for i in range(4)]
+    assert sum(reads) < (1 << 20), f"read {sum(reads)} bytes for ~16KB of entries"

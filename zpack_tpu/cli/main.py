@@ -481,28 +481,43 @@ def command_test(opts: Options) -> int:
     batchable = (len(reader.file_entries) > 8 and hasattr(reader._source, "buf"))
     small = [e for e in reader.file_entries if e.uncomp_size <= (1 << 20)]
     ok_map = {}
-    if batchable and len(small) > 8:
-        try:
-            from .. import native
+    if batchable and len(small) > 8 and all(
+        e.comp_method in (0, 1, 2)
+        and e.offset + e.comp_size <= reader.file_size
+        and (not e.comp_size or e.uncomp_size <= e.comp_size * 1_000_000 + (1 << 20))
+        for e in small
+    ):
+        from .. import native
 
-            res = native.decompress_batch(
-                bytes(reader._source.buf),
-                [e.offset for e in small],
-                [e.comp_size for e in small],
-                [e.comp_method for e in small],
-                [e.uncomp_size for e in small],
-                [e.hash for e in small],
-            ) if all(
-                e.comp_method in (0, 1, 2)
-                and e.offset + e.comp_size <= reader.file_size
-                and (not e.comp_size or e.uncomp_size <= e.comp_size * 1_000_000 + (1 << 20))
-                for e in small
-            ) else None
-            if res is not None:
-                _, mask = res
-                ok_map = {id(e): not m for e, m in zip(small, mask)}
-        except ZPackError:
-            pass
+        # Capped groups: many entries each claiming up to 1 MiB must not sum
+        # into one giant output allocation; MemoryError (a crafted CDR can
+        # still claim ~128 MiB at once) falls back to streaming verify.
+        OUT_CAP = 128 << 20
+        buf = bytes(reader._source.buf)
+        group: list = []
+        group_out = 0
+        def run_group(g):
+            try:
+                return native.decompress_batch(
+                    buf,
+                    [e.offset for e in g],
+                    [e.comp_size for e in g],
+                    [e.comp_method for e in g],
+                    [e.uncomp_size for e in g],
+                    [e.hash for e in g],
+                )
+            except (ZPackError, MemoryError):
+                return None
+        for e in small + [None]:
+            if group and (e is None or group_out + e.uncomp_size > OUT_CAP):
+                res = run_group(group)
+                if res is not None:
+                    _, mask = res
+                    ok_map.update({id(ge): not m for ge, m in zip(group, mask)})
+                group, group_out = [], 0
+            if e is not None:
+                group.append(e)
+                group_out += e.uncomp_size
     for entry in reader.file_entries:
         ok = ok_map[id(entry)] if id(entry) in ok_map else verify_streaming(entry)
         if ok:

@@ -148,7 +148,13 @@ def _bytes_out(cap: int):
     fills the object in place, so when the produced size equals cap (the
     common decompress case — content size is known) the result is returned
     with ZERO extra copies, vs np.empty scratch + .tobytes() (a full second
-    pass over the output)."""
+    pass over the output).
+
+    INVARIANT (CPython-specific): the returned object holds exactly one
+    reference and must not be read, hashed, interned, or otherwise escape
+    before the native call fills it; callers return it (or a slice of it)
+    only after the fill.  On non-CPython runtimes ctypes.pythonapi is absent
+    and the import of this module would fail long before reaching here."""
     b = _pyapi.PyBytes_FromStringAndSize(None, max(cap, 1))
     return b, _pyapi.PyBytes_AsString(b)
 

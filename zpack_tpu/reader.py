@@ -207,6 +207,7 @@ class Reader:
         per-entry :meth:`read_file`.  The reference is single-threaded by
         design; batch reads are this framework's addition."""
         ents = [self._resolve(e) for e in (entries if entries is not None else self.file_entries)]
+        results: dict[int, bytes] = {}
         if verify and len(ents) >= 4 and all(e.comp_method in (0, 1, 2) for e in ents):
             from . import native
 
@@ -216,25 +217,56 @@ class Reader:
                     raise ZPackError(Result.ERROR_FILE_OFFSET_INVALID, "entry data beyond file")
                 if e.comp_size and e.uncomp_size > e.comp_size * 1_000_000 + (1 << 20):
                     raise ZPackError(Result.ERROR_FILE_SIZE_INVALID, "implausible uncompressed size")
-            lo = min(e.offset for e in ents)
-            hi = max(e.offset + e.comp_size for e in ents)
-            buf = self._source.read_at(lo, hi - lo)
-            if len(buf) == hi - lo:
-                res = native.decompress_batch(
-                    bytes(buf),
-                    [e.offset - lo for e in ents],
-                    [e.comp_size for e in ents],
-                    [e.comp_method for e in ents],
-                    [e.uncomp_size for e in ents],
-                    [e.hash for e in ents],
-                )
-                if res is not None:
-                    outs, mask = res
-                    # failed entries re-run through read_file so callers get
-                    # the exact error (hash mismatch vs decode error)
-                    return [self.read_file(e) if m else o
-                            for (o, m, e) in zip(outs, mask, ents)]
-        return [self.read_file(e, verify=verify) for e in ents]
+            # Group offset-adjacent entries into capped native calls: the
+            # aggregate output allocation stays bounded (a crafted CDR with
+            # many overlapping entries must not force one multi-GB np.empty)
+            # and source reads touch O(selected bytes) — selecting 2 distant
+            # entries of a huge archive never materializes the span between.
+            OUT_CAP = 128 << 20
+            GAP_CAP = 1 << 20
+            order = sorted(range(len(ents)), key=lambda i: ents[i].offset)
+            groups: list[list[int]] = []
+            cur: list[int] = []
+            cur_out = 0
+            cur_hi = 0
+            for i in order:
+                e = ents[i]
+                if cur and (cur_out + e.uncomp_size > OUT_CAP or e.offset - cur_hi > GAP_CAP):
+                    groups.append(cur)
+                    cur, cur_out, cur_hi = [], 0, 0
+                cur.append(i)
+                cur_out += e.uncomp_size
+                cur_hi = max(cur_hi, e.offset + e.comp_size)
+            if cur:
+                groups.append(cur)
+            for g in groups:
+                if len(g) < 2:
+                    continue  # single entry: per-entry path below
+                ge = [ents[i] for i in g]
+                lo = min(e.offset for e in ge)
+                hi = max(e.offset + e.comp_size for e in ge)
+                buf = self._source.read_at(lo, hi - lo)
+                if len(buf) != hi - lo:
+                    continue
+                try:
+                    res = native.decompress_batch(
+                        bytes(buf),
+                        [e.offset - lo for e in ge],
+                        [e.comp_size for e in ge],
+                        [e.comp_method for e in ge],
+                        [e.uncomp_size for e in ge],
+                        [e.hash for e in ge],
+                    )
+                except MemoryError:
+                    res = None
+                if res is None:
+                    continue
+                outs, mask = res
+                for i, o, m in zip(g, outs, mask):
+                    if not m:  # failed entries re-run through read_file so
+                        results[i] = o  # callers get the exact error
+        return [results[i] if i in results else self.read_file(e, verify=verify)
+                for i, e in enumerate(ents)]
 
     def extract_iter(self, entry, chunk_size: int = 1 << 20, verify: bool = True):
         """Chunked decode generator (TPU-pythonic face of the reference's

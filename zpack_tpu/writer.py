@@ -159,9 +159,10 @@ class Writer:
         entries is this framework's addition (SURVEY.md §2 north star).
         """
         batch = [_normalize_file(item) for item in files]
-        batch_worthy = len(batch) >= 8 or (
-            len(batch) >= 2 and sum(len(d) for _, d, _ in batch) >= (2 << 20)
-        )
+        # Few-but-large groups go per-entry instead: each entry's frame codec
+        # parallelizes internally over all cores, whereas the batch call
+        # would pin each large entry to a single worker (no nested pools).
+        batch_worthy = len(batch) >= 8 and max(len(d) for _, d, _ in batch) <= (8 << 20)
         if batch_worthy and all(
             int(o.method) in (0, 1, 2) for _, _, o in batch
         ):
