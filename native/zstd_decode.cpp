@@ -12,6 +12,7 @@
 #include <cstddef>
 #include <vector>
 #include <atomic>
+#include <new>
 
 #include "zn_threads.h"
 
@@ -998,6 +999,218 @@ size_t zn_zstd_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap
         opos += got;
     }
     return opos;
+}
+
+// ---------------------------------------------------------------------------
+// Incremental streaming decoder (role parity: ZSTD_decompressStream as used
+// by the reference's chunked read loop, lib/zpack_read.c:572).  Feed
+// arbitrary chunks; blocks decode the moment they complete into a rolling
+// window buffer (history = frame window size), so memory stays bounded for
+// arbitrarily long frames — the contract behind BASELINE's
+// "1 GB single-frame stream decode in bounded RSS at native speed".
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr size_t kBlockMax = 1u << 17;      // RFC 8878 Block_Maximum_Size cap
+constexpr size_t kWindowMax = 1u << 27;     // refuse larger windows (libzstd default limit)
+constexpr size_t kWildSlack = 64;           // wildcopy overshoot room
+
+struct ZnDStream {
+    DCtx ctx;
+    std::vector<uint8_t> in;    // unparsed input tail
+    std::vector<uint8_t> win;   // rolling decode buffer (history + fresh)
+    size_t wpos = 0;            // end of decoded data in win
+    size_t flushed = 0;         // [0, flushed) already handed to the caller
+    size_t window = 0;
+    size_t skip_left = 0;
+    int state = 0;              // 0 magic, 1 skippable, 2 blocks, 3 checksum
+    bool has_checksum = false;
+    bool error = false;
+
+    // Make room for one more block: slide consumed history out, keeping the
+    // window plus any unflushed bytes; grow only if the caller isn't
+    // draining (their memory, their call).
+    bool ensure_room(size_t need) {
+        if (wpos + need + kWildSlack <= win.size()) return true;
+        size_t keep_from = wpos > window ? wpos - window : 0;
+        if (keep_from > flushed) keep_from = flushed;
+        if (keep_from) {
+            memmove(win.data(), win.data() + keep_from, wpos - keep_from);
+            wpos -= keep_from;
+            flushed -= keep_from;
+        }
+        if (wpos + need + kWildSlack > win.size())
+            win.resize(wpos + need + kWildSlack + window);
+        return true;
+    }
+};
+
+// Parse a frame header at p (past the magic). Returns bytes consumed, 0 if
+// more input is needed, -1 if malformed.  Mirrors scan_frame's field logic.
+long long parse_stream_header(const uint8_t* p, size_t n, size_t& window,
+                              bool& has_checksum) {
+    if (n < 1) return 0;
+    uint8_t fhd = p[0];
+    size_t pos = 1;
+    int fcs_flag = fhd >> 6;
+    bool single_seg = fhd & 0x20;
+    if (fhd & 0x08) return -1;
+    has_checksum = fhd & 0x04;
+    int did_flag = fhd & 3;
+    uint64_t win_sz = 0;
+    if (!single_seg) {
+        if (n < pos + 1) return 0;
+        uint8_t wd = p[pos++];
+        int exp = 10 + (wd >> 3);
+        uint64_t base = 1ull << exp;
+        win_sz = base + (base >> 3) * (wd & 7);
+    }
+    static const int did_len[4] = {0, 1, 2, 4};
+    if (did_flag) {
+        if (n < pos + (size_t)did_len[did_flag]) return 0;
+        uint32_t dict_id = 0;
+        for (int i = 0; i < did_len[did_flag]; i++) dict_id |= (uint32_t)p[pos + i] << (8 * i);
+        pos += did_len[did_flag];
+        if (dict_id != 0) return -1;  // external dicts unsupported here
+    }
+    int fcs_len = (fcs_flag == 0) ? (single_seg ? 1 : 0)
+                                  : (fcs_flag == 1 ? 2 : fcs_flag == 2 ? 4 : 8);
+    if (n < pos + (size_t)fcs_len) return 0;
+    uint64_t csize = ~0ull;
+    if (fcs_len) {
+        csize = 0;
+        for (int i = 0; i < fcs_len; i++) csize |= (uint64_t)p[pos + i] << (8 * i);
+        if (fcs_len == 2) csize += 256;
+    }
+    pos += fcs_len;
+    if (single_seg) win_sz = csize;
+    if (win_sz > kWindowMax) return -1;
+    window = (size_t)win_sz;
+    return (long long)pos;
+}
+
+}  // namespace
+
+extern "C" void* zn_zstd_dstream_new() { return new (std::nothrow) ZnDStream(); }
+
+extern "C" void zn_zstd_dstream_free(void* p) { delete (ZnDStream*)p; }
+
+// Decoded-but-unread byte count (so callers can size the read buffer).
+extern "C" size_t zn_zstd_dstream_pending(void* p) {
+    ZnDStream& s = *(ZnDStream*)p;
+    return s.wpos - s.flushed;
+}
+
+// Feed a chunk; decodes every block that completes.  Returns 0, or -1 on
+// malformed input (including a truncated stream when is_final).
+extern "C" int zn_zstd_dstream_feed(void* p, const uint8_t* src, size_t n,
+                                    int is_final) {
+    ZnDStream& s = *(ZnDStream*)p;
+    if (s.error) return -1;
+    s.in.insert(s.in.end(), src, src + n);
+    const uint8_t* b = s.in.data();
+    size_t len = s.in.size();
+    size_t pos = 0;
+    bool need_more = false;
+    while (!need_more) {
+        switch (s.state) {
+        case 0: {  // frame magic
+            if (len - pos < 4) { need_more = true; break; }
+            uint32_t magic;
+            memcpy(&magic, b + pos, 4);
+            if (magic >= 0x184D2A50u && magic <= 0x184D2A5Fu) {
+                if (len - pos < 8) { need_more = true; break; }
+                uint32_t sz;
+                memcpy(&sz, b + pos + 4, 4);
+                pos += 8;
+                s.skip_left = sz;
+                s.state = 1;
+                break;
+            }
+            if (magic != 0xFD2FB528u) { s.error = true; return -1; }
+            size_t window;
+            bool has_chk;
+            long long used = parse_stream_header(b + pos + 4, len - pos - 4, window, has_chk);
+            if (used < 0) { s.error = true; return -1; }
+            if (used == 0) { need_more = true; break; }
+            pos += 4 + (size_t)used;
+            s.window = window ? window : kBlockMax;
+            s.has_checksum = has_chk;
+            // fresh per-frame codec state (tables must not leak across frames)
+            s.ctx.rep[0] = 1; s.ctx.rep[1] = 4; s.ctx.rep[2] = 8;
+            s.ctx.llp = s.ctx.ofp = s.ctx.mlp = nullptr;
+            s.ctx.huf.valid = false;
+            // over-allocate several windows' worth so the history slide
+            // (a window-sized memmove) amortizes to <=1/4 byte moved per
+            // byte decoded instead of firing every block
+            size_t span = s.window + (s.window > (8u << 20) ? s.window * 4
+                                                            : (size_t)(32u << 20));
+            if (s.win.size() < span + 2 * kBlockMax + kWildSlack)
+                s.win.resize(span + 2 * kBlockMax + kWildSlack);
+            s.state = 2;
+            break;
+        }
+        case 1: {  // skippable payload
+            size_t take = len - pos < s.skip_left ? len - pos : s.skip_left;
+            pos += take;
+            s.skip_left -= take;
+            if (s.skip_left == 0) s.state = 0;
+            else need_more = true;
+            break;
+        }
+        case 2: {  // block
+            if (len - pos < 3) { need_more = true; break; }
+            uint32_t bh = b[pos] | ((uint32_t)b[pos + 1] << 8) | ((uint32_t)b[pos + 2] << 16);
+            int last = bh & 1;
+            int btype = (bh >> 1) & 3;
+            size_t bsize = bh >> 3;
+            if (btype == 3 || bsize > (btype == 0 ? (size_t)(1u << 21) : kBlockMax)) {
+                s.error = true;
+                return -1;
+            }
+            size_t payload = btype == 1 ? 1 : bsize;
+            if (len - pos < 3 + payload) { need_more = true; break; }
+            s.ensure_room(btype == 0 ? bsize : kBlockMax);
+            const uint8_t* bp = b + pos + 3;
+            if (btype == 0) {  // raw
+                memcpy(s.win.data() + s.wpos, bp, bsize);
+                s.wpos += bsize;
+            } else if (btype == 1) {  // RLE
+                memset(s.win.data() + s.wpos, bp[0], bsize);
+                s.wpos += bsize;
+            } else {
+                if (!decode_block(s.ctx, bp, bsize, s.win.data(), s.wpos, 0,
+                                  s.win.size() - kWildSlack)) {
+                    s.error = true;
+                    return -1;
+                }
+            }
+            pos += 3 + payload;
+            if (last) s.state = s.has_checksum ? 3 : 0;
+            break;
+        }
+        case 3: {  // content checksum: zpack verifies via XXH3 at its layer
+            if (len - pos < 4) { need_more = true; break; }
+            pos += 4;
+            s.state = 0;
+            break;
+        }
+        }
+    }
+    s.in.erase(s.in.begin(), s.in.begin() + pos);
+    if (is_final && (s.state != 0 || !s.in.empty())) { s.error = true; return -1; }
+    return 0;
+}
+
+// Move up to cap decoded bytes to dst; returns the count.
+extern "C" size_t zn_zstd_dstream_read(void* p, uint8_t* dst, size_t cap) {
+    ZnDStream& s = *(ZnDStream*)p;
+    size_t take = s.wpos - s.flushed;
+    if (take > cap) take = cap;
+    memcpy(dst, s.win.data() + s.flushed, take);
+    s.flushed += take;
+    return take;
 }
 
 }  // extern "C"

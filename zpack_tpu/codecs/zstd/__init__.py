@@ -75,6 +75,19 @@ class _ZstdStreamDecompressor:
         self._dec: frame.FrameDecoder | None = None
         self._skip_left = 0
         self.finished = False
+        # preferred engine: the native incremental dstream decodes each
+        # block the moment it completes (bounded memory, native speed, and
+        # honest read_back timing for the caller-buffer streaming mode);
+        # the python state machine below is the fallback/oracle
+        from ... import native
+
+        self._native = native.zstd_dstream()
+
+    def _decompress_native(self, chunk: bytes, is_final: bool) -> tuple[bytes, int]:
+        out = self._native.feed(chunk, is_final)
+        if is_final:
+            self.finished = True
+        return out, len(chunk)
 
     def _try_native_frame(self, out: bytearray) -> bool:
         """At a frame magic: scan block headers; if the complete frame is
@@ -110,6 +123,8 @@ class _ZstdStreamDecompressor:
     def decompress(self, chunk: bytes, is_final: bool = False) -> tuple[bytes, int]:
         from ...errors import DecompressError
 
+        if self._native is not None:
+            return self._decompress_native(chunk, is_final)
         struct = self._struct
         self._buf += chunk
         out = bytearray()

@@ -105,6 +105,20 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
         ]
+        lib.zn_zstd_dstream_new.restype = ctypes.c_void_p
+        lib.zn_zstd_dstream_new.argtypes = []
+        lib.zn_zstd_dstream_free.restype = None
+        lib.zn_zstd_dstream_free.argtypes = [ctypes.c_void_p]
+        lib.zn_zstd_dstream_feed.restype = ctypes.c_int
+        lib.zn_zstd_dstream_feed.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ]
+        lib.zn_zstd_dstream_pending.restype = ctypes.c_size_t
+        lib.zn_zstd_dstream_pending.argtypes = [ctypes.c_void_p]
+        lib.zn_zstd_dstream_read.restype = ctypes.c_size_t
+        lib.zn_zstd_dstream_read.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+        ]
         lib.zn_xxh3_new.restype = ctypes.c_void_p
         lib.zn_xxh3_new.argtypes = []
         lib.zn_xxh3_free.restype = None
@@ -277,6 +291,55 @@ def zstd_decompress(data: bytes, max_out: int) -> bytes | None:
     if n == _FAIL:
         return None
     return out if n == len(out) else out[:n]
+
+
+class NativeZstdDStream:
+    """Incremental zstd streaming decoder over the native backend
+    (zn_zstd_dstream_*): blocks decode the moment they complete into a
+    rolling window, so arbitrarily long single frames stream in bounded
+    memory at native speed (role parity: ZSTD_decompressStream as used by
+    lib/zpack_read.c:572)."""
+
+    def __init__(self):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native backend unavailable")
+        self._lib = lib
+        self._ptr = lib.zn_zstd_dstream_new()
+        if not self._ptr:
+            raise MemoryError("zn_zstd_dstream_new failed")
+
+    def feed(self, data: bytes, is_final: bool = False) -> bytes:
+        """Feed one chunk; returns every byte decoded by it."""
+        rc = self._lib.zn_zstd_dstream_feed(
+            self._ptr, bytes(data), len(data), 1 if is_final else 0
+        )
+        if rc != 0:
+            from .errors import DecompressError
+
+            raise DecompressError("native zstd stream decode failed")
+        pending = int(self._lib.zn_zstd_dstream_pending(self._ptr))
+        if not pending:
+            return b""
+        out, buf = _bytes_out(pending)
+        got = int(self._lib.zn_zstd_dstream_read(self._ptr, buf, pending))
+        return out if got == len(out) else out[:got]
+
+    def __del__(self):
+        try:
+            self._lib.zn_zstd_dstream_free(self._ptr)
+        except Exception:
+            pass
+
+
+def zstd_dstream():
+    """Native incremental dstream or None when unavailable."""
+    if get_lib() is None:
+        return None
+    try:
+        return NativeZstdDStream()
+    except Exception:
+        return None
 
 
 class NativeXXH3State:

@@ -35,6 +35,13 @@ class ZPackStream:
     read_back: int = 0
     xxh3: object = field(default_factory=make_xxh3_state)
 
+    #: caller-buffer mode only: position just past the freshly-read input,
+    #: so the caller's carry is next_in[in_pos-read_back:in_pos] → front
+    #: (the python face of the reference's advanced next_in pointer,
+    #: memmove(in_buf, stream.next_in - stream.read_back, …) in
+    #: tests/read_archive.c:56-57 / programs/commands.c:394-397)
+    in_pos: int = 0
+
     # internal decode state (reference keeps the codec ctx on the reader;
     # we keep per-stream state so concurrent streams never collide)
     _decomp: object | None = None
@@ -54,6 +61,7 @@ class ZPackStream:
         self.avail_out = 0
         self.total_out = 0
         self.read_back = 0
+        self.in_pos = 0
         self.xxh3 = make_xxh3_state()
         self._decomp = None
         self._stash = bytearray()
@@ -120,6 +128,114 @@ def read_file_stream(reader, entry, stream: ZPackStream, verify: bool = True) ->
     return not done
 
 
+def _decode_bounded(stream: ZPackStream, data, avail_out: int, is_final: bool):
+    """Feed ``data`` to the stream's codec under an output budget, honestly:
+    input is handed to the decoder in pieces only while the decoded output
+    fits ``avail_out``; the unfed suffix is returned unconsumed (this is
+    what produces nonzero ``read_back`` — parity with the in.pos/srcSizePtr
+    semantics of ZSTD_decompressStream / LZ4F_decompress at
+    lib/zpack_read.c:572-620).  Decoded-but-unemitted bytes stay in the
+    stream stash, which also holds completion (read_stream_done) honest."""
+    out = bytearray()
+    consumed = 0
+    n = len(data)
+    while True:
+        left = stream._stash_left()
+        if left:
+            take = min(avail_out - len(out), left)
+            p = stream._stash_pos
+            out += stream._stash[p : p + take]
+            stream._stash_pos = p + take
+            if not stream._stash_left():
+                stream._stash = bytearray()
+                stream._stash_pos = 0
+        if len(out) >= avail_out or consumed >= n:
+            break
+        # feed at most the remaining output budget per piece — and byte-wise
+        # once that budget is tiny: near output saturation we must not
+        # swallow trailing framing bytes the caller would otherwise get back
+        # as read_back (LZ4F stops consuming input once the destination is
+        # full; a piece that both completes a block and contains the frame
+        # tail would over-consume)
+        budget = avail_out - len(out)
+        step = 1 if budget <= 256 else min(65536, budget)
+        piece = bytes(data[consumed : consumed + step])
+        fin = is_final and consumed + len(piece) >= n
+        produced, _ = stream._decomp.decompress(piece, is_final=fin)
+        consumed += len(piece)
+        if produced:
+            stream._stash += produced
+    return bytes(out), consumed
+
+
+def read_file_stream_buffer(reader, entry, stream: ZPackStream, verify: bool = True):
+    """Caller-buffer streaming decode with the reference's faithful
+    ``read_back`` carry contract (lib/zpack.h:179,399-415; decode loop
+    lib/zpack_read.c:515-640; caller protocol tests/read_archive.c:52-74).
+
+    The caller owns ``stream.next_in`` — a bytearray used as the input
+    buffer — and before each call must (a) move the ``read_back``
+    unconsumed bytes to the buffer's front::
+
+        buf[:s.read_back] = buf[s.in_pos - s.read_back : s.in_pos]
+
+    and (b) set ``avail_in`` to the buffer capacity and ``avail_out`` to
+    this call's output budget.  The call reads fresh raw bytes from the
+    archive into the buffer *after* the carried bytes, decodes at most
+    ``avail_out`` bytes into ``stream.next_out``, and reports the
+    unconsumed input suffix in ``read_back``.  Completion test is
+    :func:`read_stream_done`; the XXH3 digest is verified on completion.
+    """
+    entry = reader._resolve(entry)
+    if entry.comp_size == 0 or read_stream_done(stream, entry):
+        stream.next_out = bytearray()
+        return
+    if stream._entry is None:
+        stream._entry = entry
+        stream._decomp = get_codec(entry.comp_method).decompressor()
+    elif stream._entry is not entry:
+        raise StreamStateError("stream already bound to another entry")
+    if stream.avail_out <= 0:
+        raise StreamStateError("no output space provided")
+    buf = stream.next_in
+    if not isinstance(buf, (bytearray, memoryview)):
+        raise StreamStateError("caller-buffer mode needs a bytearray next_in")
+    capacity = min(stream.avail_in, len(buf)) if stream.avail_in else len(buf)
+    carry = stream.read_back
+    if carry > capacity:
+        raise StreamStateError("read_back exceeds input buffer")
+    # fresh raw bytes land after the carried ones (zpack_read_raw_file_stream
+    # advances next_in past them, lib/zpack_read.c:501-505)
+    take = min(capacity - carry, entry.comp_size - stream.total_in)
+    if take:
+        raw = reader._source.read_at(entry.offset + stream.total_in, take)
+        if len(raw) < take:
+            raise ZPackError(Result.ERROR_FILE_INCOMPLETE, "entry data truncated")
+        buf[carry : carry + take] = raw
+        stream.total_in += take
+    in_size = carry + take
+    stream.in_pos = in_size
+    is_final = stream.total_in >= entry.comp_size
+    out, consumed = _decode_bounded(
+        stream, memoryview(buf)[:in_size], stream.avail_out, is_final
+    )
+    stream.read_back = in_size - consumed
+    if out:
+        stream.xxh3.update(out)
+    stream.next_out = bytearray(out)
+    stream.total_out += len(out)
+    if read_stream_done(stream, entry):
+        if stream.total_out != entry.uncomp_size:
+            raise ZPackError(
+                Result.ERROR_FILE_SIZE_INVALID,
+                f"stream produced {stream.total_out}, expected {entry.uncomp_size}",
+            )
+        if verify:
+            h = stream.xxh3.digest()
+            if h != entry.hash:
+                raise HashMismatchError(entry.hash, h)
+
+
 def read_raw_file_stream(reader, entry, stream: ZPackStream) -> bool:
     """Chunked *raw* (still-compressed) reads of an entry
     (parity: zpack_read_raw_file_stream, lib/zpack_read.c:473-513): each
@@ -168,19 +284,61 @@ def read_file_stream_iter(reader, entry, chunk_size: int = 1 << 20, verify: bool
             yield bytes(stream.next_out)
 
 
+# Codec-derived stream buffer hints.  Our zstd codec works in 128 KiB
+# blocks (RFC 8878 max block size, same granularity libzstd's
+# ZSTD_CStreamInSize/ZSTD_DStreamInSize report); our lz4 frame codec emits
+# 64 KiB blocks (the reference hardcodes 64 KiB / LZ4F_compressBound(0)).
+_ZSTD_BLOCK = 128 << 10
+_ZSTD_BLOCK_HDR = 3
+_LZ4_BLOCK = 64 << 10
+
+
+def _lz4f_one_block_bound() -> int:
+    # one worst-case 64 KiB lz4f block: 4-byte block header + incompressible
+    # payload, plus frame header (≤19) and end mark + checksum (8)
+    return _LZ4_BLOCK + 4 + 19 + 8
+
+
+def _zstd_one_block_bound() -> int:
+    # raw-block fallback bounds a block's cost: 3-byte header + payload,
+    # plus frame header (≤18) and checksum (4)
+    return _ZSTD_BLOCK + _ZSTD_BLOCK_HDR + 18 + 4
+
+
+def _hint(method: int, zstd_val: int, lz4_val: int) -> int:
+    """Reference behavior (lib/zpack_read.c:719-758): method NONE falls
+    through to the largest available codec's value; disabled codecs drop
+    out of the chain; unknown methods return 0."""
+    from . import constants as C
+    from .codecs import _disabled
+
+    m = int(method)
+    zstd_ok = not _disabled(C.CompressionMethod.ZSTD)
+    lz4_ok = not _disabled(C.CompressionMethod.LZ4)
+    if m == int(C.CompressionMethod.LZ4):
+        return lz4_val if lz4_ok else 0
+    if m == int(C.CompressionMethod.ZSTD):
+        return zstd_val if zstd_ok else 0
+    if m == int(C.CompressionMethod.NONE):
+        return zstd_val if zstd_ok else (lz4_val if lz4_ok else 0)
+    return 0
+
+
 def recommended_cstream_in_size(method: int) -> int:
     """parity: zpack_get_cstream_in_size (lib/zpack_write.c:858-874)."""
-    return 128 << 10
+    return _hint(method, _ZSTD_BLOCK, _LZ4_BLOCK)
 
 
 def recommended_cstream_out_size(method: int) -> int:
-    return (128 << 10) + (128 << 7)
+    """parity: zpack_get_cstream_out_size (lib/zpack_write.c:880-897)."""
+    return _hint(method, _zstd_one_block_bound(), _lz4f_one_block_bound())
 
 
 def recommended_dstream_in_size(method: int) -> int:
     """parity: zpack_get_dstream_in_size (lib/zpack_read.c:719-737)."""
-    return 128 << 10
+    return _hint(method, _ZSTD_BLOCK + _ZSTD_BLOCK_HDR, _lz4f_one_block_bound())
 
 
 def recommended_dstream_out_size(method: int) -> int:
-    return 128 << 10
+    """parity: zpack_get_dstream_out_size (lib/zpack_read.c:740-758)."""
+    return _hint(method, _ZSTD_BLOCK, _LZ4_BLOCK)
