@@ -105,3 +105,25 @@ def test_corrupt_frame_detected():
     comp[len(comp) // 2] ^= 0xFF
     with pytest.raises(Exception):
         frame.decompress(bytes(comp))
+
+
+def test_encode_ratio_parity_pinned():
+    """Pin the claimed libzstd parity per level on the bench-like mixed
+    corpus (native encoder — the engine the CLI uses).  These caps are the
+    project's actual claims, not loose guardrails: a regression to 1.1x
+    must fail CI.  (BASELINE: ratio <= reference per level.)"""
+    import sys
+
+    sys.path.insert(0, ".")
+    from bench import build_corpus
+
+    from zpack_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native backend unavailable")
+    data = build_corpus(2 << 20)
+    caps = {1: 1.02, 2: 1.00, 3: 1.00, 19: 1.02}
+    for lvl, cap in caps.items():
+        ours = len(native.zstd_compress(data, lvl))
+        ref = len(zstandard.ZstdCompressor(level=lvl).compress(data))
+        assert ours <= ref * cap, f"L{lvl}: {ours} vs libzstd {ref} ({ours/ref:.4f} > {cap})"
