@@ -47,6 +47,61 @@ def _tz_bytes(x):
 
 
 @partial(jax.jit, static_argnames=("depth",))
+def tokenize_block_noscatter(data: jax.Array, depth: int = 2):
+    """Scatter-free tokenizer: identical match search to
+    :func:`tokenize_block` but returns results still in hash-sorted order
+    as ``(pos, packed)`` — the device-side unsort scatter costs more than
+    the whole sort on TPU (measured ~8.5 ms vs ~3.4 ms per 16x64 KiB
+    batch), while the host inverts the permutation with one vectorized
+    numpy scatter for free (see lz4_pallas.unsort_host)."""
+    B = data.shape[0]
+    b = data.astype(jnp.uint32)
+    bp = jnp.pad(b, (0, CAPJ + 4))
+    u = bp[:B] | (bp[1 : B + 1] << 8) | (bp[2 : B + 2] << 16) | (bp[3 : B + 3] << 24)
+    u4 = bp[4 : B + 4] | (bp[5 : B + 5] << 8) | (bp[6 : B + 6] << 16) | (bp[7 : B + 7] << 24)
+    u8_ = bp[8 : B + 8] | (bp[9 : B + 9] << 8) | (bp[10 : B + 10] << 16) | (bp[11 : B + 11] << 24)
+    u12 = bp[12 : B + 12] | (bp[13 : B + 13] << 8) | (bp[14 : B + 14] << 16) | (bp[15 : B + 15] << 24)
+
+    h = (u * _HASH_MUL) >> jnp.uint32(16)
+    pos_u = jnp.arange(B, dtype=jnp.uint32)
+    key = (h << jnp.uint32(16)) | pos_u
+    key_s, u_s, u4_s, u8_s, u12_s = jax.lax.sort((key, u, u4, u8_, u12), num_keys=1)
+    hs = key_s >> jnp.uint32(16)
+    ps = (key_s & jnp.uint32(0xFFFF)).astype(jnp.int32)
+
+    def shift_up(a, d, fill):
+        return jnp.concatenate([jnp.full((d,), fill, a.dtype), a[:-d]])
+
+    best_len = jnp.zeros((B,), jnp.int32)
+    best_src = jnp.zeros((B,), jnp.int32)
+    for d in range(1, max(2, depth + 1)):
+        same = hs == shift_up(hs, d, jnp.uint32(0xFFFFFFFF))
+        cand_pos = shift_up(ps, d, jnp.int32(0))
+        close = same & (ps - cand_pos <= MAX_OFFSET) & (ps > cand_pos)
+        x0 = u_s ^ shift_up(u_s, d, jnp.uint32(0))
+        x1 = u4_s ^ shift_up(u4_s, d, jnp.uint32(0))
+        x2 = u8_s ^ shift_up(u8_s, d, jnp.uint32(0))
+        x3 = u12_s ^ shift_up(u12_s, d, jnp.uint32(0))
+        e0 = x0 == 0
+        e1 = x1 == 0
+        e2 = x2 == 0
+        l3 = jnp.where(e2, jnp.where(x3 == 0, 16, 12 + _tz_bytes(x3)), 8 + _tz_bytes(x2))
+        mlen = jnp.where(e0, jnp.where(e1, l3, 4 + _tz_bytes(x1)), 0)
+        mlen = jnp.where(close, mlen, 0)
+        better = mlen > best_len
+        best_len = jnp.where(better, mlen, best_len)
+        best_src = jnp.where(better, cand_pos, best_src)
+
+    # end-of-block parse rules in the sorted domain (pos = ps)
+    match_ok = (best_len >= MIN_MATCH) & (ps < B - MFLIMIT) & (ps > 0)
+    ml = jnp.minimum(best_len, (B - LAST_LITERALS) - ps)
+    match_ok &= ml >= MIN_MATCH
+    mlen_sel = jnp.where(match_ok, ml, 0)
+    src_sel = jnp.where(match_ok, best_src, -1)
+    return ps, (mlen_sel << 17) | (src_sel & 0x1FFFF)
+
+
+@partial(jax.jit, static_argnames=("depth",))
 def tokenize_block(data: jax.Array, depth: int = 2):
     """Find the best match per position for one B-byte block (B static,
     B <= 65536 so positions fit in the low 16 bits of the sort key).
@@ -173,15 +228,16 @@ def serialize_block_host(data: bytes, src: np.ndarray, mlen: np.ndarray) -> byte
 
 def compress_block_tpu(data: bytes, depth: int = 2) -> bytes:
     """One LZ4 block, matcher on device, parse+serialize on host."""
+    from .lz4_pallas import unsort_host
+
     n = len(data)
     if n < MFLIMIT + 1:
         return lz4block.compress_block(data)
     B = max(256, -(-n // 128) * 128)
     padded = np.zeros(B, dtype=np.uint8)
     padded[:n] = np.frombuffer(data, dtype=np.uint8)
-    src, mlen = tokenize_block(jnp.asarray(padded), depth)
-    src = np.asarray(src)
-    mlen = np.asarray(mlen)
+    pos, packed = tokenize_block_noscatter(jnp.asarray(padded), depth)
+    src, mlen = unsort_host(np.asarray(pos), np.asarray(packed))
     if n != B:
         # padding may have created/extended matches past n: re-clamp
         posa = np.arange(B)

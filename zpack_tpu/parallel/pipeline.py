@@ -45,22 +45,43 @@ def make_mesh(devices=None, entry_axis: int | None = None) -> Mesh:
     return Mesh(arr, ("entry", "block"))
 
 
-def _step_fn(mesh: Mesh, depth: int):
-    """Build the jitted sharded tokenize step for (entries, blocks, B)."""
+def _step_fn(mesh: Mesh, depth: int, block_size: int):
+    """Build the jitted sharded tokenize step for (entries, blocks, B).
+
+    Device results stay in hash-sorted order as (pos, packed) — the unsort
+    scatter costs more on TPU than the whole sort (see
+    kernels/lz4_jax.tokenize_block_noscatter); the host inverts the
+    permutation with one numpy scatter.  64 KiB blocks on a real TPU run
+    the fused Pallas kernel; other shapes/platforms use the XLA path."""
+    import os
+
+    from ..kernels import lz4_pallas
+
+    use_pallas = (
+        block_size == lz4_pallas.N
+        and jax.default_backend() not in ("cpu",)
+        and not os.environ.get("ZPACK_TPU_NO_PALLAS")
+    )
 
     def local_step(blocks):
         # blocks: (e_local, b_local, B)
         e, b, B = blocks.shape
         flat = blocks.reshape(e * b, B)
-        src, mlen = jax.vmap(partial(lz4_jax.tokenize_block, depth=depth))(flat)
+        if use_pallas:
+            pos, packed = lz4_pallas.tokenize_blocks_device(flat, depth=depth)
+        else:
+            pos, packed = jax.vmap(
+                partial(lz4_jax.tokenize_block_noscatter, depth=depth)
+            )(flat)
         # size estimate: literals + per-match overhead, reduced over the mesh
+        mlen = packed >> 17
         matched = jnp.sum(jnp.where(mlen >= 4, mlen, 0), axis=-1)
         n_seq = jnp.sum((mlen >= 4).astype(jnp.int32), axis=-1)
         est_local = jnp.sum(B - matched + 3 * n_seq)
         est = jax.lax.psum(jax.lax.psum(est_local, "block"), "entry")
         return (
-            src.reshape(e, b, B).astype(jnp.int32),
-            mlen.reshape(e, b, B).astype(jnp.int32),
+            pos.reshape(e, b, B).astype(jnp.int32),
+            packed.reshape(e, b, B).astype(jnp.int32),
             est,
         )
 
@@ -97,7 +118,7 @@ class MeshCompressor:
         self.level = level
         self.block_size = block_size
         depth = 2 if level <= 2 else 8
-        self._step = _step_fn(self.mesh, depth)
+        self._step = _step_fn(self.mesh, depth, block_size)
 
     def _pad_factor(self) -> tuple[int, int]:
         e_ax = self.mesh.shape["entry"]
@@ -122,16 +143,22 @@ class MeshCompressor:
         est_total = 0
         # fixed-shape steps: one compiled program, host loop over the data;
         # async dispatch pipelines the steps on device
+        from ..kernels.lz4_pallas import unsort_host
+
         results = []
         for s in range(nb_pad // per_step):
             chunk = buf[s * per_step : (s + 1) * per_step]
             batch = chunk.reshape(e_ax, per_step // e_ax, B)
             batch = jax.device_put(batch, sharding)
             results.append(self._step(batch))
-        for s, (src_d, mlen_d, est) in enumerate(results):
+        for s, (pos_d, packed_d, est) in enumerate(results):
             lo = s * per_step
-            src[lo : lo + per_step] = np.asarray(src_d).reshape(per_step, B)
-            mlen[lo : lo + per_step] = np.asarray(mlen_d).reshape(per_step, B)
+            src_s, mlen_s = unsort_host(
+                np.asarray(pos_d).reshape(per_step, B),
+                np.asarray(packed_d).reshape(per_step, B),
+            )
+            src[lo : lo + per_step] = src_s
+            mlen[lo : lo + per_step] = mlen_s
             est_total += int(est)
         return src, mlen, nb, est_total
 
