@@ -448,6 +448,84 @@ size_t zn_lz4_decompress(const uint8_t* src, size_t n,
     return (size_t)(op - dst);
 }
 
+// Serialize LZ4 frame-block sections from DEVICE match tables: the TPU
+// tokenizer (zpack_tpu/kernels/lz4_{jax,pallas}.py) finds per-position
+// (src, mlen<=16-capped) candidates; this does the greedy parse, exact
+// forward/backward extension, byte emission and the compressed-vs-raw
+// decision for nb consecutive blocks of bsz bytes, in parallel.  Each
+// block section is a 4-byte LE size header (high bit = uncompressed)
+// followed by the payload — the lz4f frame body minus header/end-mark.
+// Role parity: the serialization half of LZ4_compress_default that the
+// reference gets via lib/zpack_write.c:204-211.
+// Returns total bytes written or (size_t)-1 (cap too small / bad tables).
+size_t zn_lz4_serialize_blocks(const uint8_t* data, size_t n, size_t bsz,
+                               const int32_t* srct, const int32_t* mlent,
+                               size_t nb, uint8_t* dst, size_t cap) {
+    if (nb == 0 || bsz == 0 || n == 0) return 0;
+    std::vector<std::vector<uint8_t>> outs(nb);
+    std::atomic<bool> bad{false};
+    unsigned nt = zn_nthreads();
+    zn_parallel_for(nb, nt, [&](size_t i) {
+        size_t off0 = i * bsz;
+        if (off0 >= n) { return; }
+        const uint8_t* d = data + off0;
+        size_t cl = n - off0 < bsz ? n - off0 : bsz;
+        const int32_t* sr = srct + i * bsz;
+        const int32_t* ml = mlent + i * bsz;
+        std::vector<uint8_t>& ob = outs[i];
+        ob.resize(4 + cl + cl / 255 + 16);
+        uint8_t* op = ob.data() + 4;
+        uint8_t* oend = ob.data() + ob.size();
+        size_t limit = cl > LZ4_LASTLITS ? cl - LZ4_LASTLITS : 0;
+        size_t mflim = cl > LZ4_MFLIMIT ? cl - LZ4_MFLIMIT : 0;
+        size_t lit = 0;
+        for (size_t p = 1; p < mflim;) {
+            int32_t m = ml[p];
+            int32_t j = sr[p];
+            if (m < LZ4_MINMATCH || j < 0 || (size_t)j >= p || p - (size_t)j > 65535) {
+                p++;
+                continue;
+            }
+            size_t e = (size_t)m;
+            if (p + e > limit) e = limit - p;
+            while (p + e < limit && d[p + e] == d[(size_t)j + e]) e++;
+            if (e < LZ4_MINMATCH) { p++; continue; }
+            size_t pp = p, jj = (size_t)j;
+            while (pp > lit && jj > 0 && d[pp - 1] == d[jj - 1]) { pp--; jj--; e++; }
+            op = lz4_emit(op, oend, d, lit, pp - lit, pp - jj, e);
+            if (!op) { bad.store(true); return; }
+            p = pp + e;
+            lit = p;
+        }
+        size_t ll = cl - lit;
+        size_t need = 1 + ll / 255 + 1 + ll;
+        if (op + need > oend) { bad.store(true); return; }
+        *op++ = (uint8_t)((ll < 15 ? ll : 15) << 4);
+        if (ll >= 15) op = write_lsic(op, ll - 15);
+        memcpy(op, d + lit, ll);
+        op += ll;
+        size_t csz = (size_t)(op - (ob.data() + 4));
+        if (csz >= cl) {
+            // raw block wins: size header with the high bit set + the data
+            ob.resize(4 + cl);
+            uint32_t hdr = (uint32_t)cl | 0x80000000u;
+            memcpy(ob.data(), &hdr, 4);
+            memcpy(ob.data() + 4, d, cl);
+        } else {
+            uint32_t hdr = (uint32_t)csz;
+            memcpy(ob.data(), &hdr, 4);
+            ob.resize(4 + csz);
+        }
+    });
+    if (bad.load()) return (size_t)-1;
+    size_t total = 0;
+    for (auto& ob : outs) total += ob.size();
+    if (total > cap) return (size_t)-1;
+    uint8_t* op = dst;
+    for (auto& ob : outs) { memcpy(op, ob.data(), ob.size()); op += ob.size(); }
+    return total;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

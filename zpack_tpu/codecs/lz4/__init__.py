@@ -6,7 +6,7 @@ from ...constants import CompressionMethod
 from .. import Codec, register
 from . import block, frame
 
-_MESH_COMPRESSOR = None
+_MESH_COMPRESSORS: dict[int, object] = {}
 
 
 @register(CompressionMethod.LZ4)
@@ -26,11 +26,11 @@ class LZ4Codec(Codec):
             # explicit TPU engine: mesh-parallel tokenization
             from ...parallel.pipeline import MeshCompressor
 
-            global _MESH_COMPRESSOR
             try:
-                if _MESH_COMPRESSOR is None:
-                    _MESH_COMPRESSOR = MeshCompressor(level=level)
-                return _MESH_COMPRESSOR.compress(bytes(data))
+                mc = _MESH_COMPRESSORS.get(level)
+                if mc is None:
+                    mc = _MESH_COMPRESSORS[level] = MeshCompressor(level=level)
+                return mc.compress(bytes(data))
             except Exception:
                 pass  # fall through to host engines
         if len(data) > (16 << 20):

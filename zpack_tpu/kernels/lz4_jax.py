@@ -46,26 +46,39 @@ def _tz_bytes(x):
     )
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def tokenize_block_noscatter(data: jax.Array, depth: int = 2):
+@partial(jax.jit, static_argnames=("depth", "n_words"))
+def tokenize_block_noscatter(data: jax.Array, depth: int = 2, n_words: int = 2):
     """Scatter-free tokenizer: identical match search to
     :func:`tokenize_block` but returns results still in hash-sorted order
     as ``(pos, packed)`` — the device-side unsort scatter costs more than
     the whole sort on TPU (measured ~8.5 ms vs ~3.4 ms per 16x64 KiB
     batch), while the host inverts the permutation with one vectorized
-    numpy scatter for free (see lz4_pallas.unsort_host)."""
-    B = data.shape[0]
-    b = data.astype(jnp.uint32)
-    bp = jnp.pad(b, (0, CAPJ + 4))
-    u = bp[:B] | (bp[1 : B + 1] << 8) | (bp[2 : B + 2] << 16) | (bp[3 : B + 3] << 24)
-    u4 = bp[4 : B + 4] | (bp[5 : B + 5] << 8) | (bp[6 : B + 6] << 16) | (bp[7 : B + 7] << 24)
-    u8_ = bp[8 : B + 8] | (bp[9 : B + 9] << 8) | (bp[10 : B + 10] << 16) | (bp[11 : B + 11] << 24)
-    u12 = bp[12 : B + 12] | (bp[13 : B + 13] << 8) | (bp[14 : B + 14] << 16) | (bp[15 : B + 15] << 24)
+    numpy scatter for free (see lz4_pallas.unsort_host).
 
-    h = (u * _HASH_MUL) >> jnp.uint32(16)
+    ``n_words`` u32 window words ride the sort, capping the on-device
+    match length at 4*n_words (the host makes lengths exact via
+    resolve_matches_host / the native serializer).  The sort is the cost
+    center, so fewer payload operands = faster: w=2 measured 585 MB/s vs
+    w=4's 419 MB/s on 16 MB batches (real TPU, scripts/tpu_probe3.py)
+    while candidate selection quality is barely affected."""
+    B = data.shape[0]
+    capj = 4 * n_words
+    b = data.astype(jnp.uint32)
+    bp = jnp.pad(b, (0, capj + 4))
+    us = []
+    for s in range(0, capj, 4):
+        us.append(
+            bp[s : B + s]
+            | (bp[s + 1 : B + s + 1] << 8)
+            | (bp[s + 2 : B + s + 2] << 16)
+            | (bp[s + 3 : B + s + 3] << 24)
+        )
+
+    h = (us[0] * _HASH_MUL) >> jnp.uint32(16)
     pos_u = jnp.arange(B, dtype=jnp.uint32)
     key = (h << jnp.uint32(16)) | pos_u
-    key_s, u_s, u4_s, u8_s, u12_s = jax.lax.sort((key, u, u4, u8_, u12), num_keys=1)
+    srt = jax.lax.sort((key, *us), num_keys=1)
+    key_s, us_s = srt[0], srt[1:]
     hs = key_s >> jnp.uint32(16)
     ps = (key_s & jnp.uint32(0xFFFF)).astype(jnp.int32)
 
@@ -78,15 +91,16 @@ def tokenize_block_noscatter(data: jax.Array, depth: int = 2):
         same = hs == shift_up(hs, d, jnp.uint32(0xFFFFFFFF))
         cand_pos = shift_up(ps, d, jnp.int32(0))
         close = same & (ps - cand_pos <= MAX_OFFSET) & (ps > cand_pos)
-        x0 = u_s ^ shift_up(u_s, d, jnp.uint32(0))
-        x1 = u4_s ^ shift_up(u4_s, d, jnp.uint32(0))
-        x2 = u8_s ^ shift_up(u8_s, d, jnp.uint32(0))
-        x3 = u12_s ^ shift_up(u12_s, d, jnp.uint32(0))
-        e0 = x0 == 0
-        e1 = x1 == 0
-        e2 = x2 == 0
-        l3 = jnp.where(e2, jnp.where(x3 == 0, 16, 12 + _tz_bytes(x3)), 8 + _tz_bytes(x2))
-        mlen = jnp.where(e0, jnp.where(e1, l3, 4 + _tz_bytes(x1)), 0)
+        xs = [u ^ shift_up(u, d, jnp.uint32(0)) for u in us_s]
+        # match length = 4*(leading equal words) + trailing-equal bytes of
+        # the first unequal word, capped at capj
+        mlen = jnp.full((B,), capj, jnp.int32)
+        carry = jnp.ones((B,), bool)
+        for wi, x in enumerate(xs):
+            eq = x == 0
+            mlen = jnp.where(carry & ~eq, 4 * wi + _tz_bytes(x), mlen)
+            carry = carry & eq
+        mlen = jnp.where(mlen >= MIN_MATCH, mlen, 0)
         mlen = jnp.where(close, mlen, 0)
         better = mlen > best_len
         best_len = jnp.where(better, mlen, best_len)
@@ -190,43 +204,81 @@ def parse_events_host(src: np.ndarray, mlen: np.ndarray, n: int):
     return events[mlen[events] >= MIN_MATCH]
 
 
-def serialize_block_host(data: bytes, src: np.ndarray, mlen: np.ndarray) -> bytes:
-    """Assemble the LZ4 block from the device match tables: host orbit
-    enumeration + vectorized serialization; capped matches re-extended."""
+def _extend_capped(arr: np.ndarray, limit: int, p: np.ndarray, j: np.ndarray,
+                   ml: np.ndarray) -> np.ndarray:
+    """Exact-extend capped match lengths, vectorized: strip-doubling compares
+    of (n_active, s) byte blocks; rows retire at their first mismatch or at
+    ``limit``.  Total work is O(sum of extensions)."""
+    pe = (p + ml).astype(np.int64)
+    je = (j + ml).astype(np.int64)
+    base = np.int64(len(arr) - 1)
+    active = pe < limit
+    s = 16
+    while active.any():
+        a = np.nonzero(active)[0]
+        off = np.arange(s, dtype=np.int64)
+        pa = pe[a, None] + off
+        ja = je[a, None] + off
+        eq = (arr[np.minimum(pa, base)] == arr[np.minimum(ja, base)]) & (pa < limit)
+        allm = eq.all(axis=1)
+        adv = np.where(allm, s, eq.argmin(axis=1))
+        pe[a] += adv
+        je[a] += adv
+        active[a] = allm & (pe[a] < limit)
+        if s < 4096:
+            s *= 2
+    return pe - p
+
+
+def resolve_matches_host(arr: np.ndarray, src: np.ndarray, mlen: np.ndarray,
+                         n: int, limit: int, capj: int = CAPJ):
+    """Greedy-parse the device match tables into final non-overlapping
+    sequences with exact lengths, fully vectorized.
+
+    Device-capped lengths (>= CAPJ) are made exact BEFORE the parse using
+    the same-delta-run identity: within a maximal run of consecutive capped
+    positions sharing delta = p - src, L(p) = L(run_end) + (run_end - p),
+    so strip-doubling extension runs only at run ends (few), and every
+    other capped length follows by arithmetic — O(n) total.  A single
+    greedy parse with exact jump lengths then yields the final sequences
+    (ratio >= the scalar extend-as-you-go loop, which never re-discovers
+    matches inside skipped spans).  Returns (positions, sources, lengths)
+    int64 arrays, sorted by position."""
+    src64 = src.astype(np.int64)
+    mlen = mlen.astype(np.int64)
+    capped = mlen >= capj
+    if capped.any():
+        B = len(mlen)
+        pos = np.arange(B, dtype=np.int64)
+        delta = np.where(mlen >= MIN_MATCH, pos - src64, np.int64(-1))
+        nxt_delta = np.concatenate([delta[1:], np.array([-2], np.int64)])
+        nxt_capped = np.concatenate([capped[1:], [False]])
+        run_end = capped & ((delta != nxt_delta) | ~nxt_capped)
+        ends = np.nonzero(run_end)[0]
+        l_end = _extend_capped(arr, limit, ends, src64[ends], mlen[ends])
+        # nearest run end at/after p: runs are contiguous, so a reverse
+        # min-scan of end positions resolves every capped p to its own end
+        end_of = np.minimum.accumulate(np.where(run_end, pos, B)[::-1])[::-1]
+        l_at_end = np.zeros(B, np.int64)
+        l_at_end[ends] = l_end
+        exact_l = l_at_end[np.minimum(end_of, B - 1)] + (end_of - pos)
+        mlen = np.where(capped, exact_l, mlen)
+    match_ev = parse_events_host(src64, mlen, n)
+    return match_ev, src64[match_ev], mlen[match_ev]
+
+
+def serialize_block_host(data: bytes, src: np.ndarray, mlen: np.ndarray,
+                         capj: int = CAPJ) -> bytes:
+    """Assemble the LZ4 block from the device match tables: vectorized
+    fixpoint parse/extension (resolve_matches_host) + vectorized byte
+    serialization — no per-event python loop anywhere."""
     n = len(data)
     arr = np.frombuffer(data, dtype=np.uint8)
-    match_ev = parse_events_host(src, mlen, n)
-    limit = n - LAST_LITERALS
-    if not len(match_ev) or int(mlen[match_ev].max()) < CAPJ:
-        return lz4block.serialize_sequences_np(
-            data, match_ev, src[match_ev], mlen[match_ev]
-        )
-    from ..codecs import match as M
-
-    mps: list[int] = []
-    mss: list[int] = []
-    mls: list[int] = []
-    pos = 0
-    for p in match_ev.tolist():
-        if p < pos:
-            continue
-        ml = int(mlen[p])
-        j = int(src[p])
-        if ml >= CAPJ:
-            ml = M.exact_extend(arr, p, j, ml, limit)
-        ml = min(ml, limit - p)
-        if ml < MIN_MATCH:
-            continue
-        mps.append(p)
-        mss.append(j)
-        mls.append(ml)
-        pos = p + ml
-    return lz4block.serialize_sequences_np(
-        data, np.array(mps, np.int64), np.array(mss, np.int64), np.array(mls, np.int64)
-    )
+    mps, mss, mls = resolve_matches_host(arr, src, mlen, n, n - LAST_LITERALS, capj)
+    return lz4block.serialize_sequences_np(data, mps, mss, mls)
 
 
-def compress_block_tpu(data: bytes, depth: int = 2) -> bytes:
+def compress_block_tpu(data: bytes, depth: int = 2, n_words: int = 2) -> bytes:
     """One LZ4 block, matcher on device, parse+serialize on host."""
     from .lz4_pallas import unsort_host
 
@@ -236,7 +288,7 @@ def compress_block_tpu(data: bytes, depth: int = 2) -> bytes:
     B = max(256, -(-n // 128) * 128)
     padded = np.zeros(B, dtype=np.uint8)
     padded[:n] = np.frombuffer(data, dtype=np.uint8)
-    pos, packed = tokenize_block_noscatter(jnp.asarray(padded), depth)
+    pos, packed = tokenize_block_noscatter(jnp.asarray(padded), depth, n_words)
     src, mlen = unsort_host(np.asarray(pos), np.asarray(packed))
     if n != B:
         # padding may have created/extended matches past n: re-clamp
@@ -244,4 +296,4 @@ def compress_block_tpu(data: bytes, depth: int = 2) -> bytes:
         mlen = np.minimum(mlen, np.maximum(n - LAST_LITERALS - posa, 0))
         mlen = np.where(posa >= max(n - MFLIMIT, 0), 0, mlen)
         mlen = np.where(mlen < MIN_MATCH, 0, mlen)
-    return serialize_block_host(data, src, mlen)
+    return serialize_block_host(data, src, mlen, 4 * n_words)

@@ -119,6 +119,12 @@ def get_lib() -> ctypes.CDLL | None:
         lib.zn_zstd_dstream_read.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
         ]
+        lib.zn_lz4_serialize_blocks.restype = ctypes.c_size_t
+        lib.zn_lz4_serialize_blocks.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
         lib.zn_xxh3_new.restype = ctypes.c_void_p
         lib.zn_xxh3_new.argtypes = []
         lib.zn_xxh3_free.restype = None
@@ -222,6 +228,31 @@ def decompress_batch(buf: bytes, comp_offs, comp_sizes, methods, out_sizes, hash
     outs = [dst[int(oo[i]) : int(oo[i + 1])].tobytes() if not mask[i] else None
             for i in range(n)]
     return outs, mask.tolist()
+
+
+def lz4_serialize_blocks(data: bytes, src: "np.ndarray", mlen: "np.ndarray",
+                         block_size: int) -> bytes | None:
+    """Assemble lz4f block sections from device match tables in one native
+    call (greedy parse + exact extension + emission, threaded over blocks).
+    src/mlen: (nb, block_size) int32 rows from the TPU tokenizer."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    if n == 0:
+        return b""
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    mlen = np.ascontiguousarray(mlen, dtype=np.int32)
+    nb = -(-n // block_size)
+    assert src.shape == mlen.shape and src.shape[0] >= nb and src.shape[1] == block_size
+    cap = n + (n // 255) + 20 * nb + 64
+    out, optr = _bytes_out(cap)
+    r = int(lib.zn_lz4_serialize_blocks(
+        data, n, block_size, src.ctypes.data, mlen.ctypes.data, nb, optr, cap
+    ))
+    if r == _FAIL:
+        return None
+    return out[:r]
 
 
 def lz4_compress_block(data: bytes, level: int = 1) -> bytes | None:

@@ -58,7 +58,7 @@ def _assemble_entry(mc: MeshCompressor, data: bytes, declared: int) -> bytes:
             ml = np.minimum(ml, np.maximum(len(chunk) - 5 - posa, 0))
             ml = np.where(posa >= max(len(chunk) - 12, 0), 0, ml)
             ml = np.where(ml < 4, 0, ml)
-        comp = lz4_jax.serialize_block_host(chunk, src[i], ml)
+        comp = lz4_jax.serialize_block_host(chunk, src[i], ml, mc.capj)
         if len(comp) < len(chunk):
             out += struct.pack("<I", len(comp)) + comp
         else:

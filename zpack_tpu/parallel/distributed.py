@@ -107,7 +107,7 @@ def compress_multihost(data: bytes, level: int = 1, block_size: int = 64 << 10) 
             ml = np.minimum(ml, np.maximum(len(chunk) - 5 - posa, 0))
             ml = np.where(posa >= max(len(chunk) - 12, 0), 0, ml)
             ml = np.where(ml < 4, 0, ml)
-        comp = lz4_jax.serialize_block_host(chunk, src[0], ml)
+        comp = lz4_jax.serialize_block_host(chunk, src[0], ml, mc.capj)
         if len(comp) >= len(chunk):
             comp = b"\x01" + chunk  # marker: stored
         else:

@@ -45,14 +45,15 @@ def make_mesh(devices=None, entry_axis: int | None = None) -> Mesh:
     return Mesh(arr, ("entry", "block"))
 
 
-def _step_fn(mesh: Mesh, depth: int, block_size: int):
+def _step_fn(mesh: Mesh, depth: int, block_size: int, n_words: int = 2):
     """Build the jitted sharded tokenize step for (entries, blocks, B).
 
     Device results stay in hash-sorted order as (pos, packed) — the unsort
     scatter costs more on TPU than the whole sort (see
     kernels/lz4_jax.tokenize_block_noscatter); the host inverts the
-    permutation with one numpy scatter.  64 KiB blocks on a real TPU run
-    the fused Pallas kernel; other shapes/platforms use the XLA path."""
+    permutation with one numpy scatter.  The XLA w=2 formulation beat the
+    fused Pallas bitonic kernel on the real chip (585 vs 472 MB/s,
+    scripts/tpu_probe{3,4}.py), so Pallas is opt-in via ZPACK_TPU_PALLAS."""
     import os
 
     from ..kernels import lz4_pallas
@@ -60,7 +61,7 @@ def _step_fn(mesh: Mesh, depth: int, block_size: int):
     use_pallas = (
         block_size == lz4_pallas.N
         and jax.default_backend() not in ("cpu",)
-        and not os.environ.get("ZPACK_TPU_NO_PALLAS")
+        and os.environ.get("ZPACK_TPU_PALLAS")
     )
 
     def local_step(blocks):
@@ -71,7 +72,7 @@ def _step_fn(mesh: Mesh, depth: int, block_size: int):
             pos, packed = lz4_pallas.tokenize_blocks_device(flat, depth=depth)
         else:
             pos, packed = jax.vmap(
-                partial(lz4_jax.tokenize_block_noscatter, depth=depth)
+                partial(lz4_jax.tokenize_block_noscatter, depth=depth, n_words=n_words)
             )(flat)
         # size estimate: literals + per-match overhead, reduced over the mesh
         mlen = packed >> 17
@@ -113,19 +114,28 @@ class MeshCompressor:
     #: vmap width) that is reused across however much data flows through
     BLOCKS_PER_DEVICE_STEP = 16
 
+    #: u32 window words carried through the device sort; on-device match
+    #: lengths cap at 4*n_words and the host makes them exact
+    N_WORDS = 2
+
     def __init__(self, mesh: Mesh | None = None, level: int = 1, block_size: int = BLOCK):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.level = level
         self.block_size = block_size
+        self.capj = 4 * self.N_WORDS
         depth = 2 if level <= 2 else 8
-        self._step = _step_fn(self.mesh, depth, block_size)
+        self._step = _step_fn(self.mesh, depth, block_size, self.N_WORDS)
 
     def _pad_factor(self) -> tuple[int, int]:
         e_ax = self.mesh.shape["entry"]
         b_ax = self.mesh.shape["block"]
         return e_ax, b_ax
 
-    def tokenize(self, data: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
+    def _steps(self, data: bytes):
+        """Dispatch ALL device steps up front (async dispatch queues them),
+        then yield per-step host match tables: (first_block, src, mlen, est).
+        Converting/serializing step s on the host overlaps device compute of
+        steps > s — the whole archive is a two-stage pipeline."""
         B = self.block_size
         n = len(data)
         nb = max(1, math.ceil(n / B))
@@ -134,15 +144,12 @@ class MeshCompressor:
         nb_pad = math.ceil(nb / per_step) * per_step
         buf = np.zeros((nb_pad, B), dtype=np.uint8)
         flat = np.frombuffer(data, dtype=np.uint8)
-        for i in range(nb):
-            chunk = flat[i * B : (i + 1) * B]
-            buf[i, : len(chunk)] = chunk
+        nfull = n // B
+        buf[:nfull] = flat[: nfull * B].reshape(nfull, B)
+        if nfull < nb:
+            tail = flat[nfull * B :]
+            buf[nfull, : len(tail)] = tail
         sharding = NamedSharding(self.mesh, P("entry", "block", None))
-        src = np.empty((nb_pad, B), dtype=np.int32)
-        mlen = np.empty((nb_pad, B), dtype=np.int32)
-        est_total = 0
-        # fixed-shape steps: one compiled program, host loop over the data;
-        # async dispatch pipelines the steps on device
         from ..kernels.lz4_pallas import unsort_host
 
         results = []
@@ -152,44 +159,68 @@ class MeshCompressor:
             batch = jax.device_put(batch, sharding)
             results.append(self._step(batch))
         for s, (pos_d, packed_d, est) in enumerate(results):
-            lo = s * per_step
             src_s, mlen_s = unsort_host(
                 np.asarray(pos_d).reshape(per_step, B),
                 np.asarray(packed_d).reshape(per_step, B),
             )
-            src[lo : lo + per_step] = src_s
-            mlen[lo : lo + per_step] = mlen_s
-            est_total += int(est)
+            yield s * per_step, src_s, mlen_s, int(est)
+
+    def tokenize(self, data: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
+        B = self.block_size
+        nb = max(1, math.ceil(len(data) / B))
+        src = mlen = None
+        est_total = 0
+        for lo, src_s, mlen_s, est in self._steps(data):
+            if src is None:
+                per_step = len(src_s)
+                nb_pad = math.ceil(nb / per_step) * per_step
+                src = np.empty((nb_pad, B), dtype=np.int32)
+                mlen = np.empty((nb_pad, B), dtype=np.int32)
+            src[lo : lo + len(src_s)] = src_s
+            mlen[lo : lo + len(mlen_s)] = mlen_s
+            est_total += est
         return src, mlen, nb, est_total
 
     def compress(self, data: bytes) -> bytes:
-        """Full lz4f frame via mesh tokenization + host ragged assembly."""
+        """Full lz4f frame via mesh tokenization + pipelined host assembly:
+        the native serializer (zn_lz4_serialize_blocks, threaded) packages
+        each step's blocks while the device tokenizes the next step."""
+        import struct
+
+        from .. import native
         from ..codecs.lz4 import frame as lz4frame
 
         data = bytes(data)
         B = self.block_size
-        src, mlen, nb, _est = self.tokenize(data)
+        n = len(data)
+        nb = max(1, math.ceil(n / B))
         # declared frame block-size id must be a standard size ≥ our blocks
         declared = next(s for s in (64 << 10, 256 << 10, 1 << 20, 4 << 20) if s >= B)
-        out = bytearray(
-            lz4frame._header(declared, True, False, None)
-        )
-        import struct
-
-        for i in range(nb):
-            chunk = data[i * B : (i + 1) * B]
-            ml = mlen[i]
-            if len(chunk) != B:
-                # tail block: clamp device results to the real length
-                posa = np.arange(B)
-                ml = np.minimum(ml, np.maximum(len(chunk) - 5 - posa, 0))
-                ml = np.where(posa >= max(len(chunk) - 12, 0), 0, ml)
-                ml = np.where(ml < 4, 0, ml)
-            comp = lz4_jax.serialize_block_host(chunk, src[i], ml)
-            if len(comp) < len(chunk):
-                out += struct.pack("<I", len(comp)) + comp
-            else:
-                out += struct.pack("<I", len(chunk) | 0x80000000) + chunk
+        out = bytearray(lz4frame._header(declared, True, False, None))
+        for lo, src_s, mlen_s, _est in self._steps(data):
+            hi = min(nb, lo + len(src_s))
+            if hi <= lo:
+                break
+            seg = data[lo * B : min(n, hi * B)]
+            body = native.lz4_serialize_blocks(seg, src_s, mlen_s, B)
+            if body is not None:
+                out += body
+                continue
+            # pure-python fallback (ZPACK_TPU_NO_NATIVE / build failure)
+            for i in range(hi - lo):
+                chunk = seg[i * B : (i + 1) * B]
+                ml = mlen_s[i]
+                if len(chunk) != B:
+                    # tail block: clamp device results to the real length
+                    posa = np.arange(B)
+                    ml = np.minimum(ml, np.maximum(len(chunk) - 5 - posa, 0))
+                    ml = np.where(posa >= max(len(chunk) - 12, 0), 0, ml)
+                    ml = np.where(ml < 4, 0, ml)
+                comp = lz4_jax.serialize_block_host(chunk, src_s[i], ml, self.capj)
+                if len(comp) < len(chunk):
+                    out += struct.pack("<I", len(comp)) + comp
+                else:
+                    out += struct.pack("<I", len(chunk) | 0x80000000) + chunk
         out += struct.pack("<I", 0)
         return bytes(out)
 
@@ -202,9 +233,8 @@ class MeshCompressor:
         deliberate trade for full block independence across the mesh."""
         import struct
 
-        from ..codecs import match as M
         from ..codecs.zstd import encode as zenc
-        from ..kernels.lz4_jax import CAPJ, parse_events_host
+        from ..kernels.lz4_jax import resolve_matches_host
 
         data = bytes(data)
         B = self.block_size
@@ -224,27 +254,16 @@ class MeshCompressor:
                 ml = np.minimum(ml, np.maximum(cl - 5 - posa, 0))
                 ml = np.where(posa >= max(cl - 12, 0), 0, ml)
                 ml = np.where(ml < 4, 0, ml)
-            events = parse_events_host(src[i], ml, cl)
-            # sequence tuples in the python encoder's shape, with host
-            # re-extension of device-capped match lengths
-            seqs = []
-            pos = 0
-            lit_start = 0
-            limit = cl  # zstd has no end-of-block literal rule
-            for p in events.tolist():
-                if p < pos:
-                    continue
-                l = int(ml[p])
-                j = int(src[i][p])
-                if l >= CAPJ:
-                    l = M.exact_extend(arr, p, j, l, limit)
-                l = min(l, limit - p)
-                if l < 4:
-                    continue
-                seqs.append((lit_start, p - lit_start, p, j, l))
-                pos = p + l
-                lit_start = pos
-            seqs.append((lit_start, cl - lit_start, None, None, None))
+            # sequence tuples in the python encoder's shape; vectorized
+            # fixpoint parse + exact extension (zstd has no end-of-block
+            # literal rule, so limit = cl)
+            mps, mss, mls = resolve_matches_host(arr, src[i], ml, cl, cl, self.capj)
+            lit_starts = np.concatenate([[0], mps + mls])
+            seqs = [
+                (int(ls), int(p - ls), int(p), int(j), int(l))
+                for ls, p, j, l in zip(lit_starts[:-1], mps, mss, mls)
+            ]
+            seqs.append((int(lit_starts[-1]), cl - int(lit_starts[-1]), None, None, None))
             last = 1 if i == nb - 1 else 0
             rep_backup = list(rep)
             body = zenc._encode_block_body(arr, 0, cl, seqs, rep)

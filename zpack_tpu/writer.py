@@ -158,11 +158,19 @@ class Writer:
         The reference is single-threaded by design — parallelism across
         entries is this framework's addition (SURVEY.md §2 north star).
         """
+        import os
+
         batch = [_normalize_file(item) for item in files]
         # Few-but-large groups go per-entry instead: each entry's frame codec
         # parallelizes internally over all cores, whereas the batch call
         # would pin each large entry to a single worker (no nested pools).
-        batch_worthy = len(batch) >= 8 and max(len(d) for _, d, _ in batch) <= (8 << 20)
+        # An explicit TPU engine also skips the shortcut so codec dispatch
+        # (and thus the mesh pipeline) sees every entry.
+        batch_worthy = (
+            len(batch) >= 8
+            and max(len(d) for _, d, _ in batch) <= (8 << 20)
+            and os.environ.get("ZPACK_TPU_ENGINE") != "tpu"
+        )
         if batch_worthy and all(
             int(o.method) in (0, 1, 2) for _, _, o in batch
         ):
