@@ -129,15 +129,15 @@ def main() -> int:
             "import time, numpy as np, jax, jax.numpy as jnp\n"
             "jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')\n"
             "from functools import partial\n"
-            "from zpack_tpu.kernels.lz4_jax import tokenize_block\n"
+            "from zpack_tpu.kernels.lz4_jax import tokenize_block_u16\n"
             "rng = np.random.default_rng(0)\n"
-            "blks = jnp.asarray(rng.integers(0, 90, (16, 65536)).astype(np.uint8))\n"
-            "fn = jax.jit(jax.vmap(partial(tokenize_block, depth=2)))\n"
+            "blks = jnp.asarray(rng.integers(0, 90, (512, 8192)).astype(np.uint8))\n"
+            "fn = jax.jit(jax.vmap(partial(tokenize_block_u16, depth=2, n_words=2)))\n"
             "r = fn(blks); jax.block_until_ready(r)\n"
             "t0 = time.perf_counter()\n"
             "for _ in range(10): r = fn(blks)\n"
             "jax.block_until_ready(r)\n"
-            "print(16 * 65536 / ((time.perf_counter()-t0)/10) / 1e6)\n"
+            "print(512 * 8192 / ((time.perf_counter()-t0)/10) / 1e6)\n"
         )
         proc = subprocess.run(
             [sys.executable, "-c", script], capture_output=True, text=True,

@@ -50,6 +50,63 @@ def test_lz4_tokenize_partial_block():
     assert lz4block.decompress_block(comp, len(data)) == data
 
 
+@pytest.mark.parametrize("kind", ["mix", "rand", "zeros", "text"])
+def test_tokenize_u16_matches_noscatter(kind):
+    """The u16 resort tokenizer must agree exactly with the reference
+    (pos, packed) formulation after host unpack/unsort."""
+    import jax.numpy as jnp
+
+    from zpack_tpu.kernels.lz4_pallas import unsort_host
+
+    data = {
+        "mix": _mix(8192, seed=5),
+        "rand": bytes(random.Random(6).getrandbits(8) for _ in range(8192)),
+        "zeros": b"\0" * 8192,
+        "text": (b"one u16 per byte down the tunnel " * 256)[:8192],
+    }[kind]
+    arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+    pos, packed = lz4_jax.tokenize_block_noscatter(arr, depth=2, n_words=2)
+    want_src, want_mlen = unsort_host(np.asarray(pos), np.asarray(packed))
+    tok = lz4_jax.tokenize_block_u16(arr, depth=2, n_words=2)
+    got_src, got_mlen = lz4_jax.unpack_u16_host(tok)
+    np.testing.assert_array_equal(got_mlen, want_mlen)
+    np.testing.assert_array_equal(np.where(got_mlen > 0, got_src, -1),
+                                  np.where(want_mlen > 0, want_src, -1))
+
+
+@pytest.mark.parametrize("n", [8192, 65536])
+def test_tokenize_resort_pair_matches_noscatter(n):
+    """The (src u16, code u8) resort tokenizer must agree with the
+    reference formulation at any B <= 65536."""
+    import jax.numpy as jnp
+
+    from zpack_tpu.kernels.lz4_pallas import unsort_host
+
+    data = _mix(n, seed=n)
+    arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+    pos, packed = lz4_jax.tokenize_block_noscatter(arr, depth=2, n_words=2)
+    want_src, want_mlen = unsort_host(np.asarray(pos), np.asarray(packed))
+    src16, code = lz4_jax.tokenize_block_resort(arr, depth=2, n_words=2)
+    got_src, got_mlen = lz4_jax.unpack_resort_host(src16, code)
+    np.testing.assert_array_equal(got_mlen, want_mlen)
+    np.testing.assert_array_equal(np.where(got_mlen > 0, got_src, -1),
+                                  np.where(want_mlen > 0, want_src, -1))
+
+
+def test_mesh_default_block_ratio_robust():
+    """Long-period stride data (the 8 KiB-block failure mode: a full
+    period of literals per block restart) must stay near native ratio at
+    the default mesh block size."""
+    from zpack_tpu.codecs.lz4 import frame as lz4frame
+
+    rec = (np.arange(0, 500_000, dtype=np.uint32) % 977).astype(np.uint16).tobytes()
+    mc = MeshCompressor(make_mesh())  # default 64 KiB blocks
+    comp = mc.compress(rec)
+    assert lz4frame.decompress_frame(comp) == rec
+    native = lz4frame.compress_frame(rec, 1)
+    assert len(comp) <= int(len(native) * 1.25)
+
+
 def test_mesh_compressor_roundtrip():
     assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
     mesh = make_mesh()

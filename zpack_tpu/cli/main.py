@@ -138,6 +138,10 @@ def _write_files_streaming(writer: Writer, files: list[tuple[str, str]], opts: O
     threads); large files stream with bounded memory like the reference."""
     chunk = 128 << 10
     batch_limit = 64 << 20  # max bytes buffered for a batch
+    # the TPU engine compresses whole entries (mesh block batches), so
+    # one-shot even large files instead of the host streaming compressor
+    tpu_engine = os.environ.get("ZPACK_TPU_ENGINE") == "tpu"
+    oneshot_limit = (256 << 20) if tpu_engine else (1 << 20)
     pending: list[tuple[str, bytes]] = []
     pending_bytes = 0
 
@@ -151,7 +155,7 @@ def _write_files_streaming(writer: Writer, files: list[tuple[str, str]], opts: O
     for fs_path, arc_name in files:
         print(f"  {arc_name}")
         try:
-            small = os.path.getsize(fs_path) <= (1 << 20)
+            small = os.path.getsize(fs_path) <= oneshot_limit
         except OSError:
             small = False
         if small:

@@ -115,6 +115,153 @@ def tokenize_block_noscatter(data: jax.Array, depth: int = 2, n_words: int = 2):
     return ps, (mlen_sel << 17) | (src_sel & 0x1FFFF)
 
 
+@partial(jax.jit, static_argnames=("depth", "n_words"))
+def tokenize_block_u16(data: jax.Array, depth: int = 2, n_words: int = 2):
+    """Match search as :func:`tokenize_block_noscatter` + a device-side
+    re-sort back to position order, emitting ONE uint16 per byte:
+    ``(src << 3) | (mlen - 3)`` (0 = no match) — 4x less d2h than the
+    (pos, packed) i32 pair, the hot lever on transfer-bound links.
+
+    The unsort is a second, single-operand sort of ``(pos << 16) | tok``
+    (unsort-by-sort measured 509 MB/s vs 153 for the scatter on a real
+    v5e, scripts/tpu_probe5.py).  Requires B <= 8192 (src fits 13 bits)
+    and capj <= 10 (length code fits 3 bits)."""
+    B = data.shape[0]
+    capj = 4 * n_words
+    assert B <= 8192 and capj <= 10
+    b = data.astype(jnp.uint32)
+    bp = jnp.pad(b, (0, capj + 4))
+    us = []
+    for s in range(0, capj, 4):
+        us.append(
+            bp[s : B + s]
+            | (bp[s + 1 : B + s + 1] << 8)
+            | (bp[s + 2 : B + s + 2] << 16)
+            | (bp[s + 3 : B + s + 3] << 24)
+        )
+
+    h = (us[0] * _HASH_MUL) >> jnp.uint32(16)
+    pos_u = jnp.arange(B, dtype=jnp.uint32)
+    key = (h << jnp.uint32(16)) | pos_u
+    srt = jax.lax.sort((key, *us), num_keys=1)
+    key_s, us_s = srt[0], srt[1:]
+    hs = key_s >> jnp.uint32(16)
+    ps = (key_s & jnp.uint32(0xFFFF)).astype(jnp.int32)
+
+    def shift_up(a, d, fill):
+        return jnp.concatenate([jnp.full((d,), fill, a.dtype), a[:-d]])
+
+    best_len = jnp.zeros((B,), jnp.int32)
+    best_src = jnp.zeros((B,), jnp.int32)
+    for d in range(1, max(2, depth + 1)):
+        same = hs == shift_up(hs, d, jnp.uint32(0xFFFFFFFF))
+        cand_pos = shift_up(ps, d, jnp.int32(0))
+        close = same & (ps - cand_pos <= MAX_OFFSET) & (ps > cand_pos)
+        xs = [u ^ shift_up(u, d, jnp.uint32(0)) for u in us_s]
+        mlen = jnp.full((B,), capj, jnp.int32)
+        carry = jnp.ones((B,), bool)
+        for wi, x in enumerate(xs):
+            eq = x == 0
+            mlen = jnp.where(carry & ~eq, 4 * wi + _tz_bytes(x), mlen)
+            carry = carry & eq
+        mlen = jnp.where(mlen >= MIN_MATCH, mlen, 0)
+        mlen = jnp.where(close, mlen, 0)
+        better = mlen > best_len
+        best_len = jnp.where(better, mlen, best_len)
+        best_src = jnp.where(better, cand_pos, best_src)
+
+    match_ok = (best_len >= MIN_MATCH) & (ps < B - MFLIMIT) & (ps > 0)
+    ml = jnp.minimum(best_len, (B - LAST_LITERALS) - ps)
+    match_ok &= ml >= MIN_MATCH
+    code = jnp.where(match_ok, ml - 3, 0).astype(jnp.uint32)
+    tok = (best_src.astype(jnp.uint32) << jnp.uint32(3)) | code
+    tok = jnp.where(match_ok, tok, jnp.uint32(0))
+    packed = (ps.astype(jnp.uint32) << jnp.uint32(16)) | tok
+    ordered = jax.lax.sort(packed)
+    return (ordered & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+
+
+@partial(jax.jit, static_argnames=("depth", "n_words"))
+def tokenize_block_resort(data: jax.Array, depth: int = 2, n_words: int = 2):
+    """Match search + device-side re-sort to position order for any
+    B <= 65536: returns ``(src uint16, code uint8)`` position-ordered
+    arrays (code = mlen - 3, 0 = no match) — 3 bytes/byte d2h vs 8 for
+    the hash-ordered (pos, packed) i32 pair.  The re-sort key packs
+    ``(pos << 16) | src`` into one u32; code rides as a u8 operand."""
+    B = data.shape[0]
+    capj = 4 * n_words
+    assert B <= 65536 and capj <= 10
+    b = data.astype(jnp.uint32)
+    bp = jnp.pad(b, (0, capj + 4))
+    us = []
+    for s in range(0, capj, 4):
+        us.append(
+            bp[s : B + s]
+            | (bp[s + 1 : B + s + 1] << 8)
+            | (bp[s + 2 : B + s + 2] << 16)
+            | (bp[s + 3 : B + s + 3] << 24)
+        )
+
+    h = (us[0] * _HASH_MUL) >> jnp.uint32(16)
+    pos_u = jnp.arange(B, dtype=jnp.uint32)
+    key = (h << jnp.uint32(16)) | pos_u
+    srt = jax.lax.sort((key, *us), num_keys=1)
+    key_s, us_s = srt[0], srt[1:]
+    hs = key_s >> jnp.uint32(16)
+    ps = (key_s & jnp.uint32(0xFFFF)).astype(jnp.int32)
+
+    def shift_up(a, d, fill):
+        return jnp.concatenate([jnp.full((d,), fill, a.dtype), a[:-d]])
+
+    best_len = jnp.zeros((B,), jnp.int32)
+    best_src = jnp.zeros((B,), jnp.int32)
+    for d in range(1, max(2, depth + 1)):
+        same = hs == shift_up(hs, d, jnp.uint32(0xFFFFFFFF))
+        cand_pos = shift_up(ps, d, jnp.int32(0))
+        close = same & (ps - cand_pos <= MAX_OFFSET) & (ps > cand_pos)
+        xs = [u ^ shift_up(u, d, jnp.uint32(0)) for u in us_s]
+        mlen = jnp.full((B,), capj, jnp.int32)
+        carry = jnp.ones((B,), bool)
+        for wi, x in enumerate(xs):
+            eq = x == 0
+            mlen = jnp.where(carry & ~eq, 4 * wi + _tz_bytes(x), mlen)
+            carry = carry & eq
+        mlen = jnp.where(mlen >= MIN_MATCH, mlen, 0)
+        mlen = jnp.where(close, mlen, 0)
+        better = mlen > best_len
+        best_len = jnp.where(better, mlen, best_len)
+        best_src = jnp.where(better, cand_pos, best_src)
+
+    match_ok = (best_len >= MIN_MATCH) & (ps < B - MFLIMIT) & (ps > 0)
+    ml = jnp.minimum(best_len, (B - LAST_LITERALS) - ps)
+    match_ok &= ml >= MIN_MATCH
+    code = jnp.where(match_ok, ml - 3, 0).astype(jnp.uint8)
+    key2 = (ps.astype(jnp.uint32) << jnp.uint32(16)) | jnp.where(
+        match_ok, best_src, 0
+    ).astype(jnp.uint32)
+    key2_s, code_s = jax.lax.sort((key2, code), num_keys=1)
+    return (key2_s & jnp.uint32(0xFFFF)).astype(jnp.uint16), code_s
+
+
+def unpack_resort_host(src16: np.ndarray, code: np.ndarray):
+    """Split (src u16, code u8) from :func:`tokenize_block_resort` into the
+    standard (src, mlen) int32 tables (vectorized, any leading shape)."""
+    code = np.asarray(code).astype(np.int32)
+    mlen = np.where(code > 0, code + 3, 0).astype(np.int32)
+    src = np.where(code > 0, np.asarray(src16).astype(np.int32), -1).astype(np.int32)
+    return src, mlen
+
+
+def unpack_u16_host(tok: np.ndarray):
+    """Split the u16 token stream from :func:`tokenize_block_u16` into the
+    standard (src, mlen) int32 tables (vectorized, any leading shape)."""
+    v = np.asarray(tok).astype(np.int32)
+    code = v & 7
+    mlen = np.where(code > 0, code + 3, 0).astype(np.int32)
+    src = np.where(code > 0, v >> 3, -1).astype(np.int32)
+    return src, mlen
+
+
 @partial(jax.jit, static_argnames=("depth",))
 def tokenize_block(data: jax.Array, depth: int = 2):
     """Find the best match per position for one B-byte block (B static,

@@ -23,6 +23,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..kernels import lz4_jax
 
+#: default mesh block: 64 KiB like the native lz4f path.  8 KiB blocks run
+#: ~1.5x faster device-side (denser sort batches) and won slightly on the
+#: bench corpus, but block independence restarts history every block —
+#: long-period data (stride ~2 KB records) degrades 8x at 8 KiB while
+#: 64 KiB stays at ratio parity, so the robust size is the default.
 BLOCK = 64 << 10
 
 
@@ -48,27 +53,55 @@ def make_mesh(devices=None, entry_axis: int | None = None) -> Mesh:
 def _step_fn(mesh: Mesh, depth: int, block_size: int, n_words: int = 2):
     """Build the jitted sharded tokenize step for (entries, blocks, B).
 
-    Device results stay in hash-sorted order as (pos, packed) — the unsort
-    scatter costs more on TPU than the whole sort (see
-    kernels/lz4_jax.tokenize_block_noscatter); the host inverts the
-    permutation with one numpy scatter.  The XLA w=2 formulation beat the
-    fused Pallas bitonic kernel on the real chip (585 vs 472 MB/s,
-    scripts/tpu_probe{3,4}.py), so Pallas is opt-in via ZPACK_TPU_PALLAS."""
+    For B <= 8192 the device re-sorts to position order and ships ONE
+    uint16 per byte (kernels/lz4_jax.tokenize_block_u16) — 4x less d2h.
+    Larger blocks stay in hash-sorted (pos, packed) i32 pairs with the
+    host inverting the permutation (tokenize_block_noscatter).  The XLA
+    w=2 formulation beat the fused Pallas bitonic kernel on the real chip
+    (585 vs 472 MB/s, scripts/tpu_probe{3,4}.py), so Pallas is opt-in via
+    ZPACK_TPU_PALLAS."""
     import os
 
     from ..kernels import lz4_pallas
 
-    use_pallas = (
+    if (
         block_size == lz4_pallas.N
         and jax.default_backend() not in ("cpu",)
         and os.environ.get("ZPACK_TPU_PALLAS")
-    )
+    ):
+        mode = "pallas"
+    elif block_size <= 8192 and 4 * n_words <= 10:
+        mode = "u16"
+    elif block_size <= 65536 and 4 * n_words <= 10:
+        mode = "pair"
+    else:
+        mode = "noscatter"
+
+    def _est(mlen, B):
+        matched = jnp.sum(jnp.where(mlen >= 4, mlen, 0), axis=-1)
+        n_seq = jnp.sum((mlen >= 4).astype(jnp.int32), axis=-1)
+        est_local = jnp.sum(B - matched + 3 * n_seq)
+        return jax.lax.psum(jax.lax.psum(est_local, "block"), "entry")
 
     def local_step(blocks):
         # blocks: (e_local, b_local, B)
         e, b, B = blocks.shape
         flat = blocks.reshape(e * b, B)
-        if use_pallas:
+        if mode == "u16":
+            tok = jax.vmap(
+                partial(lz4_jax.tokenize_block_u16, depth=depth, n_words=n_words)
+            )(flat)
+            mlen = (tok & jnp.uint16(7)).astype(jnp.int32)
+            mlen = jnp.where(mlen > 0, mlen + 3, 0)
+            return tok.reshape(e, b, B), _est(mlen, B)
+        if mode == "pair":
+            src16, code = jax.vmap(
+                partial(lz4_jax.tokenize_block_resort, depth=depth, n_words=n_words)
+            )(flat)
+            mlen = code.astype(jnp.int32)
+            mlen = jnp.where(mlen > 0, mlen + 3, 0)
+            return src16.reshape(e, b, B), code.reshape(e, b, B), _est(mlen, B)
+        if mode == "pallas":
             pos, packed = lz4_pallas.tokenize_blocks_device(flat, depth=depth)
         else:
             pos, packed = jax.vmap(
@@ -76,28 +109,23 @@ def _step_fn(mesh: Mesh, depth: int, block_size: int, n_words: int = 2):
             )(flat)
         # size estimate: literals + per-match overhead, reduced over the mesh
         mlen = packed >> 17
-        matched = jnp.sum(jnp.where(mlen >= 4, mlen, 0), axis=-1)
-        n_seq = jnp.sum((mlen >= 4).astype(jnp.int32), axis=-1)
-        est_local = jnp.sum(B - matched + 3 * n_seq)
-        est = jax.lax.psum(jax.lax.psum(est_local, "block"), "entry")
         return (
             pos.reshape(e, b, B).astype(jnp.int32),
             packed.reshape(e, b, B).astype(jnp.int32),
-            est,
+            _est(mlen, B),
         )
 
-    return jax.jit(
+    blk = P("entry", "block", None)
+    out_specs = (blk, P()) if mode == "u16" else (blk, blk, P())
+    fn = jax.jit(
         jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=P("entry", "block", None),
-            out_specs=(
-                P("entry", "block", None),
-                P("entry", "block", None),
-                P(),
-            ),
+            in_specs=blk,
+            out_specs=out_specs,
         )
     )
+    return fn, mode
 
 
 class MeshCompressor:
@@ -109,10 +137,10 @@ class MeshCompressor:
     (readable by the reference CLI / any lz4 tool).
     """
 
-    #: blocks processed per device per jitted step — small fixed batches keep
-    #: one compiled program (the remote TPU compiler scales badly with the
-    #: vmap width) that is reused across however much data flows through
-    BLOCKS_PER_DEVICE_STEP = 16
+    #: bytes processed per device per jitted step — one fixed-shape compiled
+    #: program (the remote TPU compiler scales badly with the vmap width)
+    #: reused across however much data flows through
+    BYTES_PER_DEVICE_STEP = 1 << 20
 
     #: u32 window words carried through the device sort; on-device match
     #: lengths cap at 4*n_words and the host makes them exact
@@ -123,8 +151,9 @@ class MeshCompressor:
         self.level = level
         self.block_size = block_size
         self.capj = 4 * self.N_WORDS
+        self.blocks_per_device_step = max(1, self.BYTES_PER_DEVICE_STEP // block_size)
         depth = 2 if level <= 2 else 8
-        self._step = _step_fn(self.mesh, depth, block_size, self.N_WORDS)
+        self._step, self._mode = _step_fn(self.mesh, depth, block_size, self.N_WORDS)
 
     def _pad_factor(self) -> tuple[int, int]:
         e_ax = self.mesh.shape["entry"]
@@ -140,7 +169,7 @@ class MeshCompressor:
         n = len(data)
         nb = max(1, math.ceil(n / B))
         e_ax, b_ax = self._pad_factor()
-        per_step = e_ax * b_ax * self.BLOCKS_PER_DEVICE_STEP
+        per_step = e_ax * b_ax * self.blocks_per_device_step
         nb_pad = math.ceil(nb / per_step) * per_step
         buf = np.zeros((nb_pad, B), dtype=np.uint8)
         flat = np.frombuffer(data, dtype=np.uint8)
@@ -158,6 +187,21 @@ class MeshCompressor:
             batch = chunk.reshape(e_ax, per_step // e_ax, B)
             batch = jax.device_put(batch, sharding)
             results.append(self._step(batch))
+        if self._mode == "u16":
+            for s, (tok_d, est) in enumerate(results):
+                src_s, mlen_s = lz4_jax.unpack_u16_host(
+                    np.asarray(tok_d).reshape(per_step, B)
+                )
+                yield s * per_step, src_s, mlen_s, int(est)
+            return
+        if self._mode == "pair":
+            for s, (src_d, code_d, est) in enumerate(results):
+                src_s, mlen_s = lz4_jax.unpack_resort_host(
+                    np.asarray(src_d).reshape(per_step, B),
+                    np.asarray(code_d).reshape(per_step, B),
+                )
+                yield s * per_step, src_s, mlen_s, int(est)
+            return
         for s, (pos_d, packed_d, est) in enumerate(results):
             src_s, mlen_s = unsort_host(
                 np.asarray(pos_d).reshape(per_step, B),
