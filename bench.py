@@ -149,6 +149,31 @@ def main() -> int:
     except Exception as e:
         _log(f"tpu kernel timing skipped: {type(e).__name__}")
 
+    # --- scaling efficiency (VERDICT r1 item 6): mesh weak-scaling on
+    # 1/2/4/8 virtual CPU devices + 2-process elastic strong scaling.
+    # Subprocess-isolated with timeouts; skippable via ZPACK_BENCH_SCALING=0.
+    scaling = None
+    if os.environ.get("ZPACK_BENCH_SCALING", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            import scaling as scaling_mod
+
+            s = scaling_mod.measure(bytes_per_dev=256 << 10,
+                                    elastic_bytes=32 << 20)
+            scaling = {
+                "ncores": s["ncores"],
+                "mesh_weak_efficiency": {
+                    str(m["n"]): m["weak_efficiency"] for m in s["mesh_weak"]},
+                "mesh_device_core_limited_efficiency": {
+                    str(m["n"]): m["device_core_limited_efficiency"]
+                    for m in s["mesh_weak"]},
+                "elastic_2proc_work_efficiency":
+                    s["elastic_strong"][-1]["work_strong_efficiency"],
+            }
+            _log(f"scaling: {scaling}")
+        except Exception as e:
+            _log(f"scaling phase skipped: {type(e).__name__}: {e}")
+
     result = {
         "metric": "silesia_like_lz4_archive_roundtrip_MBps",
         "value": round(value, 2),
@@ -166,6 +191,7 @@ def main() -> int:
             "zstd3_ratio": round(len(zslice) / z3_size, 3),
             "zstd3_size_vs_libzstd": round(z3_size / lib3, 3) if lib3 else None,
             "tpu_tokenizer_MBps": round(tpu_mbps, 2) if tpu_mbps else None,
+            "scaling": scaling,
         },
     }
     print(json.dumps(result))
