@@ -41,9 +41,14 @@ def print_help(out=None):
         "    d: delete files from archive\n"
         "    m: move files in archive\n"
         "    t: test integrity of files in archive\n"
+        "    train-dict: train a shared zstd dictionary from sample files\n"
+        "                (zpack train-dict <out.dict> <files>...)\n"
         "\n"
         "Switches\n"
         "    -m <param>: set compression method (method:level, default zstd:3)\n"
+        "    -D <file>: compress zstd entries against a shared dictionary\n"
+        "               (create/add; stored in-archive as __zpack.dict)\n"
+        "    --dict-size <bytes>: trained dictionary size (train-dict, default 16384)\n"
         "    -o <directory>: set output directory\n"
         "    -x <file>: exclude file from extraction\n"
         "    -h, --help: show this help message\n"
@@ -63,6 +68,8 @@ class Options:
     options: CompressOptions = field(default_factory=CompressOptions)
     unsafe: bool = False
     engine: str = ""
+    dict_path: str = ""
+    dict_size: int = 16 << 10
 
 
 _METHODS = {"none": C.CompressionMethod.NONE, "zstd": C.CompressionMethod.ZSTD,
@@ -102,6 +109,22 @@ def parse_args(argv: list[str]) -> Options | None:
             method = _METHODS[mname]
             level = int(lvl) if lvl else None
             opts.options = CompressOptions(method, level)
+        elif a in ("-D", "--dict"):
+            i += 1
+            if i >= len(argv):
+                print("Error: -D requires a parameter")
+                return None
+            opts.dict_path = argv[i]
+        elif a == "--dict-size":
+            i += 1
+            if i >= len(argv):
+                print("Error: --dict-size requires a parameter")
+                return None
+            try:
+                opts.dict_size = int(argv[i])
+            except ValueError:
+                print(f"Error: invalid dictionary size: {argv[i]}")
+                return None
         elif a == "-o":
             i += 1
             if i >= len(argv):
@@ -187,6 +210,53 @@ def _report_ratio(writer: Writer) -> None:
     print(f"-- Done. Archive size: {writer.file_size} bytes ({ratio:.2f}%)")
 
 
+def _maybe_set_dictionary(w, opts: Options, existing_names=None) -> bool:
+    """Apply -D: attach a shared zstd dictionary to the writer (extension;
+    the reference CLI has no dictionary switches)."""
+    if not opts.dict_path:
+        return True
+    if existing_names and C.DICT_ENTRY_NAME in existing_names:
+        print("Error: archive already contains a shared dictionary "
+              f"({C.DICT_ENTRY_NAME}); cannot attach another")
+        return False
+    try:
+        with open(opts.dict_path, "rb") as f:
+            w.set_dictionary(f.read())
+    except OSError as e:
+        print(f"Error: cannot read dictionary {opts.dict_path}: {e}")
+        return False
+    return True
+
+
+def command_train_dict(opts: Options) -> int:
+    """Train a shared zstd dictionary from sample files (extension):
+    zpack train-dict <out.dict> <files/dirs>... [--dict-size N]"""
+    out_path = opts.path_list[0]
+    try:
+        files = P.walk_files(opts.path_list[1:])
+    except FileNotFoundError as e:
+        print(f"Error: File not found: {e.args[0]}")
+        return 1
+    samples = []
+    for path, _name in files:
+        try:
+            with open(path, "rb") as f:
+                samples.append(f.read(4 << 20))
+        except OSError:
+            pass
+    if not samples:
+        print("Error: no sample files")
+        return 1
+    from ..codecs.zstd.dict import train_dictionary
+
+    blob = train_dictionary(samples, opts.dict_size)
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    print(f"-- Trained dictionary: {out_path} ({len(blob)} bytes from "
+          f"{len(samples)} samples)")
+    return 0
+
+
 def command_create(opts: Options) -> int:
     """parity: command_create (programs/commands.c:198-247)."""
     archive_path = opts.path_list[0]
@@ -203,6 +273,8 @@ def command_create(opts: Options) -> int:
         with Writer.open(archive_path) as w:
             w.write_header()
             w.write_data_header()
+            if not _maybe_set_dictionary(w, opts):
+                return 1
             print("-- Adding files...")
             _write_files_streaming(w, files, opts)
             w.write_cdr()
@@ -237,6 +309,9 @@ def command_add(opts: Options) -> int:
             w.write_header()
             w.write_data_header()
             w.write_files_from_archive(reader, reader.file_entries)
+            if not _maybe_set_dictionary(w, opts, existing_names=existing):
+                os.unlink(tmp)
+                return 1
             print("-- Adding files...")
             _write_files_streaming(w, files, opts)
             w.write_cdr()
@@ -279,6 +354,10 @@ def _extract(opts: Options, full_path: bool) -> int:
         if only and entry.filename not in only:
             continue
         if entry.filename in opts.exclude_list:
+            continue
+        # the shared dictionary is archive metadata, not user content —
+        # extract it only when explicitly named
+        if entry.filename == C.DICT_ENTRY_NAME and not only:
             continue
         name = entry.filename
         if not full_path:
@@ -483,7 +562,12 @@ def command_test(opts: Options) -> int:
             return False
 
     batchable = (len(reader.file_entries) > 8 and hasattr(reader._source, "buf"))
-    small = [e for e in reader.file_entries if e.uncomp_size <= (1 << 20)]
+    # zstd entries of dict-bearing archives may reference the shared
+    # dictionary, which the native batch codec doesn't know — streaming
+    # verify (dict-aware) handles them instead
+    has_dict = any(e.filename == C.DICT_ENTRY_NAME for e in reader.file_entries)
+    small = [e for e in reader.file_entries
+             if e.uncomp_size <= (1 << 20) and not (has_dict and e.comp_method == 1)]
     ok_map = {}
     if batchable and len(small) > 8 and all(
         e.comp_method in (0, 1, 2)
@@ -546,6 +630,7 @@ _COMMANDS = {
     "d": command_delete,
     "m": command_move,
     "t": command_test,
+    "train-dict": command_train_dict,
 }
 
 
@@ -570,7 +655,15 @@ def main(argv: list[str] | None = None) -> int:
         print(f"Invalid command: {opts.command}")
         print_help()
         return 1
-    return handler(opts)
+    try:
+        return handler(opts)
+    except BrokenPipeError:
+        # downstream pager/head closed the pipe: not an archive error
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        return 0
 
 
 if __name__ == "__main__":

@@ -16,7 +16,11 @@ class ZstdCodec(Codec):
 
     method = CompressionMethod.ZSTD
 
-    def compress(self, data: bytes, level: int = 3) -> bytes:
+    def compress(self, data: bytes, level: int = 3, dictionary=None) -> bytes:
+        if dictionary is not None:
+            from . import encode
+
+            return encode.compress(data, level, dictionary=dictionary)
         if len(data) > (16 << 20):
             from ...parallel import host
 
@@ -30,7 +34,10 @@ class ZstdCodec(Codec):
 
         return encode.compress(data, level)
 
-    def decompress(self, data: bytes, uncomp_size: int | None = None) -> bytes:
+    def decompress(self, data: bytes, uncomp_size: int | None = None,
+                   dictionary=None) -> bytes:
+        if dictionary is not None:
+            return frame.decompress(data, uncomp_size, dictionary=dictionary)
         if uncomp_size is not None:
             if uncomp_size > (16 << 20):
                 from ...parallel import host
@@ -47,13 +54,13 @@ class ZstdCodec(Codec):
         # ZSTD_compressBound shape: size + size/256 + fixed block overhead
         return size + (size >> 8) + (((128 << 10) - size) >> 11 if size < (128 << 10) else 0) + 64
 
-    def compressor(self, level: int = 3):
+    def compressor(self, level: int = 3, dictionary=None):
         from . import encode
 
-        return encode.StreamCompressor(level)
+        return encode.StreamCompressor(level, dictionary=dictionary)
 
-    def decompressor(self):
-        return _ZstdStreamDecompressor()
+    def decompressor(self, dictionary=None):
+        return _ZstdStreamDecompressor(dictionary=dictionary)
 
 
 class _ZstdStreamDecompressor:
@@ -66,7 +73,7 @@ class _ZstdStreamDecompressor:
     buffer, it is scanned (block headers only) and decoded in one native
     call; the python per-block path handles everything else."""
 
-    def __init__(self):
+    def __init__(self, dictionary=None):
         import struct as _struct
 
         self._struct = _struct
@@ -75,13 +82,20 @@ class _ZstdStreamDecompressor:
         self._dec: frame.FrameDecoder | None = None
         self._skip_left = 0
         self.finished = False
+        self._dict = None
+        if dictionary is not None:
+            from .dict import as_dictionary
+
+            self._dict = as_dictionary(dictionary)
         # preferred engine: the native incremental dstream decodes each
         # block the moment it completes (bounded memory, native speed, and
         # honest read_back timing for the caller-buffer streaming mode);
-        # the python state machine below is the fallback/oracle
+        # the python state machine below is the fallback/oracle.  The
+        # native dstream has no dictionary state, so dict mode stays on
+        # the python path.
         from ... import native
 
-        self._native = native.zstd_dstream()
+        self._native = None if self._dict is not None else native.zstd_dstream()
 
     def _decompress_native(self, chunk: bytes, is_final: bool) -> tuple[bytes, int]:
         out = self._native.feed(chunk, is_final)
@@ -144,7 +158,7 @@ class _ZstdStreamDecompressor:
                     continue
                 if magic != frame.MAGIC:
                     raise DecompressError(f"bad zstd magic {magic:#x}")
-                if self._try_native_frame(out):
+                if self._dict is None and self._try_native_frame(out):
                     continue  # whole frame decoded natively
                 if not is_final and len(buf) < (12 << 20):
                     break  # wait for more of the frame before falling back
@@ -167,10 +181,14 @@ class _ZstdStreamDecompressor:
                     if not is_final and len(buf) < 18:
                         break  # likely truncated: wait for more
                     raise
-                if hdr.dict_id:
-                    raise DecompressError("external dictionaries not supported")
+                if hdr.dict_id and self._dict is None:
+                    raise DecompressError(
+                        f"frame requires dictionary {hdr.dict_id} (none attached)")
                 del buf[: hdr.header_size]
-                self._dec = frame.FrameDecoder(hdr)
+                if self._dict is not None:
+                    self._dec = frame._dict_decoder(hdr, self._dict)
+                else:
+                    self._dec = frame.FrameDecoder(hdr)
                 self._state = "block"
                 continue
             if self._state == "block":

@@ -64,31 +64,44 @@ class _RleEncodeTable:
         pass
 
 
-def _frame_header(content_size: int, window_log: int, checksum: bool = False) -> bytes:
+def _frame_header(content_size: int, window_log: int, checksum: bool = False,
+                  dict_id: int = 0, min_window: int = 0) -> bytes:
     # single-segment for small payloads (no window descriptor), else an
-    # explicit window descriptor + content size
+    # explicit window descriptor + content size.  ``min_window`` forces an
+    # explicit window covering at least that many bytes of back-reference
+    # distance (dictionary prefix + content for dict frames).
     chk = 0x04 if checksum else 0
-    if content_size <= (256 << 10):
+    if dict_id == 0:
+        did_flag, did = 0, b""
+    elif dict_id < 256:
+        did_flag, did = 1, struct.pack("<B", dict_id)
+    elif dict_id < 65536:
+        did_flag, did = 2, struct.pack("<H", dict_id)
+    else:
+        did_flag, did = 3, struct.pack("<I", dict_id)
+    if content_size <= (256 << 10) and min_window <= content_size:
         if content_size < 256:
-            fhd = 0x20 | (0 << 6) | chk
-            return struct.pack("<IBB", MAGIC, fhd, content_size)
+            fhd = 0x20 | (0 << 6) | chk | did_flag
+            return struct.pack("<IB", MAGIC, fhd) + did + struct.pack("<B", content_size)
         if content_size <= 0xFFFF + 256:
-            fhd = 0x20 | (1 << 6) | chk
-            return struct.pack("<IBH", MAGIC, fhd, content_size - 256)
-        fhd = 0x20 | (2 << 6) | chk
-        return struct.pack("<IBI", MAGIC, fhd, content_size)
+            fhd = 0x20 | (1 << 6) | chk | did_flag
+            return struct.pack("<IB", MAGIC, fhd) + did + struct.pack("<H", content_size - 256)
+        fhd = 0x20 | (2 << 6) | chk | did_flag
+        return struct.pack("<IB", MAGIC, fhd) + did + struct.pack("<I", content_size)
     # window descriptor: smallest (exp, mant) with value >= min(size, 1<<wlog)
-    target = min(content_size, 1 << window_log)
+    target = min(max(content_size, min_window), 1 << window_log)
     for exp in range(10, 31):
         base = 1 << exp
         for mant in range(8):
             if base + (base // 8) * mant >= target:
                 wd = ((exp - 10) << 3) | mant
                 if content_size <= 0xFFFFFFFF:
-                    fhd = (2 << 6) | chk
-                    return struct.pack("<IBBI", MAGIC, fhd, wd, content_size)
-                fhd = (3 << 6) | chk
-                return struct.pack("<IBBQ", MAGIC, fhd, wd, content_size)
+                    fhd = (2 << 6) | chk | did_flag
+                    return (struct.pack("<IBB", MAGIC, fhd, wd) + did
+                            + struct.pack("<I", content_size))
+                fhd = (3 << 6) | chk | did_flag
+                return (struct.pack("<IBB", MAGIC, fhd, wd) + did
+                        + struct.pack("<Q", content_size))
     raise CompressError("window descriptor construction failed")
 
 
@@ -269,16 +282,20 @@ def _rep_match_len(arr: np.ndarray, p: int, offset: int, end_limit: int) -> int:
 
 
 def _parse_with_reps(arr: np.ndarray, src: np.ndarray, mlen: np.ndarray,
-                     end_limit: int, lazy: bool):
+                     end_limit: int, lazy: bool, start: int = 0,
+                     rep_init: list[int] | None = None):
     """Greedy parse that, like libzstd's greedy/lazy search, explicitly
     probes repeat-offset matches (cheap to encode: ~2 bits vs 10+ for a
     fresh offset) at the current and next position before accepting a
-    hash-chain match.  Yields the same tuples as match.greedy_parse."""
+    hash-chain match.  Yields the same tuples as match.greedy_parse.
+
+    ``start`` > 0 parses only [start, n) while matches may still reference
+    earlier bytes — the dictionary-prefix mode."""
     n = len(arr)
     usable = np.flatnonzero(mlen >= M.MIN_MATCH)
     usable = usable[usable > 0]
     nu = len(usable)
-    rep = [1, 4, 8]
+    rep = list(rep_init) if rep_init is not None else [1, 4, 8]
 
     def rep_probe(p, ll_nonzero):
         """Best repeat-offset match at p: (length, offset)."""
@@ -310,8 +327,8 @@ def _parse_with_reps(arr: np.ndarray, src: np.ndarray, mlen: np.ndarray,
                 rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset; return
         rep[2] = rep[1]; rep[1] = rep[0]; rep[0] = offset
 
-    pos = 0
-    lit_start = 0
+    pos = start
+    lit_start = start
     while pos < n:
         # probe rep matches at pos and pos+1 (covers match-continuation
         # after 0 or 1 literal, the dominant patterns)
@@ -387,36 +404,57 @@ def _offset_value(offset: int, lit_len: int, rep: list[int]) -> int:
     return offset + 3
 
 
-def compress(data: bytes, level: int = 3, *, checksum: bool = False) -> bytes:
-    """One-shot frame compression."""
+def compress(data: bytes, level: int = 3, *, checksum: bool = False,
+             dictionary=None) -> bytes:
+    """One-shot frame compression.
+
+    ``dictionary`` (ZstdDict or blob) switches on dictionary-prefix mode
+    (no reference counterpart — ZPack never passes dictionaries to zstd):
+    the dict content becomes match-window history before position 0, the
+    initial repeat offsets come from the dict, and the frame header carries
+    the dict_id so decoders demand the same dictionary."""
     data = bytes(data)
     params = LevelParams.for_level(level)
     n = len(data)
-    out = bytearray(_frame_header(n, params.window_log, checksum))
+    zd = None
+    d = 0
+    if dictionary is not None:
+        from .dict import as_dictionary
+
+        zd = as_dictionary(dictionary)
+        d = len(zd.content)
+    window_log = params.window_log
+    if d:
+        window_log = min(27, max(window_log, (d + n).bit_length()))
+    out = bytearray(_frame_header(n, window_log, checksum,
+                                  dict_id=zd.dict_id if zd else 0,
+                                  min_window=d + n if d else 0))
     if n == 0:
         out += struct.pack("<I", 1)[:3]  # last=1, raw, size 0
         if checksum:
             out += struct.pack("<I", XXH64State(0).digest() & 0xFFFFFFFF)
         return bytes(out)
 
-    arr = np.frombuffer(data, dtype=np.uint8)
-    max_offset = min((1 << params.window_log) - 1, n)
+    full = zd.content + data if d else data
+    arr = np.frombuffer(full, dtype=np.uint8)
+    max_offset = min((1 << window_log) - 1, len(full))
     src, mlen = M.find_matches(arr, params.depth, max_offset)
 
     # global parse, then split sequences at block boundaries
-    rep = [1, 4, 8]
+    rep = list(zd.rep) if zd else [1, 4, 8]
     blocks: list[bytes] = []
     nblocks = (n + MAX_BLOCK_SIZE - 1) // MAX_BLOCK_SIZE
-    parse = _parse_with_reps(arr, src, mlen, end_limit=n, lazy=params.lazy)
+    parse = _parse_with_reps(arr, src, mlen, end_limit=len(full),
+                             lazy=params.lazy, start=d, rep_init=rep)
     seqs_per_block: list[list] = [[] for _ in range(nblocks)]
     for lit_start, lit_len, p, j, ml in parse:
-        _split_into_blocks(seqs_per_block, lit_start, lit_len, p, j, ml)
+        _split_into_blocks(seqs_per_block, lit_start, lit_len, p, j, ml, base=d)
 
     hasher = XXH64State(0) if checksum else None
     for bi in range(nblocks):
-        b_start = bi * MAX_BLOCK_SIZE
-        b_end = min(n, b_start + MAX_BLOCK_SIZE)
-        raw = data[b_start:b_end]
+        b_start = d + bi * MAX_BLOCK_SIZE
+        b_end = min(d + n, b_start + MAX_BLOCK_SIZE)
+        raw = data[b_start - d : b_end - d]
         if hasher is not None:
             hasher.update(raw)
         rep_backup = list(rep)
@@ -452,13 +490,20 @@ class StreamCompressor:
 
     CHUNK = 8 << 20
 
-    def __init__(self, level: int = 3):
+    def __init__(self, level: int = 3, dictionary=None):
         self.level = level
         self._buf = bytearray()
+        self._dict = None
+        if dictionary is not None:
+            from .dict import as_dictionary
+
+            self._dict = as_dictionary(dictionary)
 
     def _compress_chunk(self, data: bytes) -> bytes:
         from ... import native
 
+        if self._dict is not None:
+            return compress(data, self.level, dictionary=self._dict)
         comp = native.zstd_compress(data, self.level)
         if comp is not None:
             return comp
@@ -478,17 +523,19 @@ class StreamCompressor:
         return out
 
 
-def _split_into_blocks(per_block: list[list], lit_start, lit_len, p, j, ml):
+def _split_into_blocks(per_block: list[list], lit_start, lit_len, p, j, ml,
+                       base: int = 0):
     """Assign one parsed sequence to block buckets, splitting literal runs
-    and matches that straddle 128 KiB block boundaries."""
+    and matches that straddle 128 KiB block boundaries.  ``base`` shifts
+    the block grid (dictionary-prefix mode: blocks cover [base, n))."""
     B = MAX_BLOCK_SIZE
     if p is None:
         # trailing literals: split across blocks
         pos = lit_start
         end = lit_start + lit_len
         while pos < end:
-            bi = pos // B
-            take = min(end, (bi + 1) * B) - pos
+            bi = (pos - base) // B
+            take = min(end, base + (bi + 1) * B) - pos
             per_block[bi].append((pos, take, None, None, None))
             pos += take
         return
@@ -497,8 +544,8 @@ def _split_into_blocks(per_block: list[list], lit_start, lit_len, p, j, ml):
     pos = lit_start
     lit_end = p
     while pos < lit_end:
-        bi = pos // B
-        boundary = (bi + 1) * B
+        bi = (pos - base) // B
+        boundary = base + (bi + 1) * B
         if lit_end < boundary:
             break
         take = boundary - pos
@@ -508,8 +555,8 @@ def _split_into_blocks(per_block: list[list], lit_start, lit_len, p, j, ml):
     mpos, msrc, mleft = p, j, ml
     first = True
     while mleft > 0:
-        bi = mpos // B
-        boundary = (bi + 1) * B
+        bi = (mpos - base) // B
+        boundary = base + (bi + 1) * B
         take = min(mleft, boundary - mpos)
         if take < 4:
             # too short to stand as a match in this block: demote to literals

@@ -232,9 +232,28 @@ class FrameDecoder:
         return seq.execute_sequences(lits, lls, mls, ofs, self.rep, self.window)
 
 
-def decompress(data: bytes, max_out: int | None = None) -> bytes:
+def _dict_decoder(header: FrameHeader, zd) -> FrameDecoder:
+    """FrameDecoder with initial state from a dictionary: content as the
+    history prefix, the dict's entropy tables available to the first
+    block's repeat modes, and the dict's initial repeat offsets
+    (RFC 8878 §5; beyond the reference, which has no dict support)."""
+    dec = FrameDecoder(header)
+    dec.window += zd.content
+    dec.rep = list(zd.rep)
+    dec.seq_tables = seq.SequenceTables(ll=zd.ll, of=zd.of, ml=zd.ml)
+    dec.lit_state = LiteralsState(table=zd.huf)
+    return dec
+
+
+def decompress(data: bytes, max_out: int | None = None, dictionary=None) -> bytes:
     """One-shot decompress of concatenated zstd frames
-    (parity: ZSTD_decompressDCtx at lib/zpack_read.c:380)."""
+    (parity: ZSTD_decompressDCtx at lib/zpack_read.c:380).
+
+    ``dictionary`` may be a ZstdDict, a dictionary blob (structured or
+    raw-content), or None."""
+    from .dict import as_dictionary
+
+    zd = as_dictionary(dictionary)
     out = bytearray()
     pos = 0
     n = len(data)
@@ -253,9 +272,14 @@ def decompress(data: bytes, max_out: int | None = None) -> bytes:
         pos += 4
         header = parse_frame_header(data, pos)
         pos += header.header_size
-        if header.dict_id:
-            raise DecompressError("external dictionaries not supported")
-        dec = FrameDecoder(header)
+        if header.dict_id and zd is None:
+            raise DecompressError(
+                f"frame requires dictionary {header.dict_id} (none attached)")
+        if header.dict_id and zd.dict_id and zd.dict_id != header.dict_id:
+            raise DecompressError(
+                f"dictionary mismatch: frame wants {header.dict_id}, "
+                f"attached {zd.dict_id}")
+        dec = _dict_decoder(header, zd) if zd is not None else FrameDecoder(header)
         while True:
             if n - pos < 3:
                 raise DecompressError("truncated block header")

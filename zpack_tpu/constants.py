@@ -47,3 +47,9 @@ DEFAULT_LEVELS = {
     CompressionMethod.ZSTD: 3,
     CompressionMethod.LZ4: 1,
 }
+
+#: Well-known entry name carrying a shared zstd dictionary (stored
+#: uncompressed).  This is a zpack-tpu extension — the reference has no
+#: dictionary support (plain ZSTD_compressCCtx, lib/zpack_write.c:179);
+#: archives without this entry are byte-compatible with the reference.
+DICT_ENTRY_NAME = "__zpack.dict"

@@ -50,7 +50,8 @@ def make_mesh(devices=None, entry_axis: int | None = None) -> Mesh:
     return Mesh(arr, ("entry", "block"))
 
 
-def _step_fn(mesh: Mesh, depth: int, block_size: int, n_words: int = 2):
+def _step_fn(mesh: Mesh, depth: int, block_size: int, n_words: int = 2,
+             dict_pad: int = 0):
     """Build the jitted sharded tokenize step for (entries, blocks, B).
 
     For B <= 8192 the device re-sorts to position order and ships ONE
@@ -59,23 +60,34 @@ def _step_fn(mesh: Mesh, depth: int, block_size: int, n_words: int = 2):
     host inverting the permutation (tokenize_block_noscatter).  The XLA
     w=2 formulation beat the fused Pallas bitonic kernel on the real chip
     (585 vs 472 MB/s, scripts/tpu_probe{3,4}.py), so Pallas is opt-in via
-    ZPACK_TPU_PALLAS."""
+    ZPACK_TPU_PALLAS.
+
+    ``dict_pad`` > 0 builds the shared-dictionary variant: the step takes a
+    second (dict_pad,) operand REPLICATED over the mesh (the ICI-broadcast
+    shared dictionary of the BASELINE north star), prepends it to every
+    block's match window, and ships results for the data positions only."""
     import os
 
     from ..kernels import lz4_pallas
 
+    window = dict_pad + block_size
     if (
-        block_size == lz4_pallas.N
+        dict_pad == 0
+        and block_size == lz4_pallas.N
         and jax.default_backend() not in ("cpu",)
         and os.environ.get("ZPACK_TPU_PALLAS")
     ):
         mode = "pallas"
-    elif block_size <= 8192 and 4 * n_words <= 10:
+    elif window <= 8192 and 4 * n_words <= 10:
         mode = "u16"
-    elif block_size <= 65536 and 4 * n_words <= 10:
+    elif window <= 65536 and 4 * n_words <= 10:
         mode = "pair"
     else:
         mode = "noscatter"
+    if dict_pad and mode == "noscatter":
+        raise ValueError(
+            f"dict window {window} too large for the device tokenizer "
+            f"(dict + block_size must be <= 65536)")
 
     def _est(mlen, B):
         matched = jnp.sum(jnp.where(mlen >= 4, mlen, 0), axis=-1)
@@ -83,14 +95,19 @@ def _step_fn(mesh: Mesh, depth: int, block_size: int, n_words: int = 2):
         est_local = jnp.sum(B - matched + 3 * n_seq)
         return jax.lax.psum(jax.lax.psum(est_local, "block"), "entry")
 
-    def local_step(blocks):
-        # blocks: (e_local, b_local, B)
+    def local_step(blocks, dict_arr=None):
+        # blocks: (e_local, b_local, B); dict_arr: (dict_pad,) replicated
         e, b, B = blocks.shape
         flat = blocks.reshape(e * b, B)
+        if dict_arr is not None:
+            # broadcast dict rides the window of every block; results for
+            # the dict positions are sliced off before leaving the device
+            flat = jnp.concatenate(
+                [jnp.broadcast_to(dict_arr, (e * b, dict_pad)), flat], axis=1)
         if mode == "u16":
             tok = jax.vmap(
                 partial(lz4_jax.tokenize_block_u16, depth=depth, n_words=n_words)
-            )(flat)
+            )(flat)[:, dict_pad:]
             mlen = (tok & jnp.uint16(7)).astype(jnp.int32)
             mlen = jnp.where(mlen > 0, mlen + 3, 0)
             return tok.reshape(e, b, B), _est(mlen, B)
@@ -98,6 +115,7 @@ def _step_fn(mesh: Mesh, depth: int, block_size: int, n_words: int = 2):
             src16, code = jax.vmap(
                 partial(lz4_jax.tokenize_block_resort, depth=depth, n_words=n_words)
             )(flat)
+            src16, code = src16[:, dict_pad:], code[:, dict_pad:]
             mlen = code.astype(jnp.int32)
             mlen = jnp.where(mlen > 0, mlen + 3, 0)
             return src16.reshape(e, b, B), code.reshape(e, b, B), _est(mlen, B)
@@ -117,11 +135,12 @@ def _step_fn(mesh: Mesh, depth: int, block_size: int, n_words: int = 2):
 
     blk = P("entry", "block", None)
     out_specs = (blk, P()) if mode == "u16" else (blk, blk, P())
+    in_specs = blk if dict_pad == 0 else (blk, P())
     fn = jax.jit(
         jax.shard_map(
             local_step,
             mesh=mesh,
-            in_specs=blk,
+            in_specs=in_specs,
             out_specs=out_specs,
         )
     )
@@ -160,11 +179,25 @@ class MeshCompressor:
         b_ax = self.mesh.shape["block"]
         return e_ax, b_ax
 
-    def _steps(self, data: bytes):
+    def _dict_step(self, dict_len: int):
+        """Jitted step variant carrying the mesh-replicated shared
+        dictionary (cached per dict length)."""
+        cache = getattr(self, "_dict_steps", None)
+        if cache is None:
+            cache = self._dict_steps = {}
+        if dict_len not in cache:
+            depth = 2 if self.level <= 2 else 8
+            cache[dict_len] = _step_fn(self.mesh, depth, self.block_size,
+                                       self.N_WORDS, dict_pad=dict_len)
+        return cache[dict_len]
+
+    def _steps(self, data: bytes, step=None, mode=None, extra=()):
         """Dispatch ALL device steps up front (async dispatch queues them),
         then yield per-step host match tables: (first_block, src, mlen, est).
         Converting/serializing step s on the host overlaps device compute of
         steps > s — the whole archive is a two-stage pipeline."""
+        step = self._step if step is None else step
+        mode = self._mode if mode is None else mode
         B = self.block_size
         n = len(data)
         nb = max(1, math.ceil(n / B))
@@ -186,15 +219,15 @@ class MeshCompressor:
             chunk = buf[s * per_step : (s + 1) * per_step]
             batch = chunk.reshape(e_ax, per_step // e_ax, B)
             batch = jax.device_put(batch, sharding)
-            results.append(self._step(batch))
-        if self._mode == "u16":
+            results.append(step(batch, *extra))
+        if mode == "u16":
             for s, (tok_d, est) in enumerate(results):
                 src_s, mlen_s = lz4_jax.unpack_u16_host(
                     np.asarray(tok_d).reshape(per_step, B)
                 )
                 yield s * per_step, src_s, mlen_s, int(est)
             return
-        if self._mode == "pair":
+        if mode == "pair":
             for s, (src_d, code_d, est) in enumerate(results):
                 src_s, mlen_s = lz4_jax.unpack_resort_host(
                     np.asarray(src_d).reshape(per_step, B),
@@ -209,12 +242,12 @@ class MeshCompressor:
             )
             yield s * per_step, src_s, mlen_s, int(est)
 
-    def tokenize(self, data: bytes) -> tuple[np.ndarray, np.ndarray, int, int]:
+    def tokenize(self, data: bytes, step=None, mode=None, extra=()) -> tuple[np.ndarray, np.ndarray, int, int]:
         B = self.block_size
         nb = max(1, math.ceil(len(data) / B))
         src = mlen = None
         est_total = 0
-        for lo, src_s, mlen_s, est in self._steps(data):
+        for lo, src_s, mlen_s, est in self._steps(data, step, mode, extra):
             if src is None:
                 per_step = len(src_s)
                 nb_pad = math.ceil(nb / per_step) * per_step
@@ -269,17 +302,24 @@ class MeshCompressor:
         return bytes(out)
 
 
-    def compress_zstd(self, data: bytes, level: int = 3) -> bytes:
+    def compress_zstd(self, data: bytes, level: int = 3, dictionary=None) -> bytes:
         """zstd frame via mesh tokenization: each device-tokenized block
         becomes one zstd block (sequences from the TPU match tables, entropy
         coding host-side) — the BASELINE "zstd blocks sharded data-parallel"
         configuration.  Offsets stay within a block (window = block size), a
-        deliberate trade for full block independence across the mesh."""
+        deliberate trade for full block independence across the mesh.
+
+        With ``dictionary``, the shared dict is broadcast over the mesh
+        (replicated device operand riding ICI on real hardware) and rides
+        every block's match window; each block becomes an independent
+        dict-referencing zstd *frame* so offsets stay window-local."""
         import struct
 
         from ..codecs.zstd import encode as zenc
         from ..kernels.lz4_jax import resolve_matches_host
 
+        if dictionary is not None:
+            return self._compress_zstd_dict(data, level, dictionary)
         data = bytes(data)
         B = self.block_size
         n = len(data)
@@ -319,5 +359,65 @@ class MeshCompressor:
                 rep[:] = rep_backup
                 bh = last | (0 << 1) | (cl << 3)
                 out += struct.pack("<I", bh)[:3]
+                out += chunk
+        return bytes(out)
+
+    def _compress_zstd_dict(self, data: bytes, level: int, dictionary) -> bytes:
+        """Shared-dictionary mesh path: dict replicated over the mesh, one
+        dict-referencing frame per 64 KiB block (concatenated frames are
+        valid zstd; each decodes against the same dictionary)."""
+        import struct
+
+        from ..codecs.zstd import encode as zenc
+        from ..codecs.zstd.dict import as_dictionary
+        from ..kernels.lz4_jax import resolve_matches_host
+
+        zd = as_dictionary(dictionary)
+        d = len(zd.content)
+        B = self.block_size
+        data = bytes(data)
+        n = len(data)
+        if n == 0:
+            return zenc.compress(b"", level, dictionary=zd)
+        step, mode = self._dict_step(d)  # raises if d + B > 65536
+        dict_dev = jax.device_put(
+            np.frombuffer(zd.content, dtype=np.uint8),
+            NamedSharding(self.mesh, P()),  # replicated = ICI broadcast
+        )
+        src, mlen, nb, _est = self.tokenize(data, step, mode, (dict_dev,))
+        wl = max(17, (d + B).bit_length())
+        out = bytearray()
+        posa = np.arange(B)
+        zeros_d = np.zeros(d, dtype=np.int64)
+        for i in range(nb):
+            chunk = data[i * B : (i + 1) * B]
+            cl = len(chunk)
+            arr = np.frombuffer(zd.content + chunk, dtype=np.uint8)
+            ml = mlen[i]
+            # clamp device results (computed over the zero-padded tail
+            # block) to the real chunk length; zstd lets matches run to the
+            # block end, so the only rule is staying inside [0, cl)
+            ml = np.minimum(ml, np.maximum(cl - posa, 0))
+            ml = np.where(ml < 4, 0, ml)
+            src_full = np.concatenate([zeros_d, src[i].astype(np.int64)])
+            ml_full = np.concatenate([zeros_d, ml.astype(np.int64)])
+            mps, mss, mls = resolve_matches_host(
+                arr, src_full, ml_full, d + cl, d + cl, self.capj)
+            lit_starts = np.concatenate([[d], mps + mls])
+            seqs = [
+                (int(ls), int(p - ls), int(p), int(j), int(l))
+                for ls, p, j, l in zip(lit_starts[:-1], mps, mss, mls)
+            ]
+            seqs.append((int(lit_starts[-1]), d + cl - int(lit_starts[-1]),
+                         None, None, None))
+            rep = list(zd.rep)
+            body = zenc._encode_block_body(arr, d, d + cl, seqs, rep)
+            out += zenc._frame_header(cl, wl, dict_id=zd.dict_id,
+                                      min_window=d + cl)
+            if body is not None and len(body) < cl:
+                out += struct.pack("<I", 1 | (2 << 1) | (len(body) << 3))[:3]
+                out += body
+            else:
+                out += struct.pack("<I", 1 | (0 << 1) | (cl << 3))[:3]
                 out += chunk
         return bytes(out)

@@ -25,6 +25,7 @@ from . import constants as C
 from .codecs import get_codec
 from .codecs.xxh3 import xxh3_64
 from .errors import (
+    DecompressError,
     FileNotFoundInArchiveError,
     FileTooSmallError,
     HashMismatchError,
@@ -79,6 +80,8 @@ class Reader:
         self.eocdr_offset = 0
         self.last_return: int | None = None
         self._name_index: dict | None = None
+        self._dict = None          # attached/loaded shared zstd dictionary
+        self._dict_loaded = False  # (lazy; loading guards against recursion)
         self._read_archive()
 
     # -- constructors -------------------------------------------------------
@@ -173,6 +176,46 @@ class Reader:
             raise ZPackError(Result.ERROR_FILE_INCOMPLETE, "entry data truncated")
         return data
 
+    # -- shared dictionary (extension; BASELINE north-star item) -------------
+
+    def attach_dictionary(self, blob: bytes) -> None:
+        """Explicitly attach a zstd dictionary (structured or raw-content)
+        for entries whose frames reference one."""
+        from .codecs.zstd.dict import as_dictionary
+
+        self._dict = as_dictionary(blob)
+        self._dict_loaded = True
+
+    @staticmethod
+    def _frame_wants_dict(raw: bytes) -> bool:
+        """Cheap peek: does the first zstd frame carry a nonzero dict_id?"""
+        try:
+            from .codecs.zstd import frame as zframe
+            import struct as _s
+
+            if len(raw) < 5 or _s.unpack_from("<I", raw, 0)[0] != zframe.MAGIC:
+                return False
+            return zframe.parse_frame_header(raw[4:22], 0).dict_id != 0
+        except Exception:
+            return False
+
+    def _load_dictionary(self):
+        """The archive's shared dictionary: an explicitly attached one, or
+        the well-known ``__zpack.dict`` entry (loaded lazily, once)."""
+        if self._dict_loaded:
+            return self._dict
+        self._dict_loaded = True  # set first: read_file below must not recurse
+        if self._name_index is None:
+            self._name_index = {}
+            for e in self.file_entries:
+                self._name_index.setdefault(e.filename, e)
+        e = self._name_index.get(C.DICT_ENTRY_NAME)
+        if e is not None:
+            from .codecs.zstd.dict import as_dictionary
+
+            self._dict = as_dictionary(self.read_file(e))
+        return self._dict
+
     def read_file(self, entry, verify: bool = True) -> bytes:
         """Decompress one entry; always verifies the XXH3-64 hash unless
         ``verify=False`` (parity: zpack_read_file always verifies,
@@ -188,7 +231,27 @@ class Reader:
                 f"implausible uncompressed size {e.uncomp_size} for {e.comp_size} compressed bytes",
             )
         codec = get_codec(e.comp_method)
-        out = codec.decompress(raw, e.uncomp_size)
+        if (e.comp_method == int(C.CompressionMethod.ZSTD)
+                and e.filename != C.DICT_ENTRY_NAME and self._frame_wants_dict(raw)):
+            d = self._load_dictionary()
+            if d is None:
+                raise ZPackError(
+                    Result.ERROR_DECOMPRESS_FAILED,
+                    "entry requires a shared dictionary but none is attached "
+                    "or stored in the archive")
+            out = codec.decompress(raw, e.uncomp_size, dictionary=d)
+        else:
+            try:
+                out = codec.decompress(raw, e.uncomp_size)
+            except DecompressError:
+                # raw-content dicts leave dict_id == 0: retry with the
+                # archive dictionary before giving up
+                d = (self._load_dictionary()
+                     if e.comp_method == int(C.CompressionMethod.ZSTD)
+                     and e.filename != C.DICT_ENTRY_NAME else None)
+                if d is None:
+                    raise
+                out = codec.decompress(raw, e.uncomp_size, dictionary=d)
         if len(out) != e.uncomp_size:
             raise ZPackError(
                 Result.ERROR_FILE_SIZE_INVALID,
@@ -208,7 +271,12 @@ class Reader:
         design; batch reads are this framework's addition."""
         ents = [self._resolve(e) for e in (entries if entries is not None else self.file_entries)]
         results: dict[int, bytes] = {}
-        if verify and len(ents) >= 4 and all(e.comp_method in (0, 1, 2) for e in ents):
+        # dict-bearing archives: zstd entries may need the shared dictionary,
+        # which the native batch codec doesn't know — per-entry path handles it
+        has_dict = (self._dict is not None
+                    or any(e.filename == C.DICT_ENTRY_NAME for e in self.file_entries))
+        if (verify and len(ents) >= 4 and all(e.comp_method in (0, 1, 2) for e in ents)
+                and not (has_dict and any(e.comp_method == 1 for e in ents))):
             from . import native
 
             for e in ents:

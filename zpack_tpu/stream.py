@@ -22,6 +22,23 @@ from .codecs.xxh3 import XXH3State, make_xxh3_state
 from .errors import HashMismatchError, Result, StreamStateError, ZPackError
 
 
+def _make_decompressor(reader, entry):
+    """Entry-appropriate decompressor; zstd entries whose frame references
+    a dictionary get the archive's shared dict attached (extension — the
+    reference has no dictionary support)."""
+    codec = get_codec(entry.comp_method)
+    if entry.comp_method == 1:  # zstd
+        try:
+            peek = reader._source.read_at(entry.offset, min(18, entry.comp_size))
+            if reader._frame_wants_dict(peek):
+                d = reader._load_dictionary()
+                if d is not None:
+                    return codec.decompressor(dictionary=d)
+        except Exception:
+            pass
+    return codec.decompressor()
+
+
 @dataclass
 class ZPackStream:
     """zlib-style stream object (parity: zpack_stream fields)."""
@@ -87,7 +104,7 @@ def read_file_stream(reader, entry, stream: ZPackStream, verify: bool = True) ->
     entry = reader._resolve(entry)
     if stream._entry is None:
         stream._entry = entry
-        stream._decomp = get_codec(entry.comp_method).decompressor()
+        stream._decomp = _make_decompressor(reader, entry)
     elif stream._entry is not entry:
         raise StreamStateError("stream already bound to another entry")
     if stream.avail_out <= 0:
@@ -192,7 +209,7 @@ def read_file_stream_buffer(reader, entry, stream: ZPackStream, verify: bool = T
         return
     if stream._entry is None:
         stream._entry = entry
-        stream._decomp = get_codec(entry.comp_method).decompressor()
+        stream._decomp = _make_decompressor(reader, entry)
     elif stream._entry is not entry:
         raise StreamStateError("stream already bound to another entry")
     if stream.avail_out <= 0:

@@ -32,6 +32,9 @@ class CompressOptions:
 
     method: C.CompressionMethod = C.CompressionMethod.ZSTD
     level: int | None = None
+    #: optional shared zstd dictionary (blob or ZstdDict) — extension
+    #: beyond the reference (which passes no dicts to zstd)
+    dictionary: object = None
 
     def resolved_level(self) -> int:
         if self.level is None:
@@ -83,6 +86,9 @@ class Writer:
         self.eocdr_offset = 0
         self.last_return: int | None = None
         self._stream_ctx = None
+        self._dictionary = None   # shared zstd dict for subsequent entries
+        self._dict_blob = None    # its wire blob (stored as an entry)
+        self._dict_written = False
 
     # -- constructors -------------------------------------------------------
 
@@ -143,6 +149,31 @@ class Writer:
             self.cdr_offset if cdr_offset is None else cdr_offset))
         self._sink.flush()
 
+    # -- shared dictionary (extension; BASELINE north-star item) -------------
+
+    def set_dictionary(self, blob: bytes) -> None:
+        """Attach a shared zstd dictionary: all later zstd entries compress
+        against it, and the dictionary itself is stored (uncompressed) as
+        the well-known entry ``__zpack.dict`` so readers self-serve.  No
+        reference counterpart — ZPack has no dictionary support."""
+        from .codecs.zstd.dict import as_dictionary
+
+        self._dict_blob = bytes(blob)
+        self._dictionary = as_dictionary(self._dict_blob)
+        self._dict_written = False
+
+    def _ensure_dict_entry(self) -> None:
+        if self._dictionary is None or self._dict_written:
+            return
+        self._dict_written = True
+        self.add_file(C.DICT_ENTRY_NAME, self._dict_blob,
+                      CompressOptions(C.CompressionMethod.NONE))
+
+    def _dict_for(self, options: CompressOptions):
+        if int(options.method) != int(C.CompressionMethod.ZSTD):
+            return None
+        return options.dictionary if options.dictionary is not None else self._dictionary
+
     # -- one-shot compression path ------------------------------------------
 
     def write_files(self, files) -> None:
@@ -170,6 +201,7 @@ class Writer:
             len(batch) >= 8
             and max(len(d) for _, d, _ in batch) <= (8 << 20)
             and os.environ.get("ZPACK_TPU_ENGINE") != "tpu"
+            and all(self._dict_for(o) is None for _, _, o in batch)
         )
         if batch_worthy and all(
             int(o.method) in (0, 1, 2) for _, _, o in batch
@@ -200,7 +232,13 @@ class Writer:
     def add_file(self, filename: str, data: bytes, options: CompressOptions | None = None) -> records.FileEntry:
         options = options or CompressOptions()
         codec = get_codec(options.method)
-        comp = codec.compress(bytes(data), options.resolved_level())
+        dictionary = self._dict_for(options)
+        if dictionary is not None:
+            self._ensure_dict_entry()
+            comp = codec.compress(bytes(data), options.resolved_level(),
+                                  dictionary=dictionary)
+        else:
+            comp = codec.compress(bytes(data), options.resolved_level())
         offset = self.write_offset
         self._emit(comp)
         entry = records.FileEntry(
@@ -246,10 +284,17 @@ class Writer:
             raise ZPackError(Result.ERROR_STREAM_INVALID, "stream write already in progress")
         options = options or CompressOptions()
         codec = get_codec(options.method)
+        dictionary = self._dict_for(options)
+        if dictionary is not None:
+            self._ensure_dict_entry()
+            compressor = codec.compressor(options.resolved_level(),
+                                          dictionary=dictionary)
+        else:
+            compressor = codec.compressor(options.resolved_level())
         self._stream_ctx = {
             "filename": filename,
             "options": options,
-            "compressor": codec.compressor(options.resolved_level()),
+            "compressor": compressor,
             "hash": make_xxh3_state(),
             "offset": self.write_offset,
             "total_in": 0,
