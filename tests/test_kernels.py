@@ -163,3 +163,162 @@ def test_mesh_zstd_pipeline():
     comp = mc.compress_zstd(data, 3)
     assert ZF.decompress(comp) == data
     assert zstandard.ZstdDecompressor().decompress(comp, max_output_size=len(data)) == data
+
+
+# ---------------------------------------------------------------------------
+# Device huffman entropy kernels (kernels/huffman_jax.py)
+# ---------------------------------------------------------------------------
+
+
+def _huff_table_pair(data):
+    """(encode table, matching decode table incl. implied last weight)."""
+    from zpack_tpu.codecs.zstd import huffman as H
+
+    hist = np.bincount(np.frombuffer(data, dtype=np.uint8), minlength=256)
+    et = H.build_encode_table(hist)
+    if et is None:
+        return None, None
+    total = sum((1 << (w - 1)) for w in et.weights if w > 0)
+    np2 = 1 << total.bit_length()
+    dt = H.build_decode_table(et.weights + [(np2 - total).bit_length()])
+    return et, dt
+
+
+@pytest.mark.parametrize("n", [64, 333, 1024, 5000, 65536])
+def test_device_huffman_encode_bit_exact(n):
+    from zpack_tpu.codecs.zstd import huffman as H
+    from zpack_tpu.kernels.huffman_jax import DeviceHuffmanEncoder
+
+    rng = np.random.default_rng(n)
+    data = rng.choice(
+        np.arange(48, dtype=np.uint8), size=n,
+        p=rng.dirichlet(np.ones(48) * 0.25)).astype(np.uint8).tobytes()
+    et, _dt = _huff_table_pair(data)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    got = DeviceHuffmanEncoder().encode_batch([arr], [et])[0]
+    assert got == H._encode_stream(arr, et)
+
+
+def test_device_huffman_encode_mixed_batch():
+    """One dispatch, many streams with DIFFERENT tables and lengths."""
+    from zpack_tpu.codecs.zstd import huffman as H
+    from zpack_tpu.kernels.huffman_jax import DeviceHuffmanEncoder
+
+    rng = np.random.default_rng(7)
+    streams, tables, refs = [], [], []
+    for i, n in enumerate([64, 700, 9000, 2048, 100]):
+        nsym = 8 + 16 * i
+        data = rng.choice(np.arange(nsym, dtype=np.uint8), size=n,
+                          p=rng.dirichlet(np.ones(nsym) * 0.4)).astype(np.uint8)
+        et, _ = _huff_table_pair(data.tobytes())
+        streams.append(data)
+        tables.append(et)
+        refs.append(H._encode_stream(data, et))
+    got = DeviceHuffmanEncoder().encode_batch(streams, tables)
+    assert got == refs
+
+
+def test_device_huffman_4stream_matches_oracle():
+    from zpack_tpu.codecs.zstd import huffman as H
+    from zpack_tpu.kernels.huffman_jax import DeviceHuffmanEncoder
+
+    rng = np.random.default_rng(3)
+    blocks, tables = [], []
+    for n in (1024, 4096, 30000):
+        data = rng.choice(np.arange(30, dtype=np.uint8), size=n,
+                          p=rng.dirichlet(np.ones(30) * 0.3)).astype(np.uint8)
+        et, _ = _huff_table_pair(data.tobytes())
+        blocks.append(data)
+        tables.append(et)
+    got = DeviceHuffmanEncoder().encode_4stream_batch(blocks, tables)
+    for data, et, g in zip(blocks, tables, got):
+        assert g == H.encode_4stream(data.tobytes(), et)
+
+
+@pytest.mark.parametrize("n", [64, 1024, 20000])
+def test_device_huffman_decode_bit_exact(n):
+    from zpack_tpu.codecs.zstd import huffman as H
+    from zpack_tpu.kernels.huffman_jax import DeviceHuffmanDecoder
+
+    rng = np.random.default_rng(n + 1)
+    data = rng.choice(np.arange(20, dtype=np.uint8), size=n,
+                      p=rng.dirichlet(np.ones(20) * 0.5)).astype(np.uint8)
+    et, dt = _huff_table_pair(data.tobytes())
+    payload = H._encode_stream(data, et)
+    out = DeviceHuffmanDecoder().decode_batch([payload], [dt], [n])[0]
+    assert (out == data).all()
+    assert (np.frombuffer(H.decode_1stream(payload, dt, n), np.uint8) == data).all()
+
+
+def test_device_huffman_decode_mixed_tables():
+    """Batch with different max_bits tables (widening path)."""
+    from zpack_tpu.codecs.zstd import huffman as H
+    from zpack_tpu.kernels.huffman_jax import DeviceHuffmanDecoder
+
+    rng = np.random.default_rng(11)
+    payloads, tables, datas = [], [], []
+    for nsym, n in [(4, 500), (100, 4000), (30, 1500)]:
+        data = rng.choice(np.arange(nsym, dtype=np.uint8), size=n,
+                          p=rng.dirichlet(np.ones(nsym) * 0.4)).astype(np.uint8)
+        et, dt = _huff_table_pair(data.tobytes())
+        payloads.append(H._encode_stream(data, et))
+        tables.append(dt)
+        datas.append(data)
+    outs = DeviceHuffmanDecoder().decode_batch(payloads, tables, [len(d) for d in datas])
+    for o, d in zip(outs, datas):
+        assert (o == d).all()
+
+
+def test_device_huffman_decode_rejects_bad_stream():
+    from zpack_tpu.codecs.zstd import huffman as H
+    from zpack_tpu.errors import DecompressError
+    from zpack_tpu.kernels.huffman_jax import DeviceHuffmanDecoder
+
+    rng = np.random.default_rng(5)
+    data = rng.choice(np.arange(16, dtype=np.uint8), size=800,
+                      p=rng.dirichlet(np.ones(16) * 0.4)).astype(np.uint8)
+    et, dt = _huff_table_pair(data.tobytes())
+    payload = H._encode_stream(data, et)
+    with pytest.raises(DecompressError):
+        DeviceHuffmanDecoder().decode_batch([payload], [dt], [790])
+    with pytest.raises(DecompressError):
+        DeviceHuffmanDecoder().decode_batch([payload[:-1] + b"\x00"], [dt], [800])
+
+
+def test_literal_sections_device_matches_host():
+    """encode_literal_sections: device batch == per-block host encode,
+    including the raw/RLE/short fallbacks."""
+    from zpack_tpu.codecs.zstd import encode as zenc
+    from zpack_tpu.kernels.huffman_jax import DeviceHuffmanEncoder
+
+    rng = np.random.default_rng(9)
+    prose = (b"compression is the art of expectation " * 200)
+    cases = [
+        b"",                                  # empty
+        b"\xaa" * 500,                        # RLE
+        b"short",                             # < 64: raw
+        rng.integers(0, 256, 3000, dtype=np.uint8).tobytes(),  # incompressible
+        prose,                                # 4-stream huffman
+        prose[:700],                          # 1-stream huffman
+    ]
+    host = zenc.encode_literal_sections(cases, None)
+    dev = zenc.encode_literal_sections(cases, DeviceHuffmanEncoder())
+    assert host == dev
+    for lits, sec in zip(cases, host):
+        assert sec == zenc._encode_literals(lits)
+
+
+def test_mesh_zstd_device_entropy():
+    """The mesh zstd pipeline with the device entropy stage is bit-identical
+    to host entropy coding and decodes with libzstd."""
+    import zstandard
+
+    from zpack_tpu.codecs.zstd import frame as ZF
+
+    mc = MeshCompressor(make_mesh(), block_size=4096)
+    data = _mix(150000, seed=33)
+    dev = mc.compress_zstd(data, 3, device_entropy=True)
+    host = mc.compress_zstd(data, 3, device_entropy=False)
+    assert dev == host
+    assert ZF.decompress(dev) == data
+    assert zstandard.ZstdDecompressor().decompress(dev, max_output_size=len(data)) == data

@@ -110,15 +110,18 @@ def _frame_header(content_size: int, window_log: int, checksum: bool = False,
 # ---------------------------------------------------------------------------
 
 
-def _encode_literals(lits: bytes) -> bytes:
+def _literals_plan(lits: bytes):
+    """Stage 1 of literal-section encoding: everything before the huffman
+    bitstream build.  Returns ``(section, None)`` when decided outright
+    (empty/RLE/raw/no-table), else ``(None, (arr, table, tree, streams))``
+    — the pending huffman work, so a batch caller can run the bitstream
+    stage on-device across many blocks (kernels/huffman_jax.py)."""
     rs = len(lits)
     if rs == 0:
-        return bytes([0 << 3 | 0])  # raw, size 0, 1-byte header
+        return bytes([0 << 3 | 0]), None  # raw, size 0, 1-byte header
     arr = np.frombuffer(lits, dtype=np.uint8)
-    # RLE literals
     if rs > 1 and (arr == arr[0]).all():
-        return _lit_header_raw_rle(1, rs) + lits[:1]
-    # Huffman attempt (worth trying above a small threshold)
+        return _lit_header_raw_rle(1, rs) + lits[:1], None
     if rs >= 64:
         hist = np.bincount(arr, minlength=256)
         table = huffman.build_encode_table(hist)
@@ -126,20 +129,74 @@ def _encode_literals(lits: bytes) -> bytes:
             try:
                 tree = huffman.write_weights(table.weights)
             except CompressError:
-                return _lit_header_raw_rle(0, rs) + lits  # wide flat alphabet: raw wins anyway
-            if rs >= 1024:
-                body = huffman.encode_4stream(lits, table)
-                streams = 4
-            else:
-                body = huffman.encode_1stream(lits, table)
-                streams = 1
-            if body is not None:
-                cs = len(tree) + len(body)
-                if cs + 5 < rs:  # only if it actually wins
-                    hdr = _lit_header_compressed(2, streams, rs, cs)
-                    if hdr is not None:
-                        return hdr + tree + body
+                return _lit_header_raw_rle(0, rs) + lits, None  # wide flat alphabet
+            streams = 4 if rs >= 1024 else 1
+            return None, (arr, table, tree, streams)
+    return _lit_header_raw_rle(0, rs) + lits, None
+
+
+def _literals_finish(lits: bytes, tree: bytes, streams: int, body: bytes | None) -> bytes:
+    """Stage 2: wrap a built huffman body (host or device) into the literal
+    section, falling back to raw when compression doesn't win."""
+    rs = len(lits)
+    if body is not None:
+        cs = len(tree) + len(body)
+        if cs + 5 < rs:  # only if it actually wins
+            hdr = _lit_header_compressed(2, streams, rs, cs)
+            if hdr is not None:
+                return hdr + tree + body
     return _lit_header_raw_rle(0, rs) + lits
+
+
+def _encode_literals(lits: bytes) -> bytes:
+    section, pending = _literals_plan(lits)
+    if pending is None:
+        return section
+    arr, table, tree, streams = pending
+    if streams == 4:
+        body = huffman.encode_4stream(lits, table)
+    else:
+        body = huffman.encode_1stream(lits, table)
+    return _literals_finish(lits, tree, streams, body)
+
+
+def encode_literal_sections(lits_list: list[bytes], device_encoder=None) -> list[bytes]:
+    """Encode many blocks' literal sections at once.
+
+    With ``device_encoder`` (kernels.huffman_jax.DeviceHuffmanEncoder) every
+    block's huffman bitstreams are built in ONE batched device dispatch —
+    the entropy stage of the mesh zstd pipeline runs on the TPU instead of
+    the host (BASELINE north star; role of the reference's vendored HUF_*
+    behind lib/zpack_write.c:179)."""
+    sections: list[bytes | None] = [None] * len(lits_list)
+    pend = []  # (i, lits, arr, table, tree, streams)
+    for i, lits in enumerate(lits_list):
+        sec, pending = _literals_plan(lits)
+        if pending is None:
+            sections[i] = sec
+            continue
+        arr, table, tree, streams = pending
+        pend.append((i, lits, arr, table, tree, streams))
+    if pend:
+        if device_encoder is None:
+            for i, lits, arr, table, tree, streams in pend:
+                body = (huffman.encode_4stream(lits, table) if streams == 4
+                        else huffman.encode_1stream(lits, table))
+                sections[i] = _literals_finish(lits, tree, streams, body)
+        else:
+            four = [(i, lits, arr, table, tree) for i, lits, arr, table, tree, s in pend if s == 4]
+            one = [(i, lits, arr, table, tree) for i, lits, arr, table, tree, s in pend if s == 1]
+            if four:
+                bodies = device_encoder.encode_4stream_batch(
+                    [p[2] for p in four], [p[3] for p in four])
+                for (i, lits, _a, _t, tree), body in zip(four, bodies):
+                    sections[i] = _literals_finish(lits, tree, 4, body)
+            if one:
+                bodies = device_encoder.encode_batch(
+                    [p[2] for p in one], [p[3] for p in one])
+                for (i, lits, _a, _t, tree), body in zip(one, bodies):
+                    sections[i] = _literals_finish(lits, tree, 1, body)
+    return sections
 
 
 def _lit_header_raw_rle(ltype: int, rs: int) -> bytes:
@@ -225,10 +282,22 @@ def _pick_table(codes: list[int], kind: str, max_code: int, max_al: int):
     return 0, pre, b""
 
 
+def _block_literals(data_arr: np.ndarray, sequences: list) -> bytes:
+    """The literal bytes a block body will carry, in emission order —
+    lets a batch caller pre-encode literal sections on-device."""
+    return b"".join(
+        data_arr[ls : ls + ln].tobytes() for ls, ln, _p, _j, _ml in sequences if ln
+    )
+
+
 def _encode_block_body(data_arr: np.ndarray, block_start: int, block_end: int,
-                       sequences: list, rep: list[int]) -> bytes | None:
+                       sequences: list, rep: list[int],
+                       lit_section: bytes | None = None) -> bytes | None:
     """Build one compressed-block body (literals + sequences sections);
-    returns None if the caller should emit a raw block instead."""
+    returns None if the caller should emit a raw block instead.
+
+    ``lit_section`` short-circuits literal encoding with a pre-built
+    section (the device-entropy path, parallel/pipeline.py)."""
     lits_parts = []
     lls, mls, ovs = [], [], []
     pending_lit = 0  # literal-only runs fold into the next sequence's ll
@@ -247,7 +316,7 @@ def _encode_block_body(data_arr: np.ndarray, block_start: int, block_end: int,
         ovs.append(ov)
     lits = b"".join(lits_parts)
     nb = len(lls)
-    out = bytearray(_encode_literals(lits))
+    out = bytearray(lit_section if lit_section is not None else _encode_literals(lits))
     out += seq.write_nb_sequences(nb)
     if nb:
         ll_codes = [seq.ll_code(v) for v in lls]

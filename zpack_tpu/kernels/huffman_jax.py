@@ -1,0 +1,311 @@
+"""Device-side zstd Huffman entropy coding (encode + decode).
+
+Role parity: the HUF_* entropy stage of the reference's vendored zstd
+(behind ``ZSTD_compressCCtx`` at lib/zpack_write.c:179 and
+``ZSTD_decompressDCtx`` at lib/zpack_read.c:380), reformulated for the TPU:
+
+* **Encode** — symbols are looked up in a per-stream (256,) code table,
+  bit offsets come from one cumulative sum, and every code is OR-scattered
+  into a u32 bit plane as two disjoint-bit contributions (low word + carry
+  word).  Disjoint bits make add == or, so the whole stream is ONE
+  scatter-add — the house gather-free recipe (docs/architecture.md).
+  Batched over (streams, L) so many 64 KiB blocks encode per dispatch.
+
+* **Decode** — the massively-parallel formulation already used by the
+  numpy oracle (codecs/zstd/huffman.py:_decode_one_stream): decode a
+  speculative (symbol, nbits) at EVERY bit position via one table gather,
+  then extract the true decode path by pointer doubling (log2(n) gather
+  rounds).  All shapes static, so the whole thing jits.
+
+Bit-exactness is pinned against codecs/zstd/huffman.py in
+tests/test_kernels.py; the streams decode with libzstd.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_BITS = 11  # zstd huffman code-length limit (RFC 8878 §4.2.1)
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+
+def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
+    """One backward-read huffman stream from a padded symbol row.
+
+    syms: (L,) uint8 symbols in ORIGINAL order (first n valid).
+    Returns (words: (n_words,) uint32 little-endian bit plane,
+    total_bits: int32 excluding the sentinel bit).
+
+    The python oracle reverses the symbols then cumsums; here the reversal
+    is folded into the offset formula: symbol i starts at
+    total_bits - inclusive_cumsum(lens)[i] (symbols after i occupy the low
+    bits so the backward reader meets symbol 0 first).
+    """
+    L = syms.shape[0]
+    idx_r = jnp.arange(L, dtype=jnp.int32)
+    valid = idx_r < n
+    lens = jnp.where(valid, lens_tab[syms], 0).astype(jnp.int32)
+    vals = jnp.where(valid, codes_tab[syms], 0).astype(jnp.uint32)
+    csum = jnp.cumsum(lens)
+    total_bits = csum[-1]  # lens are 0 past n, so this is the stream total
+    off = (total_bits - csum).astype(jnp.uint32)  # start bit of symbol i
+    widx = (off >> 5).astype(jnp.int32)
+    sh = off & jnp.uint32(31)
+    # contribution split across the word boundary; bit ranges of distinct
+    # symbols are disjoint, so scatter-ADD == scatter-OR and never carries
+    lo = vals << sh                      # u32 shift keeps the low 32 bits
+    hi = (vals >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)  # sh=0-safe >>32
+    acc = jnp.zeros(n_words, dtype=jnp.uint32)
+    acc = acc.at[widx].add(lo, mode="drop")
+    acc = acc.at[widx + 1].add(hi, mode="drop")
+    # closing sentinel bit (the decoder's start-position marker)
+    acc = acc.at[total_bits >> 5].add(
+        jnp.uint32(1) << (total_bits.astype(jnp.uint32) & jnp.uint32(31)),
+        mode="drop",
+    )
+    return acc, total_bits
+
+
+@partial(jax.jit, static_argnames=("n_words",))
+def encode_streams(syms, lens, codes_tab, lens_tab, *, n_words: int):
+    """Batched stream encode.
+
+    syms: (S, L) uint8, lens: (S,) int32 valid prefix lengths,
+    codes_tab/lens_tab: (S, 256) int32 per-stream canonical code tables.
+    Returns (words (S, n_words) uint32, total_bits (S,) int32).
+    """
+    return jax.vmap(
+        lambda s, n, c, l: _encode_one_stream(s, n, c, l, n_words)
+    )(syms, lens, codes_tab, lens_tab)
+
+
+def words_needed(max_len: int) -> int:
+    """u32 words that always hold max_len symbols of <=11 bits + sentinel."""
+    return (max_len * MAX_BITS + 1) // 32 + 2
+
+
+class DeviceHuffmanEncoder:
+    """Host wrapper: pack python-side literal streams into fixed device
+    batches, run :func:`encode_streams`, trim the resulting bit planes.
+
+    One instance caches compiled programs per (L, n_words) bucket so a long
+    archive reuses a handful of fixed-shape executables (the remote-TPU
+    compile cost rule, CLAUDE.md).
+    """
+
+    #: pad stream lengths to the next bucket so compiles stay bounded
+    BUCKETS = (256, 1024, 4096, 16384, 65536)
+
+    def __init__(self, mesh=None):
+        #: optional jax.sharding.Mesh — the stream batch is sharded over
+        #: ALL its devices (data-parallel entropy coding over ICI)
+        self.mesh = mesh
+
+    def _bucket(self, n: int) -> int:
+        for b in self.BUCKETS:
+            if n <= b:
+                return b
+        return int(np.ceil(n / self.BUCKETS[-1])) * self.BUCKETS[-1]
+
+    def _shard(self, *arrays):
+        """Pad dim 0 to the mesh size and shard over all mesh axes."""
+        if self.mesh is None:
+            return [jnp.asarray(a) for a in arrays]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        S = arrays[0].shape[0]
+        pad = (-S) % ndev
+        out = []
+        for a in arrays:
+            if pad:
+                a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+            spec = P(tuple(self.mesh.axis_names), *([None] * (a.ndim - 1)))
+            out.append(jax.device_put(a, NamedSharding(self.mesh, spec)))
+        return out
+
+    def encode_batch(self, streams: list[np.ndarray], tables) -> list[bytes]:
+        """streams[i]: uint8 symbol array; tables[i]: HuffEncodeTable
+        (codecs.zstd.huffman) for stream i.  Returns the encoded byte
+        payload of each stream (identical to huffman._encode_stream)."""
+        if not streams:
+            return []
+        L = self._bucket(max(len(s) for s in streams))
+        S = len(streams)
+        syms = np.zeros((S, L), dtype=np.uint8)
+        lens = np.zeros(S, dtype=np.int32)
+        codes_tab = np.zeros((S, 256), dtype=np.int32)
+        lens_tab = np.zeros((S, 256), dtype=np.int32)
+        for i, (s, t) in enumerate(zip(streams, tables)):
+            syms[i, : len(s)] = s
+            lens[i] = len(s)
+            codes_tab[i, : len(t.codes)] = t.codes.astype(np.int32)
+            lens_tab[i, : len(t.lengths)] = t.lengths.astype(np.int32)
+        nw = words_needed(L)
+        syms_d, lens_d, ct_d, lt_d = self._shard(syms, lens, codes_tab, lens_tab)
+        words, total_bits = encode_streams(syms_d, lens_d, ct_d, lt_d, n_words=nw)
+        words = np.asarray(words)[:S].astype("<u4")
+        total_bits = np.asarray(total_bits)[:S]
+        out = []
+        for i in range(S):
+            nbytes = (int(total_bits[i]) + 1 + 7) // 8
+            out.append(words[i].tobytes()[:nbytes])
+        return out
+
+    def encode_4stream_batch(self, lit_blocks: list[np.ndarray], tables) -> list[bytes | None]:
+        """Device analog of huffman.encode_4stream for a batch of blocks:
+        each block's literals split into 4 sub-streams (host split, device
+        encode), jumptable + concatenation assembled host-side."""
+        streams, owner = [], []
+        plan = []
+        for bi, arr in enumerate(lit_blocks):
+            n = len(arr)
+            per = (n + 3) // 4
+            parts = [arr[:per], arr[per:2 * per], arr[2 * per:3 * per], arr[3 * per:]]
+            if any(len(p) == 0 for p in parts):
+                plan.append(None)
+                continue
+            plan.append((len(streams), 4))
+            for p in parts:
+                streams.append(p)
+                owner.append(bi)
+        encoded = self.encode_batch(streams, [tables[o] for o in owner])
+        out: list[bytes | None] = []
+        for bi, pl in enumerate(plan):
+            if pl is None:
+                out.append(None)
+                continue
+            base, _ = pl
+            es = encoded[base:base + 4]
+            if any(len(e) > 0xFFFF for e in es[:3]):
+                out.append(None)
+                continue
+            body = bytearray()
+            for e in es[:3]:
+                body += len(e).to_bytes(2, "little")
+            for e in es:
+                body += e
+            out.append(bytes(body))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def _bit_windows(payload_u8, max_bits: int):
+    """win[p] = stream bits [p-max_bits, p) as an int (LSB = lowest bit),
+    for every bit position p in 0..8*len (positions below max_bits
+    zero-pad).  Device port of huffman._stream_bit_windows."""
+    P = payload_u8.shape[0]
+    k = jnp.arange(8, dtype=jnp.uint8)
+    bits = ((payload_u8[:, None] >> k[None, :]) & jnp.uint8(1)).reshape(P * 8)
+    padded = jnp.concatenate([jnp.zeros(max_bits, dtype=jnp.uint8), bits])
+    win = jnp.zeros(P * 8 + 1, dtype=jnp.uint32)
+    for kk in range(max_bits):
+        win = win | (padded[kk : kk + P * 8 + 1].astype(jnp.uint32) << np.uint32(kk))
+    return win
+
+
+def _decode_one_stream(payload_u8, start, symbols_tab, nbits_tab, max_bits: int,
+                       n_out: int):
+    """Speculative decode at every bit position + pointer-doubling orbit.
+
+    payload_u8: (P,) uint8 stream bytes; start: int32 start bit position
+    (below the sentinel); symbols_tab/nbits_tab: (2^max_bits,) int32.
+    Returns (out (n_out,) uint8 — valid prefix decided by caller,
+    final_pos (n_out,) int32 positions for host-side validity checks).
+    """
+    win = _bit_windows(payload_u8, max_bits)
+    sym_at = symbols_tab[win].astype(jnp.uint8)
+    nb_at = nbits_tab[win].astype(jnp.int32)
+    nxt = jnp.maximum(jnp.arange(win.shape[0], dtype=jnp.int32) - nb_at, 0)
+    # orbit of `start` under nxt, enumerated by doubling concatenation —
+    # the jnp port of the numpy oracle, shapes static per unrolled step
+    positions = jnp.asarray(start, dtype=jnp.int32)[None]
+    jump = nxt
+    while positions.shape[0] < n_out:
+        positions = jnp.concatenate([positions, jump[positions]])
+        jump = jump[jump]
+    positions = positions[:n_out]
+    return sym_at[positions], positions, nb_at[positions]
+
+
+@partial(jax.jit, static_argnames=("max_bits", "n_out"))
+def decode_streams(payloads, starts, symbols_tab, nbits_tab, *, max_bits: int,
+                   n_out: int):
+    """Batched decode: payloads (S, P) uint8, starts (S,) int32,
+    symbols_tab/nbits_tab (S, 2^max_bits) int32."""
+    return jax.vmap(
+        lambda p, s, st, nt: _decode_one_stream(p, s, st, nt, max_bits, n_out)
+    )(payloads, starts, symbols_tab, nbits_tab)
+
+
+class DeviceHuffmanDecoder:
+    """Host wrapper for batched device Huffman decode, bit-exact vs
+    huffman._decode_one_stream (tested in tests/test_kernels.py)."""
+
+    BUCKETS = (1024, 4096, 16384, 65536)
+
+    def _bucket(self, n: int, buckets) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return int(np.ceil(n / buckets[-1])) * buckets[-1]
+
+    def decode_batch(self, payloads: list[bytes], tables, n_symbols: list[int]) -> list[np.ndarray]:
+        """payloads[i]: one backward-read huffman stream; tables[i]:
+        HuffDecodeTable; n_symbols[i]: expected regenerated count."""
+        if not payloads:
+            return []
+        max_bits = max(t.max_bits for t in tables)
+        P = self._bucket(max(len(p) for p in payloads), self.BUCKETS)
+        n_out = self._bucket(max(n_symbols), self.BUCKETS)
+        S = len(payloads)
+        pay = np.zeros((S, P), dtype=np.uint8)
+        starts = np.zeros(S, dtype=np.int32)
+        sym_t = np.zeros((S, 1 << max_bits), dtype=np.int32)
+        nb_t = np.zeros((S, 1 << max_bits), dtype=np.int32)
+        for i, (p, t) in enumerate(zip(payloads, tables)):
+            if not p or p[-1] == 0:
+                raise _decode_err("huffman stream missing sentinel")
+            pay[i, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+            starts[i] = (len(p) - 1) * 8 + (p[-1].bit_length() - 1)
+            # widen a narrower table to max_bits: the decoder peeks the TOP
+            # t.max_bits bits of the max_bits-wide window, so entry(v) =
+            # t[v >> d]; the consumed bit count stays the table's own
+            d = max_bits - t.max_bits
+            idxs = np.arange(1 << max_bits) >> d
+            sym_t[i] = t.symbols[idxs]
+            nb_t[i] = t.nb_bits[idxs]
+        out, pos, nb = decode_streams(
+            jnp.asarray(pay), jnp.asarray(starts), jnp.asarray(sym_t),
+            jnp.asarray(nb_t), max_bits=max_bits, n_out=n_out)
+        out = np.asarray(out)
+        pos = np.asarray(pos)
+        nb = np.asarray(nb)
+        results = []
+        for i, n in enumerate(n_symbols):
+            if n == 0:
+                results.append(np.zeros(0, dtype=np.uint8))
+                continue
+            final_bits = int(pos[i, n - 1]) - int(nb[i, n - 1])
+            if final_bits != 0:
+                raise _decode_err("huffman stream not fully consumed")
+            results.append(out[i, :n])
+        return results
+
+
+def _decode_err(msg):
+    from ..errors import DecompressError
+
+    return DecompressError(msg)

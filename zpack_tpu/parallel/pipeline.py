@@ -302,17 +302,26 @@ class MeshCompressor:
         return bytes(out)
 
 
-    def compress_zstd(self, data: bytes, level: int = 3, dictionary=None) -> bytes:
+    def compress_zstd(self, data: bytes, level: int = 3, dictionary=None,
+                      device_entropy: bool | None = None) -> bytes:
         """zstd frame via mesh tokenization: each device-tokenized block
-        becomes one zstd block (sequences from the TPU match tables, entropy
-        coding host-side) — the BASELINE "zstd blocks sharded data-parallel"
-        configuration.  Offsets stay within a block (window = block size), a
-        deliberate trade for full block independence across the mesh.
+        becomes one zstd block — the BASELINE "zstd blocks sharded
+        data-parallel" configuration.  Offsets stay within a block (window =
+        block size), a deliberate trade for full block independence across
+        the mesh.
+
+        Both compute stages run on the mesh: match-finding (LZ4 tokenizer)
+        AND the huffman entropy stage — every block's literal bitstreams are
+        built in one batched sharded dispatch (kernels/huffman_jax.py), the
+        role of the reference's vendored HUF_* entropy coder
+        (lib/zpack_write.c:179).  ``device_entropy=False`` (or env
+        ZPACK_TPU_NO_DEVICE_ENTROPY) falls back to host entropy coding.
 
         With ``dictionary``, the shared dict is broadcast over the mesh
         (replicated device operand riding ICI on real hardware) and rides
         every block's match window; each block becomes an independent
         dict-referencing zstd *frame* so offsets stay window-local."""
+        import os
         import struct
 
         from ..codecs.zstd import encode as zenc
@@ -320,14 +329,17 @@ class MeshCompressor:
 
         if dictionary is not None:
             return self._compress_zstd_dict(data, level, dictionary)
+        if device_entropy is None:
+            device_entropy = not os.environ.get("ZPACK_TPU_NO_DEVICE_ENTROPY")
         data = bytes(data)
         B = self.block_size
         n = len(data)
         if n == 0:
             return zenc.compress(b"", level)
         src, mlen, nb, _est = self.tokenize(data)
-        out = bytearray(zenc._frame_header(n, max(17, B.bit_length())))
-        rep = [1, 4, 8]
+        # pass 1: device match tables -> sequence tuples + literal runs
+        all_seqs: list[list] = []
+        all_lits: list[bytes] = []
         for i in range(nb):
             chunk = data[i * B : (i + 1) * B]
             cl = len(chunk)
@@ -348,9 +360,24 @@ class MeshCompressor:
                 for ls, p, j, l in zip(lit_starts[:-1], mps, mss, mls)
             ]
             seqs.append((int(lit_starts[-1]), cl - int(lit_starts[-1]), None, None, None))
+            all_seqs.append(seqs)
+            all_lits.append(zenc._block_literals(arr, seqs))
+        # entropy stage: ONE sharded device dispatch for every block's
+        # huffman literal bitstreams
+        enc = self._device_huffman() if device_entropy else None
+        lit_sections = zenc.encode_literal_sections(all_lits, enc)
+        # pass 2: host assembly (FSE sequence coding + framing), threading
+        # the repcode state block to block
+        out = bytearray(zenc._frame_header(n, max(17, B.bit_length())))
+        rep = [1, 4, 8]
+        for i in range(nb):
+            chunk = data[i * B : (i + 1) * B]
+            cl = len(chunk)
+            arr = np.frombuffer(chunk, dtype=np.uint8)
             last = 1 if i == nb - 1 else 0
             rep_backup = list(rep)
-            body = zenc._encode_block_body(arr, 0, cl, seqs, rep)
+            body = zenc._encode_block_body(arr, 0, cl, all_seqs[i], rep,
+                                           lit_section=lit_sections[i])
             if body is not None and len(body) < cl:
                 bh = last | (2 << 1) | (len(body) << 3)
                 out += struct.pack("<I", bh)[:3]
@@ -361,6 +388,15 @@ class MeshCompressor:
                 out += struct.pack("<I", bh)[:3]
                 out += chunk
         return bytes(out)
+
+    def _device_huffman(self):
+        """Cached mesh-sharded huffman entropy encoder."""
+        enc = getattr(self, "_huff_enc", None)
+        if enc is None:
+            from ..kernels.huffman_jax import DeviceHuffmanEncoder
+
+            enc = self._huff_enc = DeviceHuffmanEncoder(mesh=self.mesh)
+        return enc
 
     def _compress_zstd_dict(self, data: bytes, level: int, dictionary) -> bytes:
         """Shared-dictionary mesh path: dict replicated over the mesh, one
