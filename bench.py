@@ -122,6 +122,7 @@ def main() -> int:
     # isolated in a subprocess with a hard timeout: the dev-environment
     # device tunnel occasionally stalls and must not block the bench
     tpu_mbps = None
+    tpu_huf_mbps = None
     try:
         import subprocess
 
@@ -137,15 +138,37 @@ def main() -> int:
             "t0 = time.perf_counter()\n"
             "for _ in range(10): r = fn(blks)\n"
             "jax.block_until_ready(r)\n"
-            "print(512 * 8192 / ((time.perf_counter()-t0)/10) / 1e6)\n"
+            "print('tok', 512 * 8192 / ((time.perf_counter()-t0)/10) / 1e6)\n"
+            # device huffman entropy stage (the mesh zstd literal coder)
+            "from zpack_tpu.codecs.zstd import huffman as H\n"
+            "from zpack_tpu.kernels import huffman_jax as HJ\n"
+            "lit = rng.choice(np.arange(48, dtype=np.uint8), size=16384,\n"
+            "                 p=rng.dirichlet(np.ones(48)*0.3)).astype(np.uint8)\n"
+            "et = H.build_encode_table(np.bincount(lit, minlength=256))\n"
+            "S, L = 256, 16384\n"
+            "syms = jnp.asarray(np.broadcast_to(lit, (S, L)).copy())\n"
+            "lens = jnp.full((S,), L, jnp.int32)\n"
+            "ct = jnp.asarray(np.broadcast_to(np.pad(et.codes.astype(np.int32), (0, 256-len(et.codes))), (S, 256)).copy())\n"
+            "lt = jnp.asarray(np.broadcast_to(np.pad(et.lengths.astype(np.int32), (0, 256-len(et.lengths))), (S, 256)).copy())\n"
+            "nw = HJ.words_needed(L)\n"
+            "r = HJ.encode_streams(syms, lens, ct, lt, n_words=nw); jax.block_until_ready(r)\n"
+            "t0 = time.perf_counter()\n"
+            "for _ in range(10): r = HJ.encode_streams(syms, lens, ct, lt, n_words=nw)\n"
+            "jax.block_until_ready(r)\n"
+            "print('huf', S * L / ((time.perf_counter()-t0)/10) / 1e6)\n"
         )
         proc = subprocess.run(
             [sys.executable, "-c", script], capture_output=True, text=True,
-            timeout=int(os.environ.get("ZPACK_BENCH_TPU_TIMEOUT", 180)),
+            timeout=int(os.environ.get("ZPACK_BENCH_TPU_TIMEOUT", 240)),
             cwd="/root/repo",
         )
         if proc.returncode == 0:
-            tpu_mbps = float(proc.stdout.strip().splitlines()[-1])
+            for line in proc.stdout.strip().splitlines():
+                parts = line.split()
+                if parts[0] == "tok":
+                    tpu_mbps = float(parts[1])
+                elif parts[0] == "huf":
+                    tpu_huf_mbps = float(parts[1])
     except Exception as e:
         _log(f"tpu kernel timing skipped: {type(e).__name__}")
 
@@ -191,6 +214,7 @@ def main() -> int:
             "zstd3_ratio": round(len(zslice) / z3_size, 3),
             "zstd3_size_vs_libzstd": round(z3_size / lib3, 3) if lib3 else None,
             "tpu_tokenizer_MBps": round(tpu_mbps, 2) if tpu_mbps else None,
+            "tpu_huffman_encode_MBps": round(tpu_huf_mbps, 2) if tpu_huf_mbps else None,
             "scaling": scaling,
         },
     }

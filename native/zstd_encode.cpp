@@ -1102,7 +1102,7 @@ struct OptState {
     std::vector<int32_t> bt_hash;  // 1<<H4B roots
     std::vector<int32_t> bt;       // 2 children per absolute position
     void init(size_t n_total) {
-        bt_hash.assign(1u << 17, -1);
+        bt_hash.assign(1u << 22, -1);
         bt.assign(2 * n_total + 2, -1);
     }
 };
@@ -1132,7 +1132,7 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
     cells[0] = OCell{0, 0, 0, (uint32_t)ctx.rep[0], (uint32_t)ctx.rep[1], (uint32_t)ctx.rep[2], 0};
     size_t mf = n >= 4 ? n - 4 : 0;
 
-    const int H4B = 17;
+    const int H4B = 22;
     const int BT_DEPTH = 256;
     const size_t SUFFICIENT = 1024;
 
