@@ -54,6 +54,7 @@ def print_help(out=None):
         "    -h, --help: show this help message\n"
         "    --unsafe: allow files to be extracted outside of destination\n"
         "    --engine <tpu|native|python>: select the compression engine\n"
+        "    --metrics: print per-phase throughput counters to stderr on exit\n"
     )
 
 
@@ -68,6 +69,7 @@ class Options:
     options: CompressOptions = field(default_factory=CompressOptions)
     unsafe: bool = False
     engine: str = ""
+    metrics: bool = False
     dict_path: str = ""
     dict_size: int = 16 << 10
 
@@ -87,6 +89,8 @@ def parse_args(argv: list[str]) -> Options | None:
             return None
         if a == "--unsafe":
             opts.unsafe = True
+        elif a == "--metrics":
+            opts.metrics = True
         elif a == "--engine":
             i += 1
             if i >= len(argv):
@@ -664,6 +668,11 @@ def main(argv: list[str] | None = None) -> int:
         except Exception:
             pass
         return 0
+    finally:
+        if opts.metrics:
+            from ..utils.observe import metrics
+
+            sys.stderr.write(metrics.report() + "\n")
 
 
 if __name__ == "__main__":

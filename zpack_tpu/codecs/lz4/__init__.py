@@ -22,27 +22,33 @@ class LZ4Codec(Codec):
     def compress(self, data: bytes, level: int = 1) -> bytes:
         import os
 
-        if os.environ.get("ZPACK_TPU_ENGINE") == "tpu" and len(data) >= (64 << 10):
-            # explicit TPU engine: mesh-parallel tokenization
-            from ...parallel.pipeline import MeshCompressor
+        from ...utils.observe import metrics
 
-            try:
-                mc = _MESH_COMPRESSORS.get(level)
-                if mc is None:
-                    mc = _MESH_COMPRESSORS[level] = MeshCompressor(level=level)
-                return mc.compress(bytes(data))
-            except Exception:
-                pass  # fall through to host engines
-        if len(data) > (16 << 20):
-            from ...parallel import host
+        with metrics.phase("lz4.compress", len(data)):
+            if os.environ.get("ZPACK_TPU_ENGINE") == "tpu" and len(data) >= (64 << 10):
+                # explicit TPU engine: mesh-parallel tokenization
+                from ...parallel.pipeline import MeshCompressor
 
-            comp = host.lz4f_compress_parallel(bytes(data), level)
-            if comp is not None:
-                return comp
-        return frame.compress_frame(data, level)
+                try:
+                    mc = _MESH_COMPRESSORS.get(level)
+                    if mc is None:
+                        mc = _MESH_COMPRESSORS[level] = MeshCompressor(level=level)
+                    return mc.compress(bytes(data))
+                except Exception:
+                    pass  # fall through to host engines
+            if len(data) > (16 << 20):
+                from ...parallel import host
+
+                comp = host.lz4f_compress_parallel(bytes(data), level)
+                if comp is not None:
+                    return comp
+            return frame.compress_frame(data, level)
 
     def decompress(self, data: bytes, uncomp_size: int | None = None) -> bytes:
-        return frame.decompress_frame(data, uncomp_size)
+        from ...utils.observe import metrics
+
+        with metrics.phase("lz4.decompress", uncomp_size or len(data)):
+            return frame.decompress_frame(data, uncomp_size)
 
     def compress_bound(self, size: int) -> int:
         nblocks = max(1, -(-size // frame.DEFAULT_BLOCK_SIZE))

@@ -17,38 +17,44 @@ class ZstdCodec(Codec):
     method = CompressionMethod.ZSTD
 
     def compress(self, data: bytes, level: int = 3, dictionary=None) -> bytes:
-        if dictionary is not None:
-            from . import encode
+        from ...utils.observe import metrics
 
-            return encode.compress(data, level, dictionary=dictionary)
-        if len(data) > (16 << 20):
-            from ...parallel import host
+        with metrics.phase("zstd.compress", len(data)):
+            if dictionary is not None:
+                from . import encode
 
-            comp = host.zstd_compress_parallel(bytes(data), level)
+                return encode.compress(data, level, dictionary=dictionary)
+            if len(data) > (16 << 20):
+                from ...parallel import host
+
+                comp = host.zstd_compress_parallel(bytes(data), level)
+                if comp is not None:
+                    return comp
+            comp = native.zstd_compress(bytes(data), level)
             if comp is not None:
                 return comp
-        comp = native.zstd_compress(bytes(data), level)
-        if comp is not None:
-            return comp
-        from . import encode
+            from . import encode
 
-        return encode.compress(data, level)
+            return encode.compress(data, level)
 
     def decompress(self, data: bytes, uncomp_size: int | None = None,
                    dictionary=None) -> bytes:
-        if dictionary is not None:
-            return frame.decompress(data, uncomp_size, dictionary=dictionary)
-        if uncomp_size is not None:
-            if uncomp_size > (16 << 20):
-                from ...parallel import host
+        from ...utils.observe import metrics
 
-                out = host.zstd_decompress_parallel(bytes(data))
+        with metrics.phase("zstd.decompress", uncomp_size or len(data)):
+            if dictionary is not None:
+                return frame.decompress(data, uncomp_size, dictionary=dictionary)
+            if uncomp_size is not None:
+                if uncomp_size > (16 << 20):
+                    from ...parallel import host
+
+                    out = host.zstd_decompress_parallel(bytes(data))
+                    if out is not None and len(out) == uncomp_size:
+                        return out
+                out = native.zstd_decompress(bytes(data), uncomp_size)
                 if out is not None and len(out) == uncomp_size:
                     return out
-            out = native.zstd_decompress(bytes(data), uncomp_size)
-            if out is not None and len(out) == uncomp_size:
-                return out
-        return frame.decompress(data, uncomp_size)
+            return frame.decompress(data, uncomp_size)
 
     def compress_bound(self, size: int) -> int:
         # ZSTD_compressBound shape: size + size/256 + fixed block overhead

@@ -115,6 +115,17 @@ class DeviceHuffmanEncoder:
                 return b
         return int(np.ceil(n / self.BUCKETS[-1])) * self.BUCKETS[-1]
 
+    @staticmethod
+    def _bucket_batch(s: int) -> int:
+        """Pad the batch dim S to a power of two (min 8) so the number of
+        pending blocks — which varies with every archive — does not trigger
+        a fresh XLA compile per distinct S (remote-TPU compiles cost
+        minutes; see CLAUDE.md)."""
+        n = 8
+        while n < s:
+            n <<= 1
+        return n
+
     def _shard(self, *arrays):
         """Pad dim 0 to the mesh size and shard over all mesh axes."""
         if self.mesh is None:
@@ -140,15 +151,22 @@ class DeviceHuffmanEncoder:
             return []
         L = self._bucket(max(len(s) for s in streams))
         S = len(streams)
-        syms = np.zeros((S, L), dtype=np.uint8)
-        lens = np.zeros(S, dtype=np.int32)
-        codes_tab = np.zeros((S, 256), dtype=np.int32)
-        lens_tab = np.zeros((S, 256), dtype=np.int32)
+        Sp = self._bucket_batch(S)  # pad batch dim: bounded compile count
+        syms = np.zeros((Sp, L), dtype=np.uint8)
+        lens = np.zeros(Sp, dtype=np.int32)
+        codes_tab = np.zeros((Sp, 256), dtype=np.int32)
+        lens_tab = np.zeros((Sp, 256), dtype=np.int32)
         for i, (s, t) in enumerate(zip(streams, tables)):
             syms[i, : len(s)] = s
             lens[i] = len(s)
             codes_tab[i, : len(t.codes)] = t.codes.astype(np.int32)
             lens_tab[i, : len(t.lengths)] = t.lengths.astype(np.int32)
+            # oracle contract (_encode_stream): a symbol absent from the
+            # table is an error, not a silent 0-bit emission
+            if len(s) and (lens_tab[i][np.asarray(s)] == 0).any():
+                from ..errors import CompressError
+
+                raise CompressError("huffman table misses a packed symbol")
         nw = words_needed(L)
         syms_d, lens_d, ct_d, lt_d = self._shard(syms, lens, codes_tab, lens_tab)
         words, total_bits = encode_streams(syms_d, lens_d, ct_d, lt_d, n_words=nw)
@@ -271,10 +289,11 @@ class DeviceHuffmanDecoder:
         P = self._bucket(max(len(p) for p in payloads), self.BUCKETS)
         n_out = self._bucket(max(n_symbols), self.BUCKETS)
         S = len(payloads)
-        pay = np.zeros((S, P), dtype=np.uint8)
-        starts = np.zeros(S, dtype=np.int32)
-        sym_t = np.zeros((S, 1 << max_bits), dtype=np.int32)
-        nb_t = np.zeros((S, 1 << max_bits), dtype=np.int32)
+        Sp = DeviceHuffmanEncoder._bucket_batch(S)  # bounded compile count
+        pay = np.zeros((Sp, P), dtype=np.uint8)
+        starts = np.zeros(Sp, dtype=np.int32)
+        sym_t = np.zeros((Sp, 1 << max_bits), dtype=np.int32)
+        nb_t = np.zeros((Sp, 1 << max_bits), dtype=np.int32)
         for i, (p, t) in enumerate(zip(payloads, tables)):
             if not p or p[-1] == 0:
                 raise _decode_err("huffman stream missing sentinel")

@@ -213,33 +213,38 @@ class MeshCompressor:
             buf[nfull, : len(tail)] = tail
         sharding = NamedSharding(self.mesh, P("entry", "block", None))
         from ..kernels.lz4_pallas import unsort_host
+        from ..utils.observe import metrics
 
         results = []
-        for s in range(nb_pad // per_step):
-            chunk = buf[s * per_step : (s + 1) * per_step]
-            batch = chunk.reshape(e_ax, per_step // e_ax, B)
-            batch = jax.device_put(batch, sharding)
-            results.append(step(batch, *extra))
+        with metrics.phase("mesh.dispatch", n):
+            for s in range(nb_pad // per_step):
+                chunk = buf[s * per_step : (s + 1) * per_step]
+                batch = chunk.reshape(e_ax, per_step // e_ax, B)
+                batch = jax.device_put(batch, sharding)
+                results.append(step(batch, *extra))
         if mode == "u16":
             for s, (tok_d, est) in enumerate(results):
-                src_s, mlen_s = lz4_jax.unpack_u16_host(
-                    np.asarray(tok_d).reshape(per_step, B)
-                )
+                with metrics.phase("mesh.host_unpack", per_step * B):
+                    src_s, mlen_s = lz4_jax.unpack_u16_host(
+                        np.asarray(tok_d).reshape(per_step, B)
+                    )
                 yield s * per_step, src_s, mlen_s, int(est)
             return
         if mode == "pair":
             for s, (src_d, code_d, est) in enumerate(results):
-                src_s, mlen_s = lz4_jax.unpack_resort_host(
-                    np.asarray(src_d).reshape(per_step, B),
-                    np.asarray(code_d).reshape(per_step, B),
-                )
+                with metrics.phase("mesh.host_unpack", per_step * B):
+                    src_s, mlen_s = lz4_jax.unpack_resort_host(
+                        np.asarray(src_d).reshape(per_step, B),
+                        np.asarray(code_d).reshape(per_step, B),
+                    )
                 yield s * per_step, src_s, mlen_s, int(est)
             return
         for s, (pos_d, packed_d, est) in enumerate(results):
-            src_s, mlen_s = unsort_host(
-                np.asarray(pos_d).reshape(per_step, B),
-                np.asarray(packed_d).reshape(per_step, B),
-            )
+            with metrics.phase("mesh.host_unpack", per_step * B):
+                src_s, mlen_s = unsort_host(
+                    np.asarray(pos_d).reshape(per_step, B),
+                    np.asarray(packed_d).reshape(per_step, B),
+                )
             yield s * per_step, src_s, mlen_s, int(est)
 
     def tokenize(self, data: bytes, step=None, mode=None, extra=()) -> tuple[np.ndarray, np.ndarray, int, int]:
@@ -274,12 +279,15 @@ class MeshCompressor:
         # declared frame block-size id must be a standard size ≥ our blocks
         declared = next(s for s in (64 << 10, 256 << 10, 1 << 20, 4 << 20) if s >= B)
         out = bytearray(lz4frame._header(declared, True, False, None))
+        from ..utils.observe import metrics
+
         for lo, src_s, mlen_s, _est in self._steps(data):
             hi = min(nb, lo + len(src_s))
             if hi <= lo:
                 break
             seg = data[lo * B : min(n, hi * B)]
-            body = native.lz4_serialize_blocks(seg, src_s, mlen_s, B)
+            with metrics.phase("mesh.serialize", len(seg)):
+                body = native.lz4_serialize_blocks(seg, src_s, mlen_s, B)
             if body is not None:
                 out += body
                 continue
@@ -364,8 +372,11 @@ class MeshCompressor:
             all_lits.append(zenc._block_literals(arr, seqs))
         # entropy stage: ONE sharded device dispatch for every block's
         # huffman literal bitstreams
+        from ..utils.observe import metrics
+
         enc = self._device_huffman() if device_entropy else None
-        lit_sections = zenc.encode_literal_sections(all_lits, enc)
+        with metrics.phase("mesh.entropy_encode", sum(len(l) for l in all_lits)):
+            lit_sections = zenc.encode_literal_sections(all_lits, enc)
         # pass 2: host assembly (FSE sequence coding + framing), threading
         # the repcode state block to block
         out = bytearray(zenc._frame_header(n, max(17, B.bit_length())))
