@@ -190,3 +190,58 @@ def test_batch_read_files_detects_corruption():
     r = Reader.from_memory(bytes(buf))
     with pytest.raises(ZPackError):
         r.read_files([n for n, _, _ in files])
+
+
+def test_concurrent_readers_shared_buffer():
+    """Thread-safety contract parity (lib/zpack.h:335-341): buffer-based
+    reading is thread safe with per-thread decompression state.  N threads
+    hammer one shared zero-copy Reader with one-shot reads AND tiny-buffer
+    streaming reads; every result must be bit-exact (XXH3-verified on the
+    read path, memcmp here)."""
+    import threading
+
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    words = [b"stress", b"the", b"reader", b"concurrently", b"zpack"]
+    files = []
+    for i in range(12):
+        blob = bytearray()
+        while len(blob) < 40_000:
+            blob += words[int(rng.integers(len(words)))] + b" "
+            if rng.random() < 0.1:
+                blob += bytes(rng.integers(0, 256, 16).astype(np.uint8))
+        method = [C.CompressionMethod.NONE, C.CompressionMethod.LZ4,
+                  C.CompressionMethod.ZSTD][i % 3]
+        files.append((f"f{i:02}", bytes(blob), CompressOptions(method, None)))
+    w = Writer.to_heap()
+    w.write_archive(files)
+    r = Reader.from_memory(w.buffer, shared=True)  # ONE shared reader
+    expected = {n: d for n, d, _ in files}
+
+    errors: list[BaseException] = []
+    barrier = threading.Barrier(8)
+
+    def worker(seed: int) -> None:
+        try:
+            trng = random.Random(seed)
+            barrier.wait()
+            for _ in range(30):
+                name = f"f{trng.randrange(len(files)):02}"
+                if trng.random() < 0.5:
+                    got = r.read_file(name)
+                else:
+                    entry = r.get_file_entry(name)
+                    got = b"".join(read_file_stream_iter(r, entry,
+                                                         chunk_size=4096))
+                assert got == expected[name], name
+        except BaseException as e:  # noqa: BLE001 - re-raised on main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
