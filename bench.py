@@ -181,7 +181,7 @@ def main() -> int:
             import scaling as scaling_mod
 
             s = scaling_mod.measure(bytes_per_dev=256 << 10,
-                                    elastic_bytes=32 << 20)
+                                    elastic_bytes=128 << 20)
             scaling = {
                 "ncores": s["ncores"],
                 "mesh_weak_efficiency": {

@@ -448,6 +448,8 @@ size_t zn_lz4_decompress(const uint8_t* src, size_t n,
     return (size_t)(op - dst);
 }
 
+}  // extern "C"  (templates cannot have C linkage)
+
 // Serialize LZ4 frame-block sections from DEVICE match tables: the TPU
 // tokenizer (zpack_tpu/kernels/lz4_{jax,pallas}.py) finds per-position
 // (src, mlen<=16-capped) candidates; this does the greedy parse, exact
@@ -457,10 +459,16 @@ size_t zn_lz4_decompress(const uint8_t* src, size_t n,
 // followed by the payload — the lz4f frame body minus header/end-mark.
 // Role parity: the serialization half of LZ4_compress_default that the
 // reference gets via lib/zpack_write.c:204-211.
+// The match tables arrive in whichever packing the device kernel ships
+// (int32 pair / u16 token / u16+u8 pair — see kernels/lz4_jax.py); Fetch
+// decodes one position so no host-side unpack pass ever materializes the
+// 8-byte-per-byte int32 tables (that pass was the non-scaling host stage
+// flagged by the round-2 scaling measurements).
 // Returns total bytes written or (size_t)-1 (cap too small / bad tables).
-size_t zn_lz4_serialize_blocks(const uint8_t* data, size_t n, size_t bsz,
-                               const int32_t* srct, const int32_t* mlent,
-                               size_t nb, uint8_t* dst, size_t cap) {
+template <class Fetch>
+static size_t zn_lz4_serialize_blocks_core(const uint8_t* data, size_t n,
+                                           size_t bsz, size_t nb, uint8_t* dst,
+                                           size_t cap, Fetch fetch) {
     if (nb == 0 || bsz == 0 || n == 0) return 0;
     std::vector<std::vector<uint8_t>> outs(nb);
     std::atomic<bool> bad{false};
@@ -470,8 +478,6 @@ size_t zn_lz4_serialize_blocks(const uint8_t* data, size_t n, size_t bsz,
         if (off0 >= n) { return; }
         const uint8_t* d = data + off0;
         size_t cl = n - off0 < bsz ? n - off0 : bsz;
-        const int32_t* sr = srct + i * bsz;
-        const int32_t* ml = mlent + i * bsz;
         std::vector<uint8_t>& ob = outs[i];
         ob.resize(4 + cl + cl / 255 + 16);
         uint8_t* op = ob.data() + 4;
@@ -480,8 +486,8 @@ size_t zn_lz4_serialize_blocks(const uint8_t* data, size_t n, size_t bsz,
         size_t mflim = cl > LZ4_MFLIMIT ? cl - LZ4_MFLIMIT : 0;
         size_t lit = 0;
         for (size_t p = 1; p < mflim;) {
-            int32_t m = ml[p];
-            int32_t j = sr[p];
+            int32_t m, j;
+            fetch(i, p, &j, &m);
             if (m < LZ4_MINMATCH || j < 0 || (size_t)j >= p || p - (size_t)j > 65535) {
                 p++;
                 continue;
@@ -524,6 +530,46 @@ size_t zn_lz4_serialize_blocks(const uint8_t* data, size_t n, size_t bsz,
     uint8_t* op = dst;
     for (auto& ob : outs) { memcpy(op, ob.data(), ob.size()); op += ob.size(); }
     return total;
+}
+
+extern "C" {
+
+size_t zn_lz4_serialize_blocks(const uint8_t* data, size_t n, size_t bsz,
+                               const int32_t* srct, const int32_t* mlent,
+                               size_t nb, uint8_t* dst, size_t cap) {
+    return zn_lz4_serialize_blocks_core(
+        data, n, bsz, nb, dst, cap,
+        [&](size_t i, size_t p, int32_t* j, int32_t* m) {
+            *j = srct[i * bsz + p];
+            *m = mlent[i * bsz + p];
+        });
+}
+
+// u16 token rows from tokenize_block_u16: (src << 3) | (mlen - 3), 0 = none.
+size_t zn_lz4_serialize_blocks_u16(const uint8_t* data, size_t n, size_t bsz,
+                                   const uint16_t* tok, size_t nb,
+                                   uint8_t* dst, size_t cap) {
+    return zn_lz4_serialize_blocks_core(
+        data, n, bsz, nb, dst, cap,
+        [&](size_t i, size_t p, int32_t* j, int32_t* m) {
+            uint16_t t = tok[i * bsz + p];
+            int32_t code = t & 7;
+            *m = code ? code + 3 : 0;
+            *j = code ? (int32_t)(t >> 3) : -1;
+        });
+}
+
+// (src u16, code u8) rows from tokenize_block_resort: code = mlen - 3.
+size_t zn_lz4_serialize_blocks_pair(const uint8_t* data, size_t n, size_t bsz,
+                                    const uint16_t* srct, const uint8_t* codet,
+                                    size_t nb, uint8_t* dst, size_t cap) {
+    return zn_lz4_serialize_blocks_core(
+        data, n, bsz, nb, dst, cap,
+        [&](size_t i, size_t p, int32_t* j, int32_t* m) {
+            int32_t code = codet[i * bsz + p];
+            *m = code ? code + 3 : 0;
+            *j = code ? (int32_t)srct[i * bsz + p] : -1;
+        });
 }
 
 }  // extern "C"

@@ -56,11 +56,13 @@ def _child_mesh(n: int, bytes_per_dev: int) -> None:
     assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
     mc = MeshCompressor(make_mesh(devs[:n]))
     data = _corpus(bytes_per_dev * n)
-    mc.tokenize(data)  # compile + warm
+    # full production pipeline: device tokenize + native serialize straight
+    # from the device wire format (the lz4f frame the CLI ships)
+    mc.compress(data)  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        mc.tokenize(data)
+        mc.compress(data)
         best = min(best, time.perf_counter() - t0)
     # device-only phase: the jitted SPMD step without the host unpack —
     # this is what maps onto real chips (host assembly overlaps device
@@ -93,17 +95,23 @@ def _child_elastic(workers: int, total_bytes: int) -> None:
     from zpack_tpu.parallel.elastic import compress_file_elastic
 
     data = _corpus(total_bytes)
-    with tempfile.TemporaryDirectory() as td:
+    # spool on tmpfs when available: the measurement targets process
+    # scaling of the compression work, not this dev host's disk
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    with tempfile.TemporaryDirectory(dir=tmp_root) as td:
         src = os.path.join(td, "in.bin")
         with open(src, "wb") as f:
             f.write(data)
         # warm (native .so build, page cache)
         compress_file_elastic(src, os.path.join(td, "warm"), method="zstd",
                               level=3, chunk_size=1 << 20, workers=workers)
-        t0 = time.perf_counter()
-        compress_file_elastic(src, os.path.join(td, "run"), method="zstd",
-                              level=3, chunk_size=1 << 20, workers=workers)
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for k in range(3):  # best-of-3: worker scheduling is noisy on 2 cores
+            t0 = time.perf_counter()
+            compress_file_elastic(src, os.path.join(td, f"run{k}"),
+                                  method="zstd", level=3,
+                                  chunk_size=1 << 20, workers=workers)
+            dt = min(dt, time.perf_counter() - t0)
         # worker interpreter startup overhead: same worker count, 1 byte of
         # real work per worker (chunk_size=1) — subtracted so the efficiency
         # reflects the compression work, not CPython import time, which a
@@ -111,10 +119,13 @@ def _child_elastic(workers: int, total_bytes: int) -> None:
         tiny = os.path.join(td, "tiny.bin")
         with open(tiny, "wb") as f:
             f.write(b"x" * workers)
-        t0 = time.perf_counter()
-        compress_file_elastic(tiny, os.path.join(td, "startup"), method="zstd",
-                              level=3, chunk_size=1, workers=workers)
-        startup = time.perf_counter() - t0
+        startup = float("inf")
+        for k in range(2):
+            t0 = time.perf_counter()
+            compress_file_elastic(tiny, os.path.join(td, f"startup{k}"),
+                                  method="zstd", level=3, chunk_size=1,
+                                  workers=workers)
+            startup = min(startup, time.perf_counter() - t0)
     print(json.dumps({"workers": workers, "bytes": total_bytes, "seconds": dt,
                       "startup_seconds": startup}))
 
@@ -134,7 +145,7 @@ def _run_child(args: list[str], n_devices: int | None = None, timeout: int = 600
 
 
 def measure(bytes_per_dev: int = 1 << 20, mesh_ns=(1, 2, 4, 8),
-            elastic_bytes: int = 64 << 20, worker_ns=(1, 2)) -> dict:
+            elastic_bytes: int = 128 << 20, worker_ns=(1, 2)) -> dict:
     ncores = os.cpu_count() or 1
     mesh = []
     for n in mesh_ns:

@@ -322,3 +322,76 @@ def test_mesh_zstd_device_entropy():
     assert dev == host
     assert ZF.decompress(dev) == data
     assert zstandard.ZstdDecompressor().decompress(dev, max_output_size=len(data)) == data
+
+
+def test_mesh_compress_packed_serializer_equivalence(monkeypatch):
+    """The native packed-input serializer (zn_lz4_serialize_blocks_u16/
+    _pair, consuming the device wire format with no host unpack pass)
+    must emit byte-identical frames to the int32 unpack path, at both
+    block sizes (u16 mode at 4 KiB, pair mode at 64 KiB), incl. a ragged
+    tail block."""
+    from zpack_tpu import native
+
+    for bs in (4096, 64 << 10):
+        mc = MeshCompressor(make_mesh(), block_size=bs)
+        data = _mix(3 * bs + 1234, seed=21)
+        fast = mc.compress(data)
+        monkeypatch.setattr(native, "lz4_serialize_blocks_packed",
+                            lambda *a, **k: None)
+        slow = mc.compress(data)
+        monkeypatch.undo()
+        assert fast == slow
+        assert lz4frame.decompress_frame(fast) == data
+
+
+def test_device_fse_sequence_encode_bit_exact():
+    """kernels/fse_jax.DeviceSequenceEncoder vs seq.encode_sequences
+    across table modes (predefined / custom FSE / RLE), batch shapes and
+    n=1 edge (role: the FSE half behind lib/zpack_write.c:179)."""
+    from zpack_tpu.codecs.zstd import encode as zenc, seq as zseq
+    from zpack_tpu.kernels.fse_jax import DeviceSequenceEncoder
+
+    rng = np.random.default_rng(4)
+    blocks, tables, want = [], [], []
+    for _ in range(9):
+        n = int(rng.integers(1, 300))
+        lls = rng.integers(0, 300, n).astype(np.int64)
+        mls = rng.integers(3, 80, n).astype(np.int64)
+        ovs = rng.integers(1, 70000, n).astype(np.int64)
+        ll_codes = [zseq.ll_code(int(v)) for v in lls]
+        ml_codes = [zseq.ml_code(int(v)) for v in mls]
+        of_codes = [int(v).bit_length() - 1 for v in ovs]
+        _, ll_t, _ = zenc._pick_table(ll_codes, "ll", zseq.LL_CODE_MAX, zseq.LL_MAX_AL)
+        _, of_t, _ = zenc._pick_table(of_codes, "of", zseq.OF_CODE_MAX, zseq.OF_MAX_AL)
+        _, ml_t, _ = zenc._pick_table(ml_codes, "ml", zseq.ML_CODE_MAX, zseq.ML_MAX_AL)
+        blocks.append((lls, mls, ovs))
+        tables.append((ll_t, of_t, ml_t))
+        want.append(zseq.encode_sequences(lls, mls, ovs, ll_t, of_t, ml_t))
+    # all-RLE block (single repeated codes -> 0-bit machines)
+    lls = np.full(40, 5, np.int64)
+    mls = np.full(40, 4, np.int64)
+    ovs = np.full(40, 1, np.int64)
+    _, ll_t, _ = zenc._pick_table([zseq.ll_code(5)] * 40, "ll", zseq.LL_CODE_MAX, zseq.LL_MAX_AL)
+    _, of_t, _ = zenc._pick_table([0] * 40, "of", zseq.OF_CODE_MAX, zseq.OF_MAX_AL)
+    _, ml_t, _ = zenc._pick_table([zseq.ml_code(4)] * 40, "ml", zseq.ML_CODE_MAX, zseq.ML_MAX_AL)
+    blocks.append((lls, mls, ovs))
+    tables.append((ll_t, of_t, ml_t))
+    want.append(zseq.encode_sequences(lls, mls, ovs, ll_t, of_t, ml_t))
+    got = DeviceSequenceEncoder().encode_batch(blocks, tables)
+    assert got == want
+
+
+def test_mesh_zstd_device_fse_roundtrip():
+    """compress_zstd with the fully device-resident entropy stage (huffman
+    literals + FSE sequences) stays bit-exact-decodable and matches the
+    host-entropy frame size class."""
+    import zstandard
+
+    mc = MeshCompressor(make_mesh(), block_size=4096)
+    data = _mix(120000, seed=31)
+    fr_dev = mc.compress_zstd(data, device_entropy=True)
+    fr_host = mc.compress_zstd(data, device_entropy=False)
+    assert zstandard.ZstdDecompressor().decompress(
+        fr_dev, max_output_size=len(data)) == data
+    # device path must not cost ratio beyond the marginal-block fallbacks
+    assert len(fr_dev) <= len(fr_host) * 1.01 + 64

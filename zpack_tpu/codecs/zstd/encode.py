@@ -290,20 +290,16 @@ def _block_literals(data_arr: np.ndarray, sequences: list) -> bytes:
     )
 
 
-def _encode_block_body(data_arr: np.ndarray, block_start: int, block_end: int,
-                       sequences: list, rep: list[int],
-                       lit_section: bytes | None = None) -> bytes | None:
-    """Build one compressed-block body (literals + sequences sections);
-    returns None if the caller should emit a raw block instead.
-
-    ``lit_section`` short-circuits literal encoding with a pre-built
-    section (the device-entropy path, parallel/pipeline.py)."""
-    lits_parts = []
+def sequence_fields(data_arr: np.ndarray, sequences: list, rep: list[int]):
+    """Resolve the parse's sequence tuples into the wire fields
+    (lls, mls, ovs) lists + the block's literal byte count, ADVANCING
+    ``rep`` exactly like the block body encoder (the caller owns
+    backup/rollback when the block ends up raw)."""
     lls, mls, ovs = [], [], []
+    n_lits = 0
     pending_lit = 0  # literal-only runs fold into the next sequence's ll
     for lit_start, lit_len, p, j, ml in sequences:
-        if lit_len:
-            lits_parts.append(data_arr[lit_start : lit_start + lit_len].tobytes())
+        n_lits += lit_len
         if p is None:
             pending_lit += lit_len
             continue
@@ -314,20 +310,54 @@ def _encode_block_body(data_arr: np.ndarray, block_start: int, block_end: int,
         lls.append(ll)
         mls.append(ml)
         ovs.append(ov)
-    lits = b"".join(lits_parts)
+    return lls, mls, ovs, n_lits
+
+
+def sequence_section_header(lls, mls, ovs):
+    """Pick the three FSE table modes for a non-empty sequence list;
+    returns (header_bytes = nb_sequences + modes byte + table descriptions,
+    (ll_t, of_t, ml_t) encode tables, upper-bound bitstream bits).  The
+    upper bound (every state write at full accuracy-log width) lets a
+    batch caller decide compressed-vs-raw BEFORE the bitstream is packed
+    on device (parallel/pipeline.py)."""
+    ll_codes = [seq.ll_code(v) for v in lls]
+    ml_codes = [seq.ml_code(v) for v in mls]
+    of_codes = [v.bit_length() - 1 for v in ovs]
+    ll_mode, ll_t, ll_d = _pick_table(ll_codes, "ll", seq.LL_CODE_MAX, seq.LL_MAX_AL)
+    of_mode, of_t, of_d = _pick_table(of_codes, "of", seq.OF_CODE_MAX, seq.OF_MAX_AL)
+    ml_mode, ml_t, ml_d = _pick_table(ml_codes, "ml", seq.ML_CODE_MAX, seq.ML_MAX_AL)
+    header = bytearray(seq.write_nb_sequences(len(lls)))
+    header.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
+    header += ll_d + of_d + ml_d
+    als = ll_t.al + of_t.al + ml_t.al
+    extras = sum(seq.LL_BITS[c] for c in ll_codes)
+    extras += sum(seq.ML_BITS[c] for c in ml_codes)
+    extras += sum(of_codes)
+    ub_bits = len(lls) * als + extras + als + 1  # states + extras + flush + sentinel
+    return bytes(header), (ll_t, of_t, ml_t), ub_bits
+
+
+def _encode_block_body(data_arr: np.ndarray, block_start: int, block_end: int,
+                       sequences: list, rep: list[int],
+                       lit_section: bytes | None = None) -> bytes | None:
+    """Build one compressed-block body (literals + sequences sections);
+    returns None if the caller should emit a raw block instead.
+
+    ``lit_section`` short-circuits literal encoding with a pre-built
+    section (the device-entropy path, parallel/pipeline.py)."""
+    lls, mls, ovs, _n_lits = sequence_fields(data_arr, sequences, rep)
+    if lit_section is None:
+        lits = _block_literals(data_arr, sequences)
+        out = bytearray(_encode_literals(lits))
+    else:
+        out = bytearray(lit_section)
     nb = len(lls)
-    out = bytearray(lit_section if lit_section is not None else _encode_literals(lits))
-    out += seq.write_nb_sequences(nb)
     if nb:
-        ll_codes = [seq.ll_code(v) for v in lls]
-        ml_codes = [seq.ml_code(v) for v in mls]
-        of_codes = [v.bit_length() - 1 for v in ovs]
-        ll_mode, ll_t, ll_d = _pick_table(ll_codes, "ll", seq.LL_CODE_MAX, seq.LL_MAX_AL)
-        of_mode, of_t, of_d = _pick_table(of_codes, "of", seq.OF_CODE_MAX, seq.OF_MAX_AL)
-        ml_mode, ml_t, ml_d = _pick_table(ml_codes, "ml", seq.ML_CODE_MAX, seq.ML_MAX_AL)
-        out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
-        out += ll_d + of_d + ml_d
+        header, (ll_t, of_t, ml_t), _ub = sequence_section_header(lls, mls, ovs)
+        out += header
         out += seq.encode_sequences(lls, mls, ovs, ll_t, of_t, ml_t)
+    else:
+        out += seq.write_nb_sequences(0)
     return bytes(out)
 
 

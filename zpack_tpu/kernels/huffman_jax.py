@@ -48,24 +48,46 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     is folded into the offset formula: symbol i starts at
     total_bits - inclusive_cumsum(lens)[i] (symbols after i occupy the low
     bits so the backward reader meets symbol 0 first).
+
+    Scatters are the TPU's scarce resource (~100M elem/s), so adjacent
+    symbols are first combined in two dense tree rounds into one <=44-bit
+    (quad) contribution of two u32 limbs: 3 scatter-adds per QUAD instead
+    of 2 per symbol — 2.67x fewer scatter elements (measured 26.7 -> ~70
+    MB/s on the v5e).  Bit ranges of distinct quads stay disjoint, so
+    scatter-ADD == scatter-OR and never carries.
     """
     L = syms.shape[0]
+    assert L % 4 == 0, "bucketed stream lengths are multiples of 4"
     idx_r = jnp.arange(L, dtype=jnp.int32)
     valid = idx_r < n
     lens = jnp.where(valid, lens_tab[syms], 0).astype(jnp.int32)
     vals = jnp.where(valid, codes_tab[syms], 0).astype(jnp.uint32)
-    csum = jnp.cumsum(lens)
-    total_bits = csum[-1]  # lens are 0 past n, so this is the stream total
-    off = (total_bits - csum).astype(jnp.uint32)  # start bit of symbol i
+    # tree round 1 — pairs: symbol 2i occupies bits ABOVE symbol 2i+1
+    # (backward stream: later symbols live at lower bit offsets)
+    l0, l1, l2, l3 = lens[0::4], lens[1::4], lens[2::4], lens[3::4]
+    v0, v1, v2, v3 = vals[0::4], vals[1::4], vals[2::4], vals[3::4]
+    v01 = v1 | (v0 << l1.astype(jnp.uint32))   # <= 22 bits
+    v23 = v3 | (v2 << l3.astype(jnp.uint32))
+    l01 = l0 + l1
+    l23 = l2 + l3
+    # tree round 2 — quads: two u32 limbs of a <=44-bit value
+    s = l23.astype(jnp.uint32)
+    lo4 = v23 | (v01 << s)
+    hi4 = (v01 >> jnp.uint32(1)) >> (jnp.uint32(31) - s)  # s=0-safe >>32
+    l4 = l01 + l23
+    csum4 = jnp.cumsum(l4)  # == csum[3::4] of the per-symbol cumsum
+    total_bits = csum4[-1]  # lens are 0 past n, so this is the stream total
+    off = (total_bits - csum4).astype(jnp.uint32)  # start bit of quad q
     widx = (off >> 5).astype(jnp.int32)
     sh = off & jnp.uint32(31)
-    # contribution split across the word boundary; bit ranges of distinct
-    # symbols are disjoint, so scatter-ADD == scatter-OR and never carries
-    lo = vals << sh                      # u32 shift keeps the low 32 bits
-    hi = (vals >> jnp.uint32(1)) >> (jnp.uint32(31) - sh)  # sh=0-safe >>32
+    sh_r = jnp.uint32(31) - sh  # sh=0-safe complement for >>(32-sh)
+    w0 = lo4 << sh
+    w1 = ((lo4 >> jnp.uint32(1)) >> sh_r) | (hi4 << sh)
+    w2 = (hi4 >> jnp.uint32(1)) >> sh_r
     acc = jnp.zeros(n_words, dtype=jnp.uint32)
-    acc = acc.at[widx].add(lo, mode="drop")
-    acc = acc.at[widx + 1].add(hi, mode="drop")
+    acc = acc.at[widx].add(w0, mode="drop")
+    acc = acc.at[widx + 1].add(w1, mode="drop")
+    acc = acc.at[widx + 2].add(w2, mode="drop")
     # closing sentinel bit (the decoder's start-position marker)
     acc = acc.at[total_bits >> 5].add(
         jnp.uint32(1) << (total_bits.astype(jnp.uint32) & jnp.uint32(31)),
@@ -220,52 +242,46 @@ class DeviceHuffmanEncoder:
 # ---------------------------------------------------------------------------
 
 
-def _bit_windows(payload_u8, max_bits: int):
-    """win[p] = stream bits [p-max_bits, p) as an int (LSB = lowest bit),
-    for every bit position p in 0..8*len (positions below max_bits
-    zero-pad).  Device port of huffman._stream_bit_windows."""
-    P = payload_u8.shape[0]
-    k = jnp.arange(8, dtype=jnp.uint8)
-    bits = ((payload_u8[:, None] >> k[None, :]) & jnp.uint8(1)).reshape(P * 8)
-    padded = jnp.concatenate([jnp.zeros(max_bits, dtype=jnp.uint8), bits])
-    win = jnp.zeros(P * 8 + 1, dtype=jnp.uint32)
-    for kk in range(max_bits):
-        win = win | (padded[kk : kk + P * 8 + 1].astype(jnp.uint32) << np.uint32(kk))
-    return win
-
-
-def _decode_one_stream(payload_u8, start, symbols_tab, nbits_tab, max_bits: int,
-                       n_out: int):
-    """Speculative decode at every bit position + pointer-doubling orbit.
-
-    payload_u8: (P,) uint8 stream bytes; start: int32 start bit position
-    (below the sentinel); symbols_tab/nbits_tab: (2^max_bits,) int32.
-    Returns (out (n_out,) uint8 — valid prefix decided by caller,
-    final_pos (n_out,) int32 positions for host-side validity checks).
-    """
-    win = _bit_windows(payload_u8, max_bits)
-    sym_at = symbols_tab[win].astype(jnp.uint8)
-    nb_at = nbits_tab[win].astype(jnp.int32)
-    nxt = jnp.maximum(jnp.arange(win.shape[0], dtype=jnp.int32) - nb_at, 0)
-    # orbit of `start` under nxt, enumerated by doubling concatenation —
-    # the jnp port of the numpy oracle, shapes static per unrolled step
-    positions = jnp.asarray(start, dtype=jnp.int32)[None]
-    jump = nxt
-    while positions.shape[0] < n_out:
-        positions = jnp.concatenate([positions, jump[positions]])
-        jump = jump[jump]
-    positions = positions[:n_out]
-    return sym_at[positions], positions, nb_at[positions]
-
-
 @partial(jax.jit, static_argnames=("max_bits", "n_out"))
 def decode_streams(payloads, starts, symbols_tab, nbits_tab, *, max_bits: int,
                    n_out: int):
     """Batched decode: payloads (S, P) uint8, starts (S,) int32,
-    symbols_tab/nbits_tab (S, 2^max_bits) int32."""
-    return jax.vmap(
-        lambda p, s, st, nt: _decode_one_stream(p, s, st, nt, max_bits, n_out)
-    )(payloads, starts, symbols_tab, nbits_tab)
+    symbols_tab/nbits_tab (S, 2^max_bits) int32.
+    Returns (syms (S, n_out) uint8, pos (S, n_out) int32 bit position
+    BEFORE each symbol, nb (S, n_out) int32 bits consumed).
+
+    Formulation: a `lax.scan` over symbol steps, every stream advancing in
+    lockstep — per step: ONE window gather from a precomputed 24-bit
+    sliding-window table, ONE symbol + ONE nbits table gather, all of
+    width S.  Gather volume is 3 elements per decoded symbol, vs the
+    speculative decode-at-every-bit-position + pointer-doubling
+    formulation whose jump-table doubling gathered the full bit-position
+    domain (8 x bytes) log2(n_out) times — ~50x more gather traffic
+    (measured 1.5 MB/s; generic gathers run ~100M elem/s on TPU).
+    """
+    S, P = payloads.shape
+    # +4 zero bytes in front: bit offset +32 makes k = p - max_bits
+    # non-negative for every p >= 0 (positions below max_bits zero-pad,
+    # matching huffman._stream_bit_windows);  +4 in back bounds jb+2.
+    pad = jnp.zeros((S, 4), dtype=jnp.uint8)
+    b = jnp.concatenate([pad, payloads, pad], axis=1).astype(jnp.uint32)
+    w24 = b[:, :-2] | (b[:, 1:-1] << jnp.uint32(8)) | (b[:, 2:] << jnp.uint32(16))
+    mask = jnp.uint32((1 << max_bits) - 1)
+
+    def step(p, _):
+        k = p + (32 - max_bits)  # bit offset of the window in the padded buf
+        jb = k >> 3
+        sh = (k & 7).astype(jnp.uint32)
+        w = jnp.take_along_axis(w24, jb[:, None], axis=1)[:, 0]
+        win = ((w >> sh) & mask).astype(jnp.int32)
+        sym = jnp.take_along_axis(symbols_tab, win[:, None], axis=1)[:, 0]
+        nb = jnp.take_along_axis(nbits_tab, win[:, None], axis=1)[:, 0]
+        p2 = jnp.maximum(p - nb, 0)  # clamp like the numpy oracle's nxt
+        return p2, (sym.astype(jnp.uint8), p, nb)
+
+    _, (syms, pos, nbs) = jax.lax.scan(step, starts.astype(jnp.int32), None,
+                                       length=n_out)
+    return syms.T, pos.T, nbs.T
 
 
 class DeviceHuffmanDecoder:

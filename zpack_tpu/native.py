@@ -125,6 +125,18 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_size_t,
         ]
+        lib.zn_lz4_serialize_blocks_u16.restype = ctypes.c_size_t
+        lib.zn_lz4_serialize_blocks_u16.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.zn_lz4_serialize_blocks_pair.restype = ctypes.c_size_t
+        lib.zn_lz4_serialize_blocks_pair.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
         lib.zn_xxh3_new.restype = ctypes.c_void_p
         lib.zn_xxh3_new.argtypes = []
         lib.zn_xxh3_free.restype = None
@@ -250,6 +262,43 @@ def lz4_serialize_blocks(data: bytes, src: "np.ndarray", mlen: "np.ndarray",
     r = int(lib.zn_lz4_serialize_blocks(
         data, n, block_size, src.ctypes.data, mlen.ctypes.data, nb, optr, cap
     ))
+    if r == _FAIL:
+        return None
+    return out[:r]
+
+
+def lz4_serialize_blocks_packed(data: bytes, mode: str, arrays,
+                                block_size: int) -> bytes | None:
+    """Like :func:`lz4_serialize_blocks` but consuming the device kernel's
+    packed wire formats directly (no host unpack pass — the round-2
+    scaling bottleneck): mode "u16" takes one (nb, B) uint16 token array,
+    mode "pair" takes ((nb, B) uint16 src, (nb, B) uint8 code)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    if n == 0:
+        return b""
+    nb = -(-n // block_size)
+    cap = n + (n // 255) + 20 * nb + 64
+    out, optr = _bytes_out(cap)
+    if mode == "u16":
+        (tok,) = arrays
+        tok = np.ascontiguousarray(tok, dtype=np.uint16)
+        assert tok.shape[0] >= nb and tok.shape[1] == block_size
+        r = int(lib.zn_lz4_serialize_blocks_u16(
+            data, n, block_size, tok.ctypes.data, nb, optr, cap))
+    elif mode == "pair":
+        src16, code = arrays
+        src16 = np.ascontiguousarray(src16, dtype=np.uint16)
+        code = np.ascontiguousarray(code, dtype=np.uint8)
+        assert src16.shape[0] >= nb and src16.shape[1] == block_size
+        assert code.shape == src16.shape
+        r = int(lib.zn_lz4_serialize_blocks_pair(
+            data, n, block_size, src16.ctypes.data, code.ctypes.data,
+            nb, optr, cap))
+    else:
+        return None
     if r == _FAIL:
         return None
     return out[:r]

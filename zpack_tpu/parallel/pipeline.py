@@ -191,11 +191,12 @@ class MeshCompressor:
                                        self.N_WORDS, dict_pad=dict_len)
         return cache[dict_len]
 
-    def _steps(self, data: bytes, step=None, mode=None, extra=()):
+    def _steps_raw(self, data: bytes, step=None, mode=None, extra=()):
         """Dispatch ALL device steps up front (async dispatch queues them),
-        then yield per-step host match tables: (first_block, src, mlen, est).
-        Converting/serializing step s on the host overlaps device compute of
-        steps > s — the whole archive is a two-stage pipeline."""
+        then yield per-step results still in the device wire format:
+        (first_block, mode, host_arrays_tuple, est).  Consuming step s on
+        the host overlaps device compute of steps > s — the whole archive
+        is a two-stage pipeline."""
         step = self._step if step is None else step
         mode = self._mode if mode is None else mode
         B = self.block_size
@@ -212,7 +213,6 @@ class MeshCompressor:
             tail = flat[nfull * B :]
             buf[nfull, : len(tail)] = tail
         sharding = NamedSharding(self.mesh, P("entry", "block", None))
-        from ..kernels.lz4_pallas import unsort_host
         from ..utils.observe import metrics
 
         results = []
@@ -222,30 +222,25 @@ class MeshCompressor:
                 batch = chunk.reshape(e_ax, per_step // e_ax, B)
                 batch = jax.device_put(batch, sharding)
                 results.append(step(batch, *extra))
-        if mode == "u16":
-            for s, (tok_d, est) in enumerate(results):
-                with metrics.phase("mesh.host_unpack", per_step * B):
-                    src_s, mlen_s = lz4_jax.unpack_u16_host(
-                        np.asarray(tok_d).reshape(per_step, B)
-                    )
-                yield s * per_step, src_s, mlen_s, int(est)
-            return
-        if mode == "pair":
-            for s, (src_d, code_d, est) in enumerate(results):
-                with metrics.phase("mesh.host_unpack", per_step * B):
-                    src_s, mlen_s = lz4_jax.unpack_resort_host(
-                        np.asarray(src_d).reshape(per_step, B),
-                        np.asarray(code_d).reshape(per_step, B),
-                    )
-                yield s * per_step, src_s, mlen_s, int(est)
-            return
-        for s, (pos_d, packed_d, est) in enumerate(results):
-            with metrics.phase("mesh.host_unpack", per_step * B):
-                src_s, mlen_s = unsort_host(
-                    np.asarray(pos_d).reshape(per_step, B),
-                    np.asarray(packed_d).reshape(per_step, B),
-                )
-            yield s * per_step, src_s, mlen_s, int(est)
+        for s, res in enumerate(results):
+            est = res[-1]
+            with metrics.phase("mesh.d2h", per_step * B):
+                host = tuple(np.asarray(a).reshape(per_step, B)
+                             for a in res[:-1])
+            yield s * per_step, mode, host, int(est)
+
+    def _steps(self, data: bytes, step=None, mode=None, extra=()):
+        """Like :meth:`_steps_raw` but unpacked to the standard
+        (first_block, src, mlen, est) int32 match tables."""
+        from ..kernels.lz4_pallas import unsort_host
+        from ..utils.observe import metrics
+
+        unpack = {"u16": lambda h: lz4_jax.unpack_u16_host(*h),
+                  "pair": lambda h: lz4_jax.unpack_resort_host(*h)}
+        for lo, mode_s, host, est in self._steps_raw(data, step, mode, extra):
+            with metrics.phase("mesh.host_unpack", host[0].size):
+                src_s, mlen_s = unpack.get(mode_s, lambda h: unsort_host(*h))(host)
+            yield lo, src_s, mlen_s, est
 
     def tokenize(self, data: bytes, step=None, mode=None, extra=()) -> tuple[np.ndarray, np.ndarray, int, int]:
         B = self.block_size
@@ -281,13 +276,25 @@ class MeshCompressor:
         out = bytearray(lz4frame._header(declared, True, False, None))
         from ..utils.observe import metrics
 
-        for lo, src_s, mlen_s, _est in self._steps(data):
-            hi = min(nb, lo + len(src_s))
+        for lo, mode_s, host, _est in self._steps_raw(data):
+            hi = min(nb, lo + len(host[0]))
             if hi <= lo:
                 break
             seg = data[lo * B : min(n, hi * B)]
             with metrics.phase("mesh.serialize", len(seg)):
-                body = native.lz4_serialize_blocks(seg, src_s, mlen_s, B)
+                # fast path: the native serializer consumes the device wire
+                # format directly (no int32 unpack pass)
+                body = native.lz4_serialize_blocks_packed(seg, mode_s, host, B)
+                if body is None:
+                    if mode_s == "u16":
+                        src_s, mlen_s = lz4_jax.unpack_u16_host(*host)
+                    elif mode_s == "pair":
+                        src_s, mlen_s = lz4_jax.unpack_resort_host(*host)
+                    else:
+                        from ..kernels.lz4_pallas import unsort_host
+
+                        src_s, mlen_s = unsort_host(*host)
+                    body = native.lz4_serialize_blocks(seg, src_s, mlen_s, B)
             if body is not None:
                 out += body
                 continue
@@ -377,24 +384,68 @@ class MeshCompressor:
         enc = self._device_huffman() if device_entropy else None
         with metrics.phase("mesh.entropy_encode", sum(len(l) for l in all_lits)):
             lit_sections = zenc.encode_literal_sections(all_lits, enc)
-        # pass 2: host assembly (FSE sequence coding + framing), threading
-        # the repcode state block to block
-        out = bytearray(zenc._frame_header(n, max(17, B.bit_length())))
+        # pass 2a: sequence fields + table choice, host-sequential (the
+        # repcode state threads block to block, zstd decoder semantics) —
+        # but the compressed-vs-raw decision uses sequence_section_header's
+        # bitstream upper bound so the repcode rollback for raw blocks
+        # happens BEFORE anything is batched to the device
+        plans: list[tuple] = []  # ("dev", header, fields, tables) | ("host", body|None)
         rep = [1, 4, 8]
         for i in range(nb):
             chunk = data[i * B : (i + 1) * B]
             cl = len(chunk)
             arr = np.frombuffer(chunk, dtype=np.uint8)
-            last = 1 if i == nb - 1 else 0
             rep_backup = list(rep)
-            body = zenc._encode_block_body(arr, 0, cl, all_seqs[i], rep,
-                                           lit_section=lit_sections[i])
-            if body is not None and len(body) < cl:
+            fields = zenc.sequence_fields(arr, all_seqs[i], rep)
+            lls, mls, ovs, _n_lits = fields
+            if not lls or lit_sections[i] is None:
+                rep[:] = rep_backup
+                body = zenc._encode_block_body(arr, 0, cl, all_seqs[i], rep,
+                                               lit_section=lit_sections[i])
+                plans.append(("host", body if body and len(body) < cl else None))
+                if not (body and len(body) < cl):
+                    rep[:] = rep_backup
+                continue
+            header, tables, ub_bits = zenc.sequence_section_header(lls, mls, ovs)
+            size_ub = len(lit_sections[i]) + len(header) + (ub_bits + 7) // 8
+            if device_entropy and size_ub < cl:
+                plans.append(("dev", header, (lls, mls, ovs), tables))
+            else:
+                # marginal (or host-entropy mode): exact host encode decides
+                rep[:] = rep_backup
+                body = zenc._encode_block_body(arr, 0, cl, all_seqs[i], rep,
+                                               lit_section=lit_sections[i])
+                plans.append(("host", body if body and len(body) < cl else None))
+                if not (body and len(body) < cl):
+                    rep[:] = rep_backup
+        # pass 2b: ONE sharded device dispatch packs every planned block's
+        # FSE sequence bitstream (kernels/fse_jax.py)
+        dev_idx = [i for i, p in enumerate(plans) if p[0] == "dev"]
+        streams: list[bytes] = []
+        if dev_idx:
+            with metrics.phase("mesh.fse_encode",
+                               sum(len(plans[i][2][0]) for i in dev_idx)):
+                streams = self._device_fse().encode_batch(
+                    [plans[i][2] for i in dev_idx],
+                    [plans[i][3] for i in dev_idx])
+        stream_of = dict(zip(dev_idx, streams))
+        # pass 2c: frame assembly
+        out = bytearray(zenc._frame_header(n, max(17, B.bit_length())))
+        for i in range(nb):
+            chunk = data[i * B : (i + 1) * B]
+            cl = len(chunk)
+            last = 1 if i == nb - 1 else 0
+            plan = plans[i]
+            if plan[0] == "dev":
+                body = lit_sections[i] + plan[1] + stream_of[i]
+                assert len(body) < cl, "sequence upper bound violated"
+            else:
+                body = plan[1]
+            if body is not None:
                 bh = last | (2 << 1) | (len(body) << 3)
                 out += struct.pack("<I", bh)[:3]
                 out += body
             else:
-                rep[:] = rep_backup
                 bh = last | (0 << 1) | (cl << 3)
                 out += struct.pack("<I", bh)[:3]
                 out += chunk
@@ -407,6 +458,15 @@ class MeshCompressor:
             from ..kernels.huffman_jax import DeviceHuffmanEncoder
 
             enc = self._huff_enc = DeviceHuffmanEncoder(mesh=self.mesh)
+        return enc
+
+    def _device_fse(self):
+        """Cached mesh-sharded FSE sequence-section encoder."""
+        enc = getattr(self, "_fse_enc", None)
+        if enc is None:
+            from ..kernels.fse_jax import DeviceSequenceEncoder
+
+            enc = self._fse_enc = DeviceSequenceEncoder(mesh=self.mesh)
         return enc
 
     def _compress_zstd_dict(self, data: bytes, level: int, dictionary) -> bytes:
