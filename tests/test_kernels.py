@@ -395,3 +395,69 @@ def test_mesh_zstd_device_fse_roundtrip():
         fr_dev, max_output_size=len(data)) == data
     # device path must not cost ratio beyond the marginal-block fallbacks
     assert len(fr_dev) <= len(fr_host) * 1.01 + 64
+
+
+def test_batched_device_extract_zstd():
+    """parallel/extract.decompress_zstd_batched: all huffman literal
+    streams across frames/blocks decode in one device dispatch, bit-exact
+    vs the host decoder, incl. multi-frame concatenation, raw/RLE blocks
+    and libzstd-encoded foreign frames (role: lib/zpack_read.c:380)."""
+    import zstandard
+
+    from zpack_tpu.codecs.zstd import encode as zenc
+    from zpack_tpu.parallel.extract import decompress_zstd_batched
+
+    rng = np.random.default_rng(8)
+    mix = _mix(150000, seed=41)
+    ours = zenc.compress(mix, 3)
+    lib = zstandard.ZstdCompressor(level=19).compress(mix)
+    rle = zenc.compress(b"\x00" * 50000, 3)
+    raw = zenc.compress(bytes(rng.integers(0, 256, 30000).astype(np.uint8)), 3)
+    assert decompress_zstd_batched(ours) == mix
+    assert decompress_zstd_batched(lib) == mix
+    assert decompress_zstd_batched(rle) == b"\x00" * 50000
+    assert decompress_zstd_batched(ours + lib) == mix + mix  # concatenated
+    assert len(decompress_zstd_batched(raw)) == 30000
+
+
+def test_device_lz4_sequence_replay():
+    """kernels/lz4_jax.DeviceLZ4Replayer vs block.decompress_block:
+    bit-exact batched device replay incl. overlapping (RLE) matches and
+    literal-only blocks (role: LZ4F_decompress, lib/zpack_read.c:414)."""
+    from zpack_tpu.codecs.lz4 import block as lz4block
+    from zpack_tpu.kernels.lz4_jax import DeviceLZ4Replayer
+
+    rng = np.random.default_rng(17)
+    raws = [
+        _mix(30000, seed=51),
+        b"a" * 5000 + b"bc" * 2000,          # deep RLE chains
+        bytes(rng.integers(0, 256, 2000).astype(np.uint8)),  # literal-only
+        (b"0123456789abcdef" * 700)[:10000],
+    ]
+    blocks = [lz4block.compress_block(r) for r in raws]
+    outs = DeviceLZ4Replayer().decompress_blocks(blocks, [len(r) for r in raws])
+    for got, want in zip(outs, raws):
+        assert got == want
+
+
+def test_batched_device_extract_lz4f():
+    """parallel/extract.decompress_lz4f_batched: mesh-pipeline frames
+    (independent 64 KiB blocks) decode bit-exact via the device replay;
+    content checksums verified; linked-block frames raise for the host
+    fallback."""
+    import pytest
+
+    from zpack_tpu.codecs.lz4 import frame as lz4frame
+    from zpack_tpu.errors import DecompressError
+    from zpack_tpu.parallel.extract import decompress_lz4f_batched
+
+    data = _mix(200000, seed=61)
+    mc = MeshCompressor(make_mesh(), block_size=4096)
+    fr = mc.compress(data)
+    assert decompress_lz4f_batched(fr) == data
+    fr_indep = lz4frame.compress_frame(data, 1, block_indep=True,
+                                       content_checksum=True)
+    assert decompress_lz4f_batched(fr_indep) == data
+    fr_linked = lz4frame.compress_frame(data, 1, block_indep=False)
+    with pytest.raises(DecompressError):
+        decompress_lz4f_batched(fr_linked)

@@ -45,9 +45,19 @@ class LZ4Codec(Codec):
             return frame.compress_frame(data, level)
 
     def decompress(self, data: bytes, uncomp_size: int | None = None) -> bytes:
+        import os
+
         from ...utils.observe import metrics
 
         with metrics.phase("lz4.decompress", uncomp_size or len(data)):
+            if os.environ.get("ZPACK_TPU_ENGINE") == "tpu":
+                # explicit TPU engine: batched device sequence replay
+                from ...parallel.extract import decompress_lz4f_batched
+
+                try:
+                    return decompress_lz4f_batched(bytes(data), uncomp_size)
+                except Exception:
+                    pass  # linked blocks / corrupt input: host path decides
             return frame.decompress_frame(data, uncomp_size)
 
     def compress_bound(self, size: int) -> int:

@@ -44,6 +44,16 @@ class ZstdCodec(Codec):
         with metrics.phase("zstd.decompress", uncomp_size or len(data)):
             if dictionary is not None:
                 return frame.decompress(data, uncomp_size, dictionary=dictionary)
+            import os
+
+            if os.environ.get("ZPACK_TPU_ENGINE") == "tpu":
+                # explicit TPU engine: batched device huffman literal decode
+                from ...parallel.extract import decompress_zstd_batched
+
+                try:
+                    return decompress_zstd_batched(bytes(data), uncomp_size)
+                except Exception:
+                    pass  # fall through to host engines (incl. dict probes)
             if uncomp_size is not None:
                 if uncomp_size > (16 << 20):
                     from ...parallel import host

@@ -11,6 +11,8 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
+import numpy as np
+
 from ...errors import DecompressError
 from ..xxh3 import XXH64State
 from . import huffman, seq
@@ -101,8 +103,14 @@ class LiteralsState:
     table: huffman.HuffDecodeTable | None = None
 
 
-def decode_literals(block: bytes, pos: int, state: LiteralsState) -> tuple[bytes, int]:
-    """Parse + decode one literals section; returns (literals, new_pos)."""
+def parse_literals_section(block: bytes, pos: int, state: LiteralsState):
+    """Parse one literals section WITHOUT running the huffman decode;
+    returns (plan, new_pos) where plan is ("done", literals) for raw/RLE
+    sections or ("huf", [(stream_bytes, n_symbols), ...], table) for
+    huffman sections (1 item for 1-stream, 4 after the jump-table split).
+    Table building/reuse (treeless) mutates ``state`` here, so a batch
+    caller can parse a whole frame first and decode every stream in one
+    device dispatch (parallel/extract.py)."""
     if pos >= len(block):
         raise DecompressError("missing literals header")
     b0 = block[pos]
@@ -127,10 +135,10 @@ def decode_literals(block: bytes, pos: int, state: LiteralsState) -> tuple[bytes
             lits = block[pos : pos + rs]
             if len(lits) < rs:
                 raise DecompressError("truncated raw literals")
-            return lits, pos + rs
+            return ("done", lits), pos + rs
         if pos >= len(block):
             raise DecompressError("truncated RLE literal")
-        return bytes([block[pos]]) * rs, pos + 1
+        return ("done", bytes([block[pos]]) * rs), pos + 1
     # compressed (2) or treeless (3)
     if sf == 0:
         streams = 1
@@ -177,10 +185,36 @@ def decode_literals(block: bytes, pos: int, state: LiteralsState) -> tuple[bytes
         raise DecompressError("treeless literals without a previous table")
     body = payload[off:]
     if streams == 1:
-        lits = huffman.decode_1stream(body, state.table, rs)
+        items = [(body, rs)]
     else:
-        lits = huffman.decode_4stream(body, state.table, rs)
-    return lits, pos + cs
+        if len(body) < 6:
+            raise DecompressError("4-stream literals too short for jump table")
+        s1 = int.from_bytes(body[0:2], "little")
+        s2 = int.from_bytes(body[2:4], "little")
+        s3 = int.from_bytes(body[4:6], "little")
+        b4 = body[6:]
+        if s1 + s2 + s3 > len(b4):
+            raise DecompressError("jump table overruns literals payload")
+        per = (rs + 3) // 4
+        if rs - 3 * per < 0:
+            raise DecompressError("regenerated size smaller than 3 stream quarters")
+        items = [
+            (b4[:s1], per),
+            (b4[s1 : s1 + s2], per),
+            (b4[s1 + s2 : s1 + s2 + s3], per),
+            (b4[s1 + s2 + s3 :], rs - 3 * per),
+        ]
+    return ("huf", items, state.table), pos + cs
+
+
+def decode_literals(block: bytes, pos: int, state: LiteralsState) -> tuple[bytes, int]:
+    """Parse + decode one literals section; returns (literals, new_pos)."""
+    plan, pos = parse_literals_section(block, pos, state)
+    if plan[0] == "done":
+        return plan[1], pos
+    _, items, table = plan
+    outs = [huffman._decode_one_stream(s, table, n) for s, n in items]
+    return np.concatenate(outs).tobytes() if len(outs) > 1 else outs[0].tobytes(), pos
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +238,8 @@ class FrameDecoder:
         if self.header.has_checksum:
             self.hasher = XXH64State(0)
 
-    def decode_block(self, btype: int, payload: bytes, rle_size: int = 0) -> bytes:
+    def decode_block(self, btype: int, payload: bytes, rle_size: int = 0,
+                     lits_pos: tuple[bytes, int] | None = None) -> bytes:
         if btype == BLOCK_RAW:
             out = payload
             self.window += payload
@@ -212,7 +247,7 @@ class FrameDecoder:
             out = payload * rle_size
             self.window += out
         elif btype == BLOCK_COMPRESSED:
-            out = self._decode_compressed(payload)
+            out = self._decode_compressed(payload, lits_pos)
         else:
             raise DecompressError("reserved block type")
         if self.hasher is not None:
@@ -223,8 +258,14 @@ class FrameDecoder:
             del self.window[: len(self.window) - limit]
         return out
 
-    def _decode_compressed(self, payload: bytes) -> bytes:
-        lits, pos = decode_literals(payload, 0, self.lit_state)
+    def _decode_compressed(self, payload: bytes,
+                           lits_pos: tuple[bytes, int] | None = None) -> bytes:
+        if lits_pos is not None:
+            # literals were decoded out-of-band (the batched device path,
+            # parallel/extract.py): (bytes, position after the section)
+            lits, pos = lits_pos
+        else:
+            lits, pos = decode_literals(payload, 0, self.lit_state)
         lls, mls, ofs, nb = seq.decode_sequences(payload, pos, self.seq_tables)
         if nb == 0:
             self.window += lits

@@ -425,6 +425,172 @@ def serialize_block_host(data: bytes, src: np.ndarray, mlen: np.ndarray,
     return lz4block.serialize_sequences_np(data, mps, mss, mls)
 
 
+# ---------------------------------------------------------------------------
+# Decode: sequence replay on device
+# ---------------------------------------------------------------------------
+
+
+def parse_block_sequences(data: bytes):
+    """Token-walk one LZ4 block WITHOUT executing it: returns
+    (lit_lens, offsets, match_lens) int32 arrays + the concatenated
+    literal bytes.  The final literal-only run appears with offset 0 /
+    match_len 0.  Mirrors codecs.lz4.block.decompress_block's parse."""
+    from ..errors import DecompressError
+
+    src = bytes(data)
+    n = len(src)
+    pos = 0
+    lit_lens, offsets, match_lens = [], [], []
+    lits = bytearray()
+    while pos < n:
+        token = src[pos]
+        pos += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                if pos >= n:
+                    raise DecompressError("truncated literal length")
+                c = src[pos]
+                pos += 1
+                lit_len += c
+                if c != 255:
+                    break
+        if pos + lit_len > n:
+            raise DecompressError("literal run overruns input")
+        lits += src[pos : pos + lit_len]
+        pos += lit_len
+        if pos == n:
+            lit_lens.append(lit_len)
+            offsets.append(0)
+            match_lens.append(0)
+            break
+        if pos + 2 > n:
+            raise DecompressError("truncated match offset")
+        offset = src[pos] | (src[pos + 1] << 8)
+        pos += 2
+        if offset == 0:
+            raise DecompressError("zero match offset")
+        match_len = (token & 0xF) + MIN_MATCH
+        if (token & 0xF) == 15:
+            while True:
+                if pos >= n:
+                    raise DecompressError("truncated match length")
+                c = src[pos]
+                pos += 1
+                match_len += c
+                if c != 255:
+                    break
+        lit_lens.append(lit_len)
+        offsets.append(offset)
+        match_lens.append(match_len)
+    return (np.array(lit_lens, np.int32), np.array(offsets, np.int32),
+            np.array(match_lens, np.int32), bytes(lits))
+
+
+@partial(jax.jit, static_argnames=("n_out",))
+def replay_sequences(lit_bytes, seg_start, lit_start, lit_len, offset, n_seq,
+                     *, n_out: int):
+    """Batched LZ4 sequence replay (role: the LZ4F_decompress loop at
+    lib/zpack_read.c:414-439), the VERDICT-r2 prefix-sum + scatter recipe:
+
+    1. one scatter + cumsum maps every output position to its sequence,
+    2. positions inside a literal run resolve directly into the literal
+       buffer; positions inside a match point back ``offset`` bytes,
+    3. a pointer-jumping while_loop collapses match chains to their
+       originating literal position (overlapping/RLE matches converge in
+       log2(chain depth) rounds),
+    4. one gather pulls the bytes from the literal buffer.
+
+    All arrays are (B, ...) batches: lit_bytes (B, L) uint8,
+    seg_start/lit_start/lit_len/offset (B, S) int32 (zero-padded),
+    n_seq (B,).  Returns (B, n_out) uint8; valid prefix = caller's total.
+    """
+
+    def one(lit_b, seg_st, lit_st, ll, off, ns):
+        S = seg_st.shape[0]
+        sidx = jnp.arange(S, dtype=jnp.int32)
+        # segment id per output position: +1 at every valid segment start
+        marks = jnp.where((sidx >= 1) & (sidx < ns), seg_st, n_out)
+        seg_of = jnp.zeros(n_out, jnp.int32).at[marks].add(1, mode="drop")
+        seg_of = jnp.cumsum(seg_of)
+        pos = jnp.arange(n_out, dtype=jnp.int32)
+        st = seg_st[seg_of]
+        inlit = (pos - st) < ll[seg_of]
+        lit_idx = lit_st[seg_of] + (pos - st)  # valid where inlit
+        f = jnp.where(inlit, pos, pos - off[seg_of])
+        f = jnp.maximum(f, 0)
+
+        def cond(c):
+            f, done = c
+            return ~done
+
+        def body(c):
+            f, _ = c
+            f2 = f[f]
+            return f2, jnp.all(f2 == f)
+
+        f, _ = jax.lax.while_loop(cond, body, (f, jnp.array(False)))
+        return lit_b[lit_idx[f]]
+
+    return jax.vmap(one)(lit_bytes, seg_start, lit_start, lit_len, offset, n_seq)
+
+
+class DeviceLZ4Replayer:
+    """Host wrapper: parse blocks' token streams, batch the sequence
+    replay on device, trim outputs (bit-exact vs block.decompress_block
+    for independent blocks)."""
+
+    BUCKETS = (1024, 4096, 16384, 65536)
+
+    @staticmethod
+    def _bucket(n: int, buckets) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return int(np.ceil(n / buckets[-1])) * buckets[-1]
+
+    def decompress_blocks(self, blocks: list[bytes], out_sizes: list[int]) -> list[bytes]:
+        """blocks: independent LZ4 block payloads; out_sizes: expected
+        decoded sizes (frame block-size bound).  Returns decoded bytes."""
+        from ..errors import DecompressError
+
+        if not blocks:
+            return []
+        parsed = [parse_block_sequences(b) for b in blocks]
+        B = len(blocks)
+        Bp = 8
+        while Bp < B:
+            Bp <<= 1
+        S = self._bucket(max(len(p[0]) for p in parsed), (64, 256, 1024, 4096, 16384))
+        L = self._bucket(max(len(p[3]) for p in parsed), self.BUCKETS)
+        totals = []
+        lit_b = np.zeros((Bp, L), np.uint8)
+        seg_st = np.zeros((Bp, S), np.int32)
+        lit_st = np.zeros((Bp, S), np.int32)
+        ll_a = np.zeros((Bp, S), np.int32)
+        off_a = np.zeros((Bp, S), np.int32)
+        ns = np.zeros(Bp, np.int32)
+        for i, (lls, offs, mls, lits) in enumerate(parsed):
+            k = len(lls)
+            seg_len = lls + mls
+            total = int(seg_len.sum())
+            if total > out_sizes[i]:
+                raise DecompressError("block output exceeds declared size")
+            totals.append(total)
+            seg_st[i, :k] = np.cumsum(seg_len) - seg_len
+            lit_st[i, :k] = np.cumsum(lls) - lls
+            ll_a[i, :k] = lls
+            off_a[i, :k] = offs
+            ns[i] = k
+            lit_b[i, : len(lits)] = np.frombuffer(lits, np.uint8)
+        n_out = self._bucket(max(totals) if totals else 1, self.BUCKETS)
+        out = np.asarray(replay_sequences(
+            jnp.asarray(lit_b), jnp.asarray(seg_st), jnp.asarray(lit_st),
+            jnp.asarray(ll_a), jnp.asarray(off_a), jnp.asarray(ns),
+            n_out=n_out))
+        return [out[i, : totals[i]].tobytes() for i in range(B)]
+
+
 def compress_block_tpu(data: bytes, depth: int = 2, n_words: int = 2) -> bytes:
     """One LZ4 block, matcher on device, parse+serialize on host."""
     from .lz4_pallas import unsort_host
