@@ -202,6 +202,15 @@ struct HufTable {
     // symbol; nb_bits sits in the LOW byte so the loop-carried bit-position
     // update is a zero-extend with no shift on the critical path
     std::vector<uint16_t> ent;  // 2^max_bits
+    // double-symbol entry (HUF X2 idea): a WIDER window of w2 =
+    // min(2*max_bits, 12) bits so a complete second code usually fits —
+    // one lookup yields up to two bytes: sym1 | sym2<<8 | total_len<<16 |
+    // n<<24.  Halves the dependent load->shift chain when most entries
+    // are doubles (typical literal tables); x2_worthwhile gates the
+    // decode-loop choice per table.
+    std::vector<uint32_t> ent2;  // 2^w2
+    int w2 = 0;
+    bool x2_worthwhile = false;
     bool valid = false;
 };
 
@@ -280,6 +289,33 @@ bool build_huf_table(const std::vector<int>& weights, HufTable& t) {
         }
     }
     if (pos != size) return false;
+    int W = max_bits * 2 < 12 ? max_bits * 2 : 12;
+    t.w2 = W;
+    int size2 = 1 << W;
+    t.ent2.resize(size2);
+    size_t doubles = 0;
+    for (int v = 0; v < size2; v++) {
+        uint16_t e1 = t.ent[(uint32_t)v >> (W - max_bits)];
+        int len1 = e1 & 0xFF;
+        uint32_t sym1 = e1 >> 8;
+        if (len1 < W) {
+            // bits [len1, W) of the window are real for the second code;
+            // its entry is well-defined iff its length fits them entirely
+            int v2 = ((v << len1) & (size2 - 1)) >> (W - max_bits);
+            uint16_t e2 = t.ent[v2];
+            int len2 = e2 & 0xFF;
+            if (len2 <= W - len1) {
+                t.ent2[v] = sym1 | ((uint32_t)(e2 >> 8) << 8)
+                          | ((uint32_t)(len1 + len2) << 16) | (2u << 24);
+                doubles++;
+                continue;
+            }
+        }
+        t.ent2[v] = sym1 | ((uint32_t)len1 << 16) | (1u << 24);
+    }
+    // the X2 loop does ~W/max_bits fewer lookups per reload round, so it
+    // only wins when most lookups actually emit two symbols
+    t.x2_worthwhile = doubles * 4 >= (size_t)size2 * 3;
     t.valid = true;
     return true;
 }
@@ -392,8 +428,67 @@ bool huf_decode_4streams_t(const uint8_t* sp[4], const size_t sizes[4],
     return true;
 }
 
+// X2 variant: the wide ent2 window — up to two symbols per lookup.  W is
+// compile-time so the shifts are immediates; per reload each of the R
+// lookups consumes at most W bits and emits 1-2 bytes via an
+// unconditional 2-byte store (the 2R output-slack guard keeps every
+// store inside the stream's own region).
+template <int W>
+bool huf_decode_4streams_x2_t(const uint8_t* sp[4], const size_t sizes[4],
+                              uint8_t* outp[4], const size_t ns[4], const HufTable& t) {
+    BackBits br[4];
+    for (int k = 0; k < 4; k++)
+        if (!br[k].init(sp[k], sizes[k])) return false;
+    const uint32_t* ent2 = t.ent2.data();
+    constexpr int R = (57 - W) / W > 0 ? ((57 - W) / W < 8 ? (57 - W) / W : 8) : 1;
+    size_t i[4] = {0, 0, 0, 0};
+    while (true) {
+        uint64_t ws[4];
+        uint32_t c[4];
+        bool ok = true;
+        for (int k = 0; k < 4; k++) {
+            if (ns[k] - i[k] < (size_t)(2 * R)) { ok = false; break; }
+            long long bl = br[k].bits_left;
+            size_t byte_end = (size_t)((bl + 7) >> 3);
+            if (bl < W || byte_end < 8 || byte_end > sizes[k]) { ok = false; break; }
+            uint64_t w;
+            memcpy(&w, sp[k] + byte_end - 8, 8);
+            ws[k] = w << (64 - (int)(bl - (long long)(byte_end - 8) * 8));
+            c[k] = 0;
+        }
+        if (!ok) break;
+        size_t ii[4] = {i[0], i[1], i[2], i[3]};
+        for (int r = 0; r < R; r++) {
+            for (int k = 0; k < 4; k++) {
+                uint32_t e = ent2[ws[k] >> (64 - W)];
+                memcpy(outp[k] + ii[k], &e, 2);  // LE: sym1, sym2
+                ii[k] += e >> 24;
+                ws[k] <<= (uint8_t)(e >> 16);
+                c[k] += (uint8_t)(e >> 16);
+            }
+        }
+        for (int k = 0; k < 4; k++) {
+            i[k] = ii[k];
+            br[k].bits_left -= c[k];
+        }
+    }
+    for (int k = 0; k < 4; k++)
+        if (!huf_decode_tail(br[k], t, outp[k], i[k], ns[k])) return false;
+    return true;
+}
+
 bool huf_decode_4streams(const uint8_t* sp[4], const size_t sizes[4],
                          uint8_t* outp[4], const size_t ns[4], const HufTable& t) {
+    if (t.x2_worthwhile) {
+        switch (t.w2) {  // compile-time W: unrolled rounds, immediate shifts
+            case 2: return huf_decode_4streams_x2_t<2>(sp, sizes, outp, ns, t);
+            case 4: return huf_decode_4streams_x2_t<4>(sp, sizes, outp, ns, t);
+            case 6: return huf_decode_4streams_x2_t<6>(sp, sizes, outp, ns, t);
+            case 8: return huf_decode_4streams_x2_t<8>(sp, sizes, outp, ns, t);
+            case 10: return huf_decode_4streams_x2_t<10>(sp, sizes, outp, ns, t);
+            case 12: return huf_decode_4streams_x2_t<12>(sp, sizes, outp, ns, t);
+        }
+    }
     switch (t.max_bits) {  // compile-time mb: unrolled rounds, immediate shifts
         case 1: return huf_decode_4streams_t<1>(sp, sizes, outp, ns, t);
         case 2: return huf_decode_4streams_t<2>(sp, sizes, outp, ns, t);
@@ -762,18 +857,30 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
         if (op + ml_val + 32 <= cap) {
             uint8_t* cpend = o + ml_val;
             if (offset >= 16) {
-                do { memcpy(o, m, 16); o += 16; m += 16; } while (o < cpend);
+                // 32 B/iter (libzstd wildcopy width); the +32 cap slack
+                // absorbs the overshoot
+                do {
+                    memcpy(o, m, 16); memcpy(o + 16, m + 16, 16);
+                    o += 32; m += 32;
+                } while (o < cpend);
             } else if (offset >= 8) {
-                memcpy(o, m, 8); memcpy(o + 8, m + 8, 8);
-                o += 16; m += 16;
-                while (o < cpend) { memcpy(o, m, 8); o += 8; m += 8; }
+                // successive 8 B copies are ordered, so a 16 B/iter pair is
+                // safe at any offset >= 8
+                do {
+                    memcpy(o, m, 8); memcpy(o + 8, m + 8, 8);
+                    o += 16; m += 16;
+                } while (o < cpend);
             } else {
                 o[0] = m[0]; o[1] = m[1]; o[2] = m[2]; o[3] = m[3];
                 m += kInc32[offset];
                 memcpy(o + 4, m, 4);
                 m -= kDec64[offset];
                 o += 8;
-                while (o < cpend) { memcpy(o, m, 8); o += 8; m += 8; }
+                // effective offset is 8 from here: ordered 8 B pairs
+                while (o < cpend) {
+                    memcpy(o, m, 8); memcpy(o + 8, m + 8, 8);
+                    o += 16; m += 16;
+                }
             }
             op += ml_val;
         } else {
