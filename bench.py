@@ -164,6 +164,14 @@ def main() -> int:
     value = 2 * size_mb / (enc + dec)
     _log(f"lz4 rt: enc {size_mb/enc:.0f} MB/s dec {size_mb/dec:.0f} MB/s")
 
+    # --- zstd ratios/speeds (smaller slice keeps the bench bounded)
+    zslice = data[: 2 << 20]
+    z3_enc, z3_dec, z3_size = _roundtrip(zslice, C.CompressionMethod.ZSTD, 3, reps=3)
+    _log("zstd3 done")
+    # per-phase counters for the NATIVE-engine phases only (the baseline's
+    # python-fallback runs would otherwise pollute the same phase names)
+    phase_metrics = _metrics.snapshot()
+
     # --- baseline: pure-python/numpy engine (native disabled)
     os.environ["ZPACK_TPU_NO_NATIVE"] = "1"
     import zpack_tpu.native as native
@@ -175,11 +183,6 @@ def main() -> int:
     native._TRIED = False  # restore
     del os.environ["ZPACK_TPU_NO_NATIVE"]
     _log(f"baseline {base_value:.2f} MB/s")
-
-    # --- zstd ratios/speeds (smaller slice keeps the bench bounded)
-    zslice = data[: 2 << 20]
-    z3_enc, z3_dec, z3_size = _roundtrip(zslice, C.CompressionMethod.ZSTD, 3, reps=3)
-    _log("zstd3 done")
     try:
         import zstandard
 
@@ -263,7 +266,7 @@ def main() -> int:
             "tpu_zstd_mesh_host_entropy_MBps": round(tpu["zmesh_host"], 2) if "zmesh_host" in tpu else None,
             "scaling": scaling,
             # per-phase GB/s counters from the observe registry (SURVEY §5)
-            "metrics": _metrics.snapshot(),
+            "metrics": phase_metrics,
         },
     }
     print(json.dumps(result))
