@@ -175,12 +175,11 @@ def test_dict_ratio_win_pinned(trained):
     """Pin the property that justifies the feature (VERDICT r2 item 7):
     on a small-files corpus large enough to amortize the stored
     dictionary entry (300 files x ~250 B), the dict-mode archive —
-    INCLUDING the stored dictionary — is >=22% smaller than the no-dict
-    archive, and our dict frames total within 7% of libzstd's own dict
-    frames at the same level (measured 1.056x: we don't yet reuse the
-    dict's entropy tables, ~5 B/frame of Huffman/FSE headers libzstd's
-    repeat-mode skips; closing that is the next lever).  A regression
-    past either pin fails CI."""
+    INCLUDING the stored dictionary — is >=25% smaller than the no-dict
+    archive, and our dict frames total <= libzstd's own dict frames at
+    the same level (measured 0.984x: FSE repeat-mode + treeless literals
+    against the dict's entropy tables plus single-segment headers).  A
+    regression past either pin fails CI."""
     corpus = _samples(n=300, seed=3)
     trained = zdict.train_dictionary(corpus[:60], 4096)  # in-domain training
     with_d = len(_dict_archive(corpus, trained))
@@ -192,14 +191,14 @@ def test_dict_ratio_win_pinned(trained):
     w.write_cdr()
     w.write_eocdr()
     without = len(w.buffer)
-    assert with_d <= 0.78 * without, (with_d, without)
+    assert with_d <= 0.75 * without, (with_d, without)
 
     d = zdict.parse_dictionary(trained)
     cd = zstandard.ZstdCompressionDict(trained)
     ours = sum(len(zenc.compress(s, 3, dictionary=d)) for s in corpus)
     libz = sum(len(zstandard.ZstdCompressor(level=3, dict_data=cd).compress(s))
                for s in corpus)
-    assert ours <= 1.07 * libz, (ours, libz)
+    assert ours <= libz, (ours, libz)
 
 
 def test_archive_dict_streaming_read(samples, trained):

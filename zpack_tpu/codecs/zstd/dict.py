@@ -46,9 +46,43 @@ class ZstdDict:
     ml: "fse.DecodeTable | None" = None
     rep: list[int] = field(default_factory=lambda: [1, 4, 8])
     raw: bytes = b""  # the original blob (what went over the wire)
+    #: raw table materials kept for the encode side (structured dicts)
+    huf_weights: "list[int] | None" = None
+    fse_counts: "dict | None" = None  # kind -> (counts, al)
 
     def __len__(self) -> int:
         return len(self.content)
+
+    def encode_tables(self):
+        """Encode-side versions of the dict's entropy tables —
+        (huf_enc, ll_enc, of_enc, ml_enc) — built from the SAME weights /
+        normalized counts the decoder uses, so a first block can emit
+        treeless literals + repeat-mode sequences (libzstd's dict
+        repeat-mode, the ~5 B/frame header saving).  None for raw dicts."""
+        if self.huf_weights is None or self.fse_counts is None:
+            return None
+        cached = getattr(self, "_enc_tables", None)
+        if cached is not None:
+            return cached
+        import numpy as np
+
+        w = np.array(self.huf_weights, dtype=np.int64)
+        total = int((1 << np.maximum(w - 1, 0))[w > 0].sum())
+        max_bits = total.bit_length() - 1
+        codes, lengths = huffman._canonical_codes(w, max_bits)
+        # pad to the full byte alphabet: _encode_stream indexes by symbol
+        # (absent symbols keep length 0 and raise CompressError there)
+        codes = np.pad(codes, (0, 256 - len(codes)))
+        lengths = np.pad(lengths, (0, 256 - len(lengths)))
+        huf_enc = huffman.HuffEncodeTable(
+            max_bits=max_bits, codes=codes, lengths=lengths,
+            weights=[int(x) for x in self.huf_weights])
+        out = (huf_enc,
+               fse.build_encode_table(*self.fse_counts["ll"]),
+               fse.build_encode_table(*self.fse_counts["of"]),
+               fse.build_encode_table(*self.fse_counts["ml"]))
+        self._enc_tables = out
+        return out
 
 
 def parse_dictionary(blob: bytes) -> ZstdDict:
@@ -63,14 +97,18 @@ def parse_dictionary(blob: bytes) -> ZstdDict:
         weights, consumed = huffman.read_weights(blob, pos)
         huf = huffman.build_decode_table(weights)
         pos += consumed
+        fse_counts = {}
         counts, al, c = fse.read_ncount(blob, pos, seq.OF_CODE_MAX, seq.OF_MAX_AL)
         of = fse.build_decode_table(counts, al)
+        fse_counts["of"] = (counts, al)
         pos += c
         counts, al, c = fse.read_ncount(blob, pos, seq.ML_CODE_MAX, seq.ML_MAX_AL)
         ml = fse.build_decode_table(counts, al)
+        fse_counts["ml"] = (counts, al)
         pos += c
         counts, al, c = fse.read_ncount(blob, pos, seq.LL_CODE_MAX, seq.LL_MAX_AL)
         ll = fse.build_decode_table(counts, al)
+        fse_counts["ll"] = (counts, al)
         pos += c
     except (DecompressError, CompressError, IndexError, ValueError) as e:
         raise DecompressError(f"malformed dictionary entropy tables: {e}")
@@ -83,7 +121,8 @@ def parse_dictionary(blob: bytes) -> ZstdDict:
         if r == 0 or r > len(content):
             raise DecompressError("dictionary repeat offset out of range")
     return ZstdDict(dict_id=dict_id, content=content, huf=huf,
-                    ll=ll, of=of, ml=ml, rep=rep, raw=blob)
+                    ll=ll, of=of, ml=ml, rep=rep, raw=blob,
+                    huf_weights=weights, fse_counts=fse_counts)
 
 
 def as_dictionary(obj) -> "ZstdDict | None":

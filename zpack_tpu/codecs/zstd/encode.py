@@ -79,7 +79,11 @@ def _frame_header(content_size: int, window_log: int, checksum: bool = False,
         did_flag, did = 2, struct.pack("<H", dict_id)
     else:
         did_flag, did = 3, struct.pack("<I", dict_id)
-    if content_size <= (256 << 10) and min_window <= content_size:
+    # single-segment is legal for dict frames even though matches reach
+    # into the dictionary: dict content precedes the frame's window by
+    # definition (RFC 8878 §5; libzstd emits exactly this shape), so the
+    # explicit-window form is only needed for dict-less min_window
+    if content_size <= (256 << 10) and (min_window <= content_size or did_flag):
         if content_size < 256:
             fhd = 0x20 | (0 << 6) | chk | did_flag
             return struct.pack("<IB", MAGIC, fhd) + did + struct.pack("<B", content_size)
@@ -148,7 +152,25 @@ def _literals_finish(lits: bytes, tree: bytes, streams: int, body: bytes | None)
     return _lit_header_raw_rle(0, rs) + lits
 
 
-def _encode_literals(lits: bytes) -> bytes:
+class EntropyState:
+    """Per-frame entropy-table state for treeless literals + FSE repeat
+    mode (libzstd's table reuse; decoder mirror: frame.LiteralsState +
+    seq.SequenceTables).  Seed it from a dictionary's tables so small
+    frames skip table headers entirely (RFC 8878 §5 repeat-mode)."""
+
+    __slots__ = ("huf", "ll", "of", "ml")
+
+    def __init__(self, huf=None, ll=None, of=None, ml=None):
+        self.huf = huf
+        self.ll = ll
+        self.of = of
+        self.ml = ml
+
+    def copy(self) -> "EntropyState":
+        return EntropyState(self.huf, self.ll, self.of, self.ml)
+
+
+def _encode_literals(lits: bytes, ent: "EntropyState | None" = None) -> bytes:
     section, pending = _literals_plan(lits)
     if pending is None:
         return section
@@ -157,7 +179,21 @@ def _encode_literals(lits: bytes) -> bytes:
         body = huffman.encode_4stream(lits, table)
     else:
         body = huffman.encode_1stream(lits, table)
-    return _literals_finish(lits, tree, streams, body)
+    own = _literals_finish(lits, tree, streams, body)
+    if ent is not None and ent.huf is not None:
+        # treeless candidate: reuse the current table, pay no tree bytes
+        try:
+            tl_body = (huffman.encode_4stream(lits, ent.huf) if streams == 4
+                       else huffman.encode_1stream(lits, ent.huf))
+        except (CompressError, IndexError):
+            tl_body = None  # a symbol has no code in the reused table
+        if tl_body is not None and len(tl_body) < len(lits):
+            hdr = _lit_header_compressed(3, streams, len(lits), len(tl_body))
+            if hdr is not None and len(hdr) + len(tl_body) < len(own):
+                return hdr + tl_body
+    if ent is not None and own[0] & 3 == 2:
+        ent.huf = table  # decoder replaces its table on a compressed section
+    return own
 
 
 def encode_literal_sections(lits_list: list[bytes], device_encoder=None) -> list[bytes]:
@@ -243,9 +279,13 @@ def _lit_header_compressed(ltype: int, streams: int, rs: int, cs: int) -> bytes 
 # ---------------------------------------------------------------------------
 
 
-def _pick_table(codes: list[int], kind: str, max_code: int, max_al: int):
-    """Choose predefined / RLE / custom-FSE for one code stream; returns
-    (mode, table, description_bytes)."""
+def _pick_table(codes: list[int], kind: str, max_code: int, max_al: int,
+                prev=None):
+    """Choose predefined / RLE / custom-FSE / repeat for one code stream;
+    returns (mode, table, description_bytes).  ``prev`` (an EncodeTable
+    with counts — the previous block's or the dictionary's) enables
+    repeat mode (3): reuse it with zero description bytes when its
+    distribution prices this stream below a fresh/predefined table."""
     hist = np.bincount(np.array(codes, dtype=np.int64), minlength=max_code + 1)
     nz = np.flatnonzero(hist)
     if len(nz) == 1:
@@ -277,6 +317,11 @@ def _pick_table(codes: list[int], kind: str, max_code: int, max_al: int):
     dist = {"ll": seq.LL_DEFAULT_DIST, "ml": seq.ML_DEFAULT_DIST, "of": seq.OF_DEFAULT_DIST}[kind]
     c_pre = cost(dist, {"ll": 6, "ml": 6, "of": 5}[kind], 0)
     c_cus = cost(counts, al, len(desc))
+    c_rep = float("inf")
+    if prev is not None and getattr(prev, "counts", None) is not None:
+        c_rep = cost(prev.counts, prev.al, 0)
+    if c_rep <= c_cus and c_rep <= c_pre:
+        return 3, prev, b""
     if c_cus < c_pre:
         return 2, custom, desc
     return 0, pre, b""
@@ -313,19 +358,27 @@ def sequence_fields(data_arr: np.ndarray, sequences: list, rep: list[int]):
     return lls, mls, ovs, n_lits
 
 
-def sequence_section_header(lls, mls, ovs):
+def sequence_section_header(lls, mls, ovs, ent: "EntropyState | None" = None):
     """Pick the three FSE table modes for a non-empty sequence list;
     returns (header_bytes = nb_sequences + modes byte + table descriptions,
     (ll_t, of_t, ml_t) encode tables, upper-bound bitstream bits).  The
     upper bound (every state write at full accuracy-log width) lets a
     batch caller decide compressed-vs-raw BEFORE the bitstream is packed
-    on device (parallel/pipeline.py)."""
+    on device (parallel/pipeline.py).  ``ent`` enables FSE repeat mode
+    against the previous block's / the dictionary's tables and is updated
+    with whatever tables this section uses (decoder mirror:
+    seq._read_table's ``prev`` threading)."""
     ll_codes = [seq.ll_code(v) for v in lls]
     ml_codes = [seq.ml_code(v) for v in mls]
     of_codes = [v.bit_length() - 1 for v in ovs]
-    ll_mode, ll_t, ll_d = _pick_table(ll_codes, "ll", seq.LL_CODE_MAX, seq.LL_MAX_AL)
-    of_mode, of_t, of_d = _pick_table(of_codes, "of", seq.OF_CODE_MAX, seq.OF_MAX_AL)
-    ml_mode, ml_t, ml_d = _pick_table(ml_codes, "ml", seq.ML_CODE_MAX, seq.ML_MAX_AL)
+    ll_mode, ll_t, ll_d = _pick_table(ll_codes, "ll", seq.LL_CODE_MAX,
+                                      seq.LL_MAX_AL, ent.ll if ent else None)
+    of_mode, of_t, of_d = _pick_table(of_codes, "of", seq.OF_CODE_MAX,
+                                      seq.OF_MAX_AL, ent.of if ent else None)
+    ml_mode, ml_t, ml_d = _pick_table(ml_codes, "ml", seq.ML_CODE_MAX,
+                                      seq.ML_MAX_AL, ent.ml if ent else None)
+    if ent is not None:
+        ent.ll, ent.of, ent.ml = ll_t, of_t, ml_t
     header = bytearray(seq.write_nb_sequences(len(lls)))
     header.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
     header += ll_d + of_d + ml_d
@@ -339,21 +392,25 @@ def sequence_section_header(lls, mls, ovs):
 
 def _encode_block_body(data_arr: np.ndarray, block_start: int, block_end: int,
                        sequences: list, rep: list[int],
-                       lit_section: bytes | None = None) -> bytes | None:
+                       lit_section: bytes | None = None,
+                       ent: "EntropyState | None" = None) -> bytes | None:
     """Build one compressed-block body (literals + sequences sections);
     returns None if the caller should emit a raw block instead.
 
     ``lit_section`` short-circuits literal encoding with a pre-built
-    section (the device-entropy path, parallel/pipeline.py)."""
+    section (the device-entropy path, parallel/pipeline.py).  ``ent``
+    carries entropy-table state across blocks/from a dictionary for
+    treeless literals + FSE repeat mode (caller restores it when the
+    block is emitted raw)."""
     lls, mls, ovs, _n_lits = sequence_fields(data_arr, sequences, rep)
     if lit_section is None:
         lits = _block_literals(data_arr, sequences)
-        out = bytearray(_encode_literals(lits))
+        out = bytearray(_encode_literals(lits, ent))
     else:
         out = bytearray(lit_section)
     nb = len(lls)
     if nb:
-        header, (ll_t, of_t, ml_t), _ub = sequence_section_header(lls, mls, ovs)
+        header, (ll_t, of_t, ml_t), _ub = sequence_section_header(lls, mls, ovs, ent)
         out += header
         out += seq.encode_sequences(lls, mls, ovs, ll_t, of_t, ml_t)
     else:
@@ -549,6 +606,14 @@ def compress(data: bytes, level: int = 3, *, checksum: bool = False,
     for lit_start, lit_len, p, j, ml in parse:
         _split_into_blocks(seqs_per_block, lit_start, lit_len, p, j, ml, base=d)
 
+    # entropy-table state: seeded from the dictionary's tables when it has
+    # them (treeless literals + FSE repeat mode on the first block — the
+    # libzstd dict repeat-mode header saving), then threaded block to block
+    ent = None
+    if zd is not None:
+        enc_tabs = zd.encode_tables()
+        if enc_tabs is not None:
+            ent = EntropyState(*enc_tabs)
     hasher = XXH64State(0) if checksum else None
     for bi in range(nblocks):
         b_start = d + bi * MAX_BLOCK_SIZE
@@ -557,7 +622,9 @@ def compress(data: bytes, level: int = 3, *, checksum: bool = False,
         if hasher is not None:
             hasher.update(raw)
         rep_backup = list(rep)
-        body = _encode_block_body(arr, b_start, b_end, seqs_per_block[bi], rep)
+        ent_backup = ent.copy() if ent is not None else None
+        body = _encode_block_body(arr, b_start, b_end, seqs_per_block[bi], rep,
+                                  ent=ent)
         last = 1 if bi == nblocks - 1 else 0
         if body is not None and len(body) < len(raw):
             bh = last | (2 << 1) | (len(body) << 3)
@@ -565,6 +632,9 @@ def compress(data: bytes, level: int = 3, *, checksum: bool = False,
             out += body
         else:
             rep[:] = rep_backup  # raw blocks don't advance repeat offsets
+            if ent is not None:  # nor the decoder's entropy tables
+                ent.huf, ent.ll, ent.of, ent.ml = (
+                    ent_backup.huf, ent_backup.ll, ent_backup.of, ent_backup.ml)
             if len(set(raw)) == 1 and len(raw) > 4:
                 bh = last | (1 << 1) | (len(raw) << 3)
                 out += struct.pack("<I", bh)[:3]

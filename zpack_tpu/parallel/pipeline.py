@@ -518,7 +518,10 @@ class MeshCompressor:
             seqs.append((int(lit_starts[-1]), d + cl - int(lit_starts[-1]),
                          None, None, None))
             rep = list(zd.rep)
-            body = zenc._encode_block_body(arr, d, d + cl, seqs, rep)
+            # fresh per block: each block is its own dict-referencing frame
+            enc_tabs = zd.encode_tables()
+            ent = zenc.EntropyState(*enc_tabs) if enc_tabs is not None else None
+            body = zenc._encode_block_body(arr, d, d + cl, seqs, rep, ent=ent)
             out += zenc._frame_header(cl, wl, dict_id=zd.dict_id,
                                       min_window=d + cl)
             if body is not None and len(body) < cl:
