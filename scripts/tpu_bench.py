@@ -85,12 +85,14 @@ def main() -> int:
     _RTT = min(rtts)
     emit("rtt_ms", _RTT * 1e3)
 
-    # --- tok: LZ4 tokenizer device rate (512 x 8 KiB blocks = 4 MiB/call)
+    # --- tok: LZ4 tokenizer device rate (2048 x 8 KiB blocks = 16 MiB/call:
+    # the dispatch size that saturates the device; 512-block dispatches
+    # measure ~149 MB/s vs 344 at 2048 — docs/roofline.md)
     from zpack_tpu.kernels.lz4_jax import tokenize_block_u16
 
-    blks = jnp.asarray(rng.integers(0, 90, (512, 8192)).astype(np.uint8))
+    blks = jnp.asarray(rng.integers(0, 90, (2048, 8192)).astype(np.uint8))
     fn = jax.jit(jax.vmap(partial(tokenize_block_u16, depth=2, n_words=2)))
-    emit("tok", 512 * 8192 / best_call(lambda: fn(blks)) / 1e6)
+    emit("tok", 2048 * 8192 / best_call(lambda: fn(blks)) / 1e6)
 
     # --- huf: batched huffman encode (256 distinct streams x 16 KiB)
     from zpack_tpu.codecs.zstd import huffman as H
