@@ -1103,12 +1103,30 @@ struct OptState {
     std::vector<int32_t> bt_hash;  // 1<<H4B roots
     std::vector<int32_t> bt;       // 2 children per absolute position
     std::vector<int32_t> h3;       // last position per 3-byte hash (mml=3)
+    // long-distance-match table (role: libzstd's LDM / --long): one
+    // (check32, pos) slot per 32-byte-window hash, inserted every 8th
+    // position INCLUDING spans the sufficient-len shortcut skips — far
+    // re-occurrences of skipped chunks stay discoverable without
+    // perturbing the BT (sparse BT inserts measured a ratio LOSS there)
+    std::vector<uint64_t> ldm;     // (check << 32) | (pos + 1)
     void init(size_t n_total) {
         bt_hash.assign(1u << 22, -1);
         bt.assign(2 * n_total + 2, -1);
         h3.assign(1u << 16, -1);
+        ldm.assign(1u << 20, 0);
     }
 };
+
+static inline uint64_t ldm_hash32(const uint8_t* p) {
+    // mix of four 8-byte lanes of the 32-byte window
+    uint64_t h = rd64e(p) * 0x9E3779B185EBCA87ull;
+    h ^= rd64e(p + 8) * 0xC2B2AE3D27D4EB4Full;
+    h ^= rd64e(p + 16) * 0x165667B19E3779F9ull;
+    h ^= rd64e(p + 24) * 0x27D4EB2F165667C5ull;
+    h ^= h >> 29;
+    h *= 0xBF58476D1CE4E5B9ull;
+    return h ^ (h >> 32);
+}
 
 struct OptCand { uint32_t off; uint32_t len; };
 
@@ -1136,7 +1154,7 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
     size_t mf = n >= 4 ? n - 4 : 0;
 
     const int H4B = 22;
-    const int BT_DEPTH = 1024;
+    const int BT_DEPTH = 256;
     const size_t SUFFICIENT = 1024;
 
     auto ml_price = [&](uint32_t l) -> uint32_t {
@@ -1227,6 +1245,27 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
                     if (L3 < 3) L3 = 3;
                     cands.push_back({(uint32_t)(pos - (size_t)prev3),
                                      (uint32_t)(L3 < cap3 ? L3 : cap3)});
+                }
+            }
+            // long-distance candidate: query/insert the 32-byte-window LDM
+            // table; only candidates the BT couldn't see matter, so accept
+            // far hits with a verified long match
+            if (pos + 32 <= n_total) {
+                uint64_t h = ldm_hash32(base + pos);
+                uint64_t slot = ost.ldm[(uint32_t)h & ((1u << 20) - 1)];
+                if ((pos & 7) == 0)
+                    ost.ldm[(uint32_t)h & ((1u << 20) - 1)] =
+                        ((h >> 32) << 32) | (uint64_t)(pos + 1);
+                if (i < mf && slot && (slot >> 32) == (h >> 32)) {
+                    size_t cand = (size_t)(uint32_t)slot - 1;
+                    size_t off = pos - cand;
+                    if (cand < pos && off <= max_offset &&
+                        rd64e(base + cand) == rd64e(base + pos)) {
+                        size_t capL = blk_end - pos;
+                        size_t L = match_len(base + cand, base + pos, capL);
+                        if (L >= 32)
+                            cands.push_back({(uint32_t)off, (uint32_t)L});
+                    }
                 }
             }
             cache.flat.insert(cache.flat.end(), cands.begin(), cands.end());
@@ -1367,11 +1406,18 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
             // for later long-range re-occurrences — measured a ratio LOSS
             // (1.033 -> 1.048 on the 16 MiB long-range corpus): the
             // near-duplicate nodes flood the depth-capped walk and evict
-            // diverse candidates.  Long-range parity wants a dedicated
-            // LDM hash table instead (docs/parity.md gap list).
+            // diverse candidates.  The LDM table stores (plain array
+            // writes, no tree perturbation) do the job instead.
             if (!cache.filled)
-                for (size_t q = i + 1; q <= stop; q++)
+                for (size_t q = i + 1; q <= stop; q++) {
+                    size_t qp = blk_start + q;
+                    if ((qp & 7) == 0 && qp + 32 <= n_total) {
+                        uint64_t h = ldm_hash32(base + qp);
+                        ost.ldm[(uint32_t)h & ((1u << 20) - 1)] =
+                            ((h >> 32) << 32) | (uint64_t)(qp + 1);
+                    }
                     cache.idx.push_back((uint32_t)cache.flat.size());
+                }
             i = stop;
             continue;
         }
