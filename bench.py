@@ -193,7 +193,7 @@ def main() -> int:
     # --- L19 long-range slice (>=16 MiB multi-MB-distance repeats);
     # skipped when the corpus is shrunk for smoke runs
     z19_long = None
-    if len(data) >= (8 << 20):
+    if len(data) >= (4 << 20):  # build_corpus truncates a few bytes under 8<<20
         try:
             import zstandard
 
