@@ -232,6 +232,12 @@ def main() -> int:
                 "ncores": s["ncores"],
                 "mesh_weak_efficiency": {
                     str(m["n"]): m["weak_efficiency"] for m in s["mesh_weak"]},
+                # full production pipeline (device tokenize + native
+                # serialize), normalized by the n-virtual-devices-on-
+                # ncores ideal — the honest number real chips would see
+                "mesh_core_limited_efficiency": {
+                    str(m["n"]): m["core_limited_efficiency"]
+                    for m in s["mesh_weak"]},
                 "mesh_device_core_limited_efficiency": {
                     str(m["n"]): m["device_core_limited_efficiency"]
                     for m in s["mesh_weak"]},
@@ -262,6 +268,7 @@ def main() -> int:
             "tpu_tokenizer_MBps": round(tpu["tok"], 2) if "tok" in tpu else None,
             "tpu_huffman_encode_MBps": round(tpu["huf"], 2) if "huf" in tpu else None,
             "tpu_huffman_decode_MBps": round(tpu["hufdec"], 2) if "hufdec" in tpu else None,
+            "tpu_fse_encode_Mseqps": round(tpu["fse_mseq"], 3) if "fse_mseq" in tpu else None,
             "tpu_zstd_mesh_device_entropy_MBps": round(tpu["zmesh_dev"], 2) if "zmesh_dev" in tpu else None,
             "tpu_zstd_mesh_host_entropy_MBps": round(tpu["zmesh_host"], 2) if "zmesh_host" in tpu else None,
             "scaling": scaling,
