@@ -156,6 +156,46 @@ def main() -> int:
         best = min(best, time.perf_counter() - t0)
     emit("fse_mseq", NB * NS / max(best - _RTT, 1e-9) / 1e6)
 
+    # --- lz4replay: batched device sequence replay (decode side of the
+    # --engine tpu extract path; host token parse excluded — it overlaps
+    # device compute in production)
+    from zpack_tpu.codecs.lz4 import block as lz4block
+    from zpack_tpu.kernels import lz4_jax as LJ
+
+    words = [b"replay", b"the", b"sequences", b"on", b"device", b"fast"]
+    blob = bytearray()
+    while len(blob) < (64 << 10):
+        blob += words[int(rng.integers(len(words)))] + b" "
+    raw = bytes(blob[: 64 << 10])
+    NBK = 64
+    parsed = [LJ.parse_block_sequences(lz4block.compress_block(
+        bytes(np.roll(np.frombuffer(raw, np.uint8), i).tobytes()))) for i in range(NBK)]
+    S = max(len(p[0]) for p in parsed)
+    Sp = 1
+    while Sp < S:
+        Sp <<= 1
+    L = 1
+    while L < max(len(p[3]) for p in parsed):
+        L <<= 1
+    lit_b = np.zeros((NBK, L), np.uint8)
+    seg_st = np.zeros((NBK, Sp), np.int32)
+    lit_st = np.zeros((NBK, Sp), np.int32)
+    ll_a = np.zeros((NBK, Sp), np.int32)
+    off_a = np.zeros((NBK, Sp), np.int32)
+    ns = np.zeros(NBK, np.int32)
+    for i, (lls, offs, mls, lits) in enumerate(parsed):
+        k = len(lls)
+        seg_len = lls + mls
+        seg_st[i, :k] = np.cumsum(seg_len) - seg_len
+        lit_st[i, :k] = np.cumsum(lls) - lls
+        ll_a[i, :k] = lls
+        off_a[i, :k] = offs
+        ns[i] = k
+        lit_b[i, : len(lits)] = np.frombuffer(lits, np.uint8)
+    args_d = [jnp.asarray(a) for a in (lit_b, seg_st, lit_st, ll_a, off_a, ns)]
+    emit("lz4replay", NBK * len(raw) / best_call(
+        lambda: LJ.replay_sequences(*args_d, n_out=64 << 10)) / 1e6)
+
     # --- device-vs-host entropy A/B on the end-to-end mesh zstd path
     if os.environ.get("ZPACK_TPU_BENCH_AB", "1") != "0":
         from zpack_tpu.parallel.pipeline import MeshCompressor
