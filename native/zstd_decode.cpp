@@ -108,10 +108,36 @@ struct FseTable {
 };
 
 // Parse normalized counts; returns bytes consumed or -1.
+// Windowed reader: one 8-byte load per refill instead of a bounds-checked
+// load per peek (the per-peek FwdBits version was ~40% of sequence-table
+// parse cost on descriptor-heavy corpora); bits past `size` read as zero,
+// matching FwdBits semantics.
 long long read_ncount(const uint8_t* data, size_t size, int max_symbol, int max_al,
                       std::vector<int>& counts, int& al_out) {
-    FwdBits br{data, size};
-    int al = (int)br.read(4) + 5;
+    size_t bitpos = 0;
+    uint64_t win = 0;   // bits [bitpos, bitpos+avail) of the stream, LSB first
+    int avail = 0;
+    auto refill = [&]() {
+        size_t byte = bitpos >> 3;
+        uint64_t w = 0;
+        if (byte + 8 <= size) {
+            memcpy(&w, data + byte, 8);
+        } else {
+            for (int i = 0; i < 8 && byte + i < size; i++)
+                w |= (uint64_t)data[byte + i] << (8 * i);
+        }
+        win = w >> (bitpos & 7);
+        avail = 64 - (int)(bitpos & 7) - 8;  // 56..63 usable (conservative)
+        if (avail > 56) avail = 56;
+    };
+    auto peekb = [&](int nbits) -> uint32_t {
+        if (avail < nbits) refill();
+        return (uint32_t)(win & ((1u << nbits) - 1));
+    };
+    auto skipb = [&](int nbits) { win >>= nbits; avail -= nbits; bitpos += nbits; };
+    refill();
+    int al = (int)peekb(4) + 5;
+    skipb(4);
     if (al > max_al) return -1;
     int remaining = (1 << al) + 1;
     int threshold = 1 << al;
@@ -121,22 +147,23 @@ long long read_ncount(const uint8_t* data, size_t size, int max_symbol, int max_
     while (remaining > 1) {
         if ((int)counts.size() > max_symbol) return -1;
         if (previous0) {
-            while (br.peek(2) == 3) {
-                br.skip(2);
+            while (peekb(2) == 3) {
+                skipb(2);
                 counts.push_back(0); counts.push_back(0); counts.push_back(0);
                 if ((int)counts.size() > max_symbol + 1) return -1;
             }
-            uint32_t n0 = br.read(2);
+            uint32_t n0 = peekb(2);
+            skipb(2);
             for (uint32_t i = 0; i < n0; i++) counts.push_back(0);
             if ((int)counts.size() > max_symbol + 1) return -1;
         }
-        uint32_t val = br.peek(nbits);
+        uint32_t val = peekb(nbits);
         int maxv = (2 * threshold - 1) - remaining;
         if ((int)(val & (threshold - 1)) < maxv) {
             val &= threshold - 1;
-            br.skip(nbits - 1);
+            skipb(nbits - 1);
         } else {
-            br.skip(nbits);
+            skipb(nbits);
             if ((int)val >= threshold) val -= maxv;
         }
         int count = (int)val - 1;
@@ -147,7 +174,7 @@ long long read_ncount(const uint8_t* data, size_t size, int max_symbol, int max_
     }
     if (remaining != 1) return -1;
     al_out = al;
-    return (long long)br.byte_pos();
+    return (long long)((bitpos + 7) >> 3);
 }
 
 bool build_fse_table(const std::vector<int>& counts, int al, FseTable& t) {
@@ -537,6 +564,19 @@ struct SeqEnt {
     uint32_t base;      // value baseline (for OF: 1 << code)
 };
 
+// (1 << n) - 1 for n in [0, 32]: replaces per-field mask construction
+// (shlx+dec) with one load from an always-hot 132-byte table, without
+// widening SeqEnt past 8 bytes (16-byte entries measured a text-decode
+// LOSS from L1 pressure — ll+ml+of tables grow to ~20 KB)
+static const uint32_t kBitMask[33] = {
+    0x0, 0x1, 0x3, 0x7, 0xF, 0x1F, 0x3F, 0x7F, 0xFF,
+    0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF, 0x3FFF, 0x7FFF, 0xFFFF,
+    0x1FFFF, 0x3FFFF, 0x7FFFF, 0xFFFFF, 0x1FFFFF, 0x3FFFFF, 0x7FFFFF,
+    0xFFFFFF, 0x1FFFFFF, 0x3FFFFFF, 0x7FFFFFF, 0xFFFFFFF, 0x1FFFFFFF,
+    0x3FFFFFFF, 0x7FFFFFFF, 0xFFFFFFFF};
+
+static_assert(sizeof(SeqEnt) == 8, "packed-build stores assume 8-byte LE entries");
+
 struct SeqTable {
     int al = 0;
     std::vector<SeqEnt> e;
@@ -557,6 +597,22 @@ static inline void seq_value_fields(int kind, unsigned sym, SeqEnt& e) {
         e.nb_extra = (uint8_t)sym;
     }
 }
+
+// Per-kind value fields pre-packed into the high 48 bits of a SeqEnt image
+// (nb_extra << 24 | base << 32, matching the LE struct layout) so the
+// table-build hot loop emits each entry with one OR + one 8-byte store.
+struct SeqValTabs {
+    uint64_t ll[36], ml[53], of[32];
+    SeqValTabs() {
+        for (int s = 0; s < 36; s++)
+            ll[s] = ((uint64_t)LL_EXTRA[s] << 24) | ((uint64_t)LL_BASE[s] << 32);
+        for (int s = 0; s < 53; s++)
+            ml[s] = ((uint64_t)ML_EXTRA[s] << 24) | ((uint64_t)ML_BASE[s] << 32);
+        for (int s = 0; s < 32; s++)
+            of[s] = ((uint64_t)s << 24) | ((uint64_t)(1u << s) << 32);
+    }
+};
+static const SeqValTabs g_seq_val;
 
 // Single-pass: normalized counts -> fused SeqTable (spread + transitions +
 // value fields in one walk; scratch reused across blocks by the caller).
@@ -585,15 +641,16 @@ bool build_seq_table(const std::vector<int>& counts, int al, int kind,
     std::vector<int>& next = next_scratch;
     next.resize(counts.size());
     for (size_t s = 0; s < counts.size(); s++) next[s] = counts[s] == -1 ? 1 : counts[s];
+    const uint64_t* vt = kind == SEQ_LL ? g_seq_val.ll
+                       : kind == SEQ_ML ? g_seq_val.ml : g_seq_val.of;
+    uint64_t* ep = reinterpret_cast<uint64_t*>(st.e.data());
     for (int u = 0; u < size; u++) {
         unsigned s = syms[u];
         int x = next[s]++;
         int hb = 31 - __builtin_clz((uint32_t)x);
         int nb = al - hb;
-        SeqEnt& e = st.e[u];
-        e.nb_state = (uint8_t)nb;
-        e.new_state = (uint16_t)((x << nb) - size);
-        seq_value_fields(kind, s, e);
+        uint64_t e = vt[s] | (uint16_t)((x << nb) - size) | ((uint64_t)nb << 16);
+        memcpy(ep + u, &e, 8);
     }
     st.valid = true;
     return true;
@@ -610,6 +667,13 @@ struct DCtx {
     std::vector<int> counts_scratch;      // reused across blocks
     std::vector<uint16_t> sym_scratch;
     std::vector<int> next_scratch;
+    // build-skip cache: encoders (incl. libzstd on stationary data) often
+    // resend byte-identical FSE descriptors every block without using
+    // repeat mode; rebuilding a 512-entry table costs ~10k cycles and
+    // dominated record-style corpora (~29% of decode), so keep the counts
+    // that produced each block-local table and reuse it on an exact match
+    std::vector<int> ll_counts, of_counts, ml_counts;
+    int ll_al = -1, of_al = -1, ml_al = -1;
 };
 
 // overlap-copy helper tables (offset < 8 pattern expansion)
@@ -639,6 +703,8 @@ long long read_seq_table(DCtx& ctx, const uint8_t* block, size_t bsize, size_t p
         if (pos >= bsize) return -1;
         int sym = block[pos];
         if (sym > max_code) return -1;
+        // invalidate the build-skip cache: t no longer matches the counts
+        (kind == SEQ_LL ? ctx.ll_al : kind == SEQ_OF ? ctx.of_al : ctx.ml_al) = -1;
         t.al = 0;
         t.e.resize(1);
         t.e[0].new_state = 0;
@@ -653,7 +719,20 @@ long long read_seq_table(DCtx& ctx, const uint8_t* block, size_t bsize, size_t p
         int al;
         long long consumed = read_ncount(block + pos, bsize - pos, max_code, max_al, counts, al);
         if (consumed < 0) return -1;
-        if (!build_seq_table(counts, al, kind, t, ctx.sym_scratch, ctx.next_scratch)) return -1;
+        std::vector<int>& prev = kind == SEQ_LL ? ctx.ll_counts
+                               : kind == SEQ_OF ? ctx.of_counts : ctx.ml_counts;
+        int& prev_al = kind == SEQ_LL ? ctx.ll_al
+                     : kind == SEQ_OF ? ctx.of_al : ctx.ml_al;
+        if (t.valid && al == prev_al && counts == prev) {
+            act = &t;  // identical descriptor: reuse the built table
+            return (long long)(pos + consumed);
+        }
+        if (!build_seq_table(counts, al, kind, t, ctx.sym_scratch, ctx.next_scratch)) {
+            prev_al = -1;
+            return -1;
+        }
+        prev = counts;
+        prev_al = al;
         act = &t;
         return (long long)(pos + consumed);
     }
@@ -908,24 +987,37 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
         const SeqEnt oe = OFT[of_state];
         const SeqEnt me = MLT[ml_state];
         const SeqEnt le = LLT[ll_state];
-        bl -= oe.nb_extra;
-        uint64_t of_val = oe.base + ((w >> ((bl - wbase) & 63)) & ((1ull << oe.nb_extra) - 1));
-        bl -= me.nb_extra;
-        uint64_t ml_val = me.base + ((w >> ((bl - wbase) & 63)) & ((1ull << me.nb_extra) - 1));
+        // Branch around zero-bit extra reads (libzstd's trick): ll/ml
+        // extras are 0 for ll<16 / ml<35, i.e. almost always on typical
+        // data, and the branches predict near-perfectly — measured
+        // text-decode 0.67x -> 0.82x libzstd vs unconditional masked reads.
+        uint64_t of_val = oe.base;
+        if (oe.nb_extra) {
+            bl -= oe.nb_extra;
+            of_val += (w >> ((bl - wbase) & 63)) & kBitMask[oe.nb_extra];
+        }
+        uint64_t ml_val = me.base;
+        if (me.nb_extra) {
+            bl -= me.nb_extra;
+            ml_val += (w >> ((bl - wbase) & 63)) & kBitMask[me.nb_extra];
+        }
         if (bl - wbase < 42) {  // reload only when ll extra + states (<=42
             // bits) might not fit the current window; bl >= 57 here
             byte_end = (size_t)((bl + 7) >> 3);
             memcpy(&w, sdata + byte_end - 8, 8);
             wbase = (long long)(byte_end - 8) * 8;
         }
-        bl -= le.nb_extra;
-        uint64_t ll_val = le.base + ((w >> ((bl - wbase) & 63)) & ((1ull << le.nb_extra) - 1));
+        uint64_t ll_val = le.base;
+        if (le.nb_extra) {
+            bl -= le.nb_extra;
+            ll_val += (w >> ((bl - wbase) & 63)) & kBitMask[le.nb_extra];
+        }
         bl -= le.nb_state;
-        ll_state = le.new_state + (uint32_t)((w >> ((bl - wbase) & 63)) & ((1ull << le.nb_state) - 1));
+        ll_state = le.new_state + (uint32_t)((w >> ((bl - wbase) & 63)) & kBitMask[le.nb_state]);
         bl -= me.nb_state;
-        ml_state = me.new_state + (uint32_t)((w >> ((bl - wbase) & 63)) & ((1ull << me.nb_state) - 1));
+        ml_state = me.new_state + (uint32_t)((w >> ((bl - wbase) & 63)) & kBitMask[me.nb_state]);
         bl -= oe.nb_state;
-        of_state = oe.new_state + (uint32_t)((w >> ((bl - wbase) & 63)) & ((1ull << oe.nb_state) - 1));
+        of_state = oe.new_state + (uint32_t)((w >> ((bl - wbase) & 63)) & kBitMask[oe.nb_state]);
         br.bits_left = bl;
         if (!emit(ll_val, ml_val, of_val)) return false;
         i++;
