@@ -1103,19 +1103,34 @@ struct OptState {
     std::vector<int32_t> bt_hash;  // 1<<H4B roots
     std::vector<int32_t> bt;       // 2 children per absolute position
     std::vector<int32_t> h3;       // last position per 3-byte hash (mml=3)
-    // long-distance-match table (role: libzstd's LDM / --long): one
-    // (check32, pos) slot per 32-byte-window hash, inserted every 8th
-    // position INCLUDING spans the sufficient-len shortcut skips — far
+    // long-distance-match table (role: libzstd's LDM / --long): 2-way
+    // buckets of (check32, pos) per 32-byte-window hash, inserted every
+    // 8th position INCLUDING spans the sufficient-len shortcut skips — far
     // re-occurrences of skipped chunks stay discoverable without
-    // perturbing the BT (sparse BT inserts measured a ratio LOSS there)
-    std::vector<uint64_t> ldm;     // (check << 32) | (pos + 1)
+    // perturbing the BT (sparse BT inserts measured a ratio LOSS there).
+    // Slot 0 holds the most recent insert; slot 1 an "aged anchor": a
+    // displaced slot-0 entry is promoted there only when it is >=1 MiB
+    // older than its replacement, so multi-MB-distant candidates survive
+    // the recency churn that evicted them from the direct-mapped table
+    // (survival ~exp(-D/8MiB) meant only ~29% of 10-MiB-distant entries
+    // lived to be queried; measured longrange-16MiB ratio 1.032 vs lib)
+    std::vector<uint64_t> ldm;     // (check << 32) | (pos + 1), 2/bucket
     void init(size_t n_total) {
         bt_hash.assign(1u << 22, -1);
         bt.assign(2 * n_total + 2, -1);
         h3.assign(1u << 16, -1);
-        ldm.assign(1u << 20, 0);
+        ldm.assign(2u << 21, 0);
     }
 };
+
+// 2-way bucket insert: slot 0 = newest; displaced entries >=1 MiB older
+// than their replacement are promoted to slot 1 (the long-lived anchor)
+static inline void ldm_insert(std::vector<uint64_t>& ldm, uint64_t h, size_t pos) {
+    size_t b = ((uint32_t)h & ((1u << 21) - 1)) * 2;
+    uint64_t old0 = ldm[b];
+    ldm[b] = ((h >> 32) << 32) | (uint64_t)(pos + 1);
+    if (old0 && (size_t)(uint32_t)old0 - 1 + (1u << 20) <= pos) ldm[b + 1] = old0;
+}
 
 static inline uint64_t ldm_hash32(const uint8_t* p) {
     // mix of four 8-byte lanes of the 32-byte window
@@ -1186,6 +1201,15 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
         int d = block_budget > 0 ? BT_DEPTH : 2;
         long long byte_budget = 1 << 16;  // bounds walks on degenerate data
         while (cur >= 0 && d-- > 0 && byte_budget > 0) {
+            // window eviction (libzstd's windowLow break): an out-of-window
+            // node can never be a candidate, and extending a match against
+            // it burns the walk's byte budget — a >window exact duplicate
+            // (e.g. a 256 KiB chunk repeated 9 MiB later) ate the whole
+            // budget in one extension and starved the DP of near candidates
+            // (repeat blocks cost 23 KB vs 19 KB fresh; +12 KB per missed
+            // region on the 16 MiB longrange corpus).  Dropping its subtree
+            // progressively evicts stale positions exactly like libzstd.
+            if (p - (size_t)cur > max_offset) break;
             size_t len = len0 < len1 ? len0 : len1;
             size_t lim = n_total - p;
             size_t clim = n_total - (size_t)cur;
@@ -1252,11 +1276,13 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
             // far hits with a verified long match
             if (pos + 32 <= n_total) {
                 uint64_t h = ldm_hash32(base + pos);
-                uint64_t slot = ost.ldm[(uint32_t)h & ((1u << 20) - 1)];
-                if ((pos & 7) == 0)
-                    ost.ldm[(uint32_t)h & ((1u << 20) - 1)] =
-                        ((h >> 32) << 32) | (uint64_t)(pos + 1);
-                if (i < mf && slot && (slot >> 32) == (h >> 32)) {
+                size_t b = ((uint32_t)h & ((1u << 21) - 1)) * 2;
+                uint64_t slots[2] = {ost.ldm[b], ost.ldm[b + 1]};
+                if ((pos & 7) == 0) ldm_insert(ost.ldm, h, pos);
+                for (int sI = 0; sI < 2 && i < mf; sI++) {
+                    uint64_t slot = slots[sI];
+                    if (!slot || (slot >> 32) != (h >> 32)) continue;
+                    if (sI == 1 && slots[0] == slots[1]) continue;
                     size_t cand = (size_t)(uint32_t)slot - 1;
                     size_t off = pos - cand;
                     if (cand < pos && off <= max_offset &&
@@ -1411,11 +1437,8 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
             if (!cache.filled)
                 for (size_t q = i + 1; q <= stop; q++) {
                     size_t qp = blk_start + q;
-                    if ((qp & 7) == 0 && qp + 32 <= n_total) {
-                        uint64_t h = ldm_hash32(base + qp);
-                        ost.ldm[(uint32_t)h & ((1u << 20) - 1)] =
-                            ((h >> 32) << 32) | (uint64_t)(qp + 1);
-                    }
+                    if ((qp & 7) == 0 && qp + 32 <= n_total)
+                        ldm_insert(ost.ldm, ldm_hash32(base + qp), qp);
                     cache.idx.push_back((uint32_t)cache.flat.size());
                 }
             i = stop;

@@ -153,9 +153,10 @@ def test_encode_l19_prose_slice_pinned():
 
 def test_encode_l19_longrange_pinned():
     """16 MiB multi-MB-distance corpus (bench.build_longrange, shrunk to
-    8 MiB for CI time): L19 must stay within 6% of libzstd-19 (measured
-    1.033; closing the rest wants a dedicated LDM hash table — the
-    depth-capped BT alone loses a few % on far re-occurrences)."""
+    8 MiB for CI time): L19 must stay within 2% of libzstd-19 (measured
+    1.0046 at 16 MiB after the BT window-eviction fix — out-of-window
+    exact duplicates used to eat the walk byte-budget and starve the DP
+    of near candidates — plus the 2-way aged LDM buckets)."""
     import sys
 
     sys.path.insert(0, ".")
@@ -168,4 +169,4 @@ def test_encode_l19_longrange_pinned():
     data = build_longrange(8 << 20)
     ours = len(native.zstd_compress(data, 19))
     ref = len(zstandard.ZstdCompressor(level=19).compress(data))
-    assert ours <= ref * 1.06, f"L19 longrange: {ours} vs {ref} ({ours/ref:.4f})"
+    assert ours <= ref * 1.02, f"L19 longrange: {ours} vs {ref} ({ours/ref:.4f})"
