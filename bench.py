@@ -268,6 +268,7 @@ def main() -> int:
             "tpu_tokenizer_MBps": round(tpu["tok"], 2) if "tok" in tpu else None,
             "tpu_huffman_encode_MBps": round(tpu["huf"], 2) if "huf" in tpu else None,
             "tpu_huffman_decode_MBps": round(tpu["hufdec"], 2) if "hufdec" in tpu else None,
+            "tpu_xxh3_pallas_MBps": round(tpu["xxh3"], 2) if "xxh3" in tpu else None,
             "tpu_fse_encode_Mseqps": round(tpu["fse_mseq"], 3) if "fse_mseq" in tpu else None,
             "tpu_lz4_replay_MBps": round(tpu["lz4replay"], 2) if "lz4replay" in tpu else None,
             "tpu_zstd_mesh_device_entropy_MBps": round(tpu["zmesh_dev"], 2) if "zmesh_dev" in tpu else None,

@@ -133,6 +133,26 @@ def main() -> int:
     emit("hufdec", S * L / best_call(lambda: HJ.decode_streams(
         pay_d, starts_d, sym_t, nb_t, max_bits=dtb.max_bits, n_out=L)) / 1e6)
 
+    # --- xxh3: batched Pallas XXH3 accumulate rate (128 lanes x 512 KiB;
+    # the device answer to native xxh3's 9-11 GB/s — VERDICT r2 weak #9
+    # wanted this number recorded next to the native one)
+    from zpack_tpu.kernels import xxh3_pallas as XP
+
+    if XP._CONSTS is None:
+        sh, sl, mi = XP._make_consts()
+        XP._CONSTS = (jnp.asarray(sh), jnp.asarray(sl), jnp.asarray(mi))
+    SLEN = 512 << 10
+    ns_stripes = (SLEN - 1) // 64
+    nblocks = -(-ns_stripes // XP._SPB)
+    nstripes_a = np.zeros((8, XP.LANES), np.int32)
+    nstripes_a[0, :] = ns_stripes
+    data_a = rng.integers(0, 2**32, (nblocks, 256, XP.LANES), dtype=np.uint64)
+    data_d = jnp.asarray(data_a.astype(np.uint32))
+    nstripes_d = jnp.asarray(nstripes_a)
+    interp = jax.default_backend() != "tpu"
+    emit("xxh3", XP.LANES * SLEN / best_call(
+        lambda: XP._run(nstripes_d, *XP._CONSTS, data_d, nblocks, interp)) / 1e6)
+
     # --- fse: batched sequence-section encode (Mseq/s; 256 blocks x 1024)
     from zpack_tpu.codecs.zstd import seq as zseq
     from zpack_tpu.kernels import fse_jax as FJ
