@@ -30,19 +30,22 @@ def main():
     # ours
     out = native.zstd_decompress(comp, len(data))
     assert out == data, "native decode mismatch!"
-    reps = max(3, (64 << 20) // len(data))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        native.zstd_decompress(comp, len(data))
-    dt = time.perf_counter() - t0
-    ours = len(data) * reps / dt / 1e9
-    # libzstd single-thread
+    reps = max(5, (64 << 20) // len(data))
+    # best-of-N single calls, ours/lib interleaved: scheduler noise and CPU
+    # frequency drift hit both sides equally and the min discards them
     dctx = zstandard.ZstdDecompressor()
-    t0 = time.perf_counter()
+    dctx.decompress(comp, max_output_size=len(data))  # warm
+    b_ours = b_lib = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
+        native.zstd_decompress(comp, len(data))
+        t1 = time.perf_counter()
         dctx.decompress(comp, max_output_size=len(data))
-    dt = time.perf_counter() - t0
-    theirs = len(data) * reps / dt / 1e9
+        t2 = time.perf_counter()
+        b_ours = min(b_ours, t1 - t0)
+        b_lib = min(b_lib, t2 - t1)
+    ours = len(data) / b_ours / 1e9
+    theirs = len(data) / b_lib / 1e9
     print(f"ours   {ours:.3f} GB/s")
     print(f"libzstd {theirs:.3f} GB/s  (ratio ours/lib {ours/theirs:.3f})")
     _ = lib
