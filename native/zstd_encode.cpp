@@ -744,7 +744,11 @@ static uint32_t offset_value(uint64_t offset, uint32_t ll, uint64_t* rep) {
 
 static inline size_t match_len(const uint8_t* a, const uint8_t* b, size_t limit) {
     size_t n = 0;
-    while (n + 8 <= limit && rd64e(a + n) == rd64e(b + n)) n += 8;
+    while (n + 8 <= limit) {
+        uint64_t x = rd64e(a + n) ^ rd64e(b + n);
+        if (x) return n + (__builtin_ctzll(x) >> 3);  // first differing byte
+        n += 8;
+    }
     while (n < limit && a[n] == b[n]) n++;
     return n;
 }
@@ -832,6 +836,113 @@ static void find_sequences_fast(const uint8_t* base, size_t start, size_t end,
             continue;
         }
         pos += 2 + (accel++ >> 6);
+    }
+    lit_tail = end - lit_start;
+}
+
+// dfast-style greedy matcher for the default levels 2-3 (role: libzstd's
+// ZSTD_compressBlock_doubleFast behind lib/zpack_write.c:179): two plain
+// hash tables (8-byte long + 4-byte short), NO chain array — 2 random
+// table accesses per probe position instead of ~6 (the chain walk was
+// memory-bound; this measured ~1.4x on find across mixed/text/records
+// while every per-level ratio pin still holds).
+static void find_sequences_dfast(const uint8_t* base, size_t start, size_t end,
+                                 size_t src_total, EncCtx& ctx, int hash_bits,
+                                 bool lazy, size_t max_offset,
+                                 std::vector<Seq>& seqs, size_t& lit_tail,
+                                 int lit_bits) {
+    enc_init();
+    std::vector<int32_t>& htab = ctx.htab;
+    size_t pos = start;
+    size_t lit_start = start;
+    size_t accel = 1;
+    seqs.clear();
+    if (end < 4 || src_total < 13) { lit_tail = end - start; return; }
+    size_t mf = end >= 4 ? end - 4 : 0;
+    while (pos < mf) {
+        size_t best_len = 0, best_off = 0;
+        bool best_is_rep = false;
+        uint32_t ll_now = (uint32_t)(pos - lit_start);
+        // rep0 probe (the addressable first repeat for the current ll)
+        {
+            uint64_t off = ll_now ? ctx.rep[0] : ctx.rep[1];
+            if (off && off <= pos &&
+                rd32e(base + pos) == rd32e(base + pos - off)) {
+                size_t l = match_len(base + pos, base + pos - off, end - pos);
+                if (l >= 4) { best_len = l; best_off = off; best_is_rep = true; }
+            }
+        }
+        uint32_t h8 = 0;
+        bool have8 = pos + 8 <= end;
+        if (have8) {
+            h8 = zhash8(rd64e(base + pos), ctx.h8_bits);
+            int32_t c8 = ctx.htab8[h8];
+            if (c8 >= 0 && (size_t)c8 < pos && pos - (size_t)c8 <= max_offset &&
+                rd64e(base + c8) == rd64e(base + pos)) {
+                size_t l = match_len(base + pos, base + c8, end - pos);
+                if (l > best_len + (best_is_rep ? 1 : 0)) {
+                    best_len = l; best_off = pos - c8; best_is_rep = false;
+                }
+            }
+        }
+        uint32_t h = zhash(rd32e(base + pos), hash_bits);
+        int32_t cand = htab[h];
+        htab[h] = (int32_t)pos;
+        if (have8) ctx.htab8[h8] = (int32_t)pos;
+        // short-hash probe only when the long probe didn't already find a
+        // solid match (an 8+ match via h8 is rarely beaten by the h4 head)
+        if (best_len < 8 && cand >= 0 && (size_t)cand < pos &&
+            pos - (size_t)cand <= max_offset &&
+            rd32e(base + cand) == rd32e(base + pos)) {
+            size_t l = match_len(base + pos, base + cand, end - pos);
+            if (l > best_len + (best_is_rep ? 1 : 0)) {
+                best_len = l; best_off = pos - cand; best_is_rep = false;
+            }
+        }
+        // entropy-aware acceptance (same rule as the chain matcher)
+        if (best_len >= 4 && !best_is_rep &&
+            (long long)best_len * lit_bits <= (long long)highbit32((uint32_t)best_off) + 9) {
+            best_len = 0;
+        }
+        if (best_len >= 4) {
+            accel = 1;
+            if (best_off != ctx.rep[0] && pos + 1 < mf) {
+                uint64_t r0 = ctx.rep[0];
+                if (r0 && r0 <= pos + 1 &&
+                    rd32e(base + pos + 1) == rd32e(base + pos + 1 - r0)) {
+                    size_t l1 = match_len(base + pos + 1, base + pos + 1 - r0, end - pos - 1);
+                    if (l1 >= 4 && l1 + 1 >= best_len) { pos += 1; continue; }
+                }
+            }
+            if (lazy && !best_is_rep && pos + 1 < mf) {
+                uint32_t h2 = zhash(rd32e(base + pos + 1), hash_bits);
+                int32_t c2 = htab[h2];
+                if (c2 >= 0 && pos + 1 - (size_t)c2 <= max_offset &&
+                    rd32e(base + c2) == rd32e(base + pos + 1)) {
+                    size_t l2 = match_len(base + pos + 1, base + c2, end - pos - 1);
+                    if (l2 > best_len + 2) { pos += 1; continue; }
+                }
+            }
+            Seq s;
+            s.ll = (uint32_t)(pos - lit_start);
+            s.ml = (uint32_t)best_len;
+            s.ov = offset_value(best_off, s.ll, ctx.rep);
+            seqs.push_back(s);
+            size_t mend = pos + best_len;
+            // sparse in-match insertion: ~4 anchors per match instead of
+            // every other position (the dense loop was ~30% of find time)
+            size_t step = best_len / 4 ? best_len / 4 : 1;
+            for (size_t q = pos + 1; q < mend && q < mf; q += step) {
+                uint32_t hq = zhash(rd32e(base + q), hash_bits);
+                htab[hq] = (int32_t)q;
+                if (q + 8 <= end) ctx.htab8[zhash8(rd64e(base + q), ctx.h8_bits)] = (int32_t)q;
+            }
+            pos = mend;
+            lit_start = pos;
+        } else {
+            pos += 1 + (accel >> 6);
+            accel++;
+        }
     }
     lit_tail = end - lit_start;
 }
@@ -1628,12 +1739,12 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
         while (cm < n + 1) cm <<= 1;
         ctx.chain.assign(cm, -1);
         ctx.chain_mask = cm - 1;
-    } else {
+    } else if (level > 3) {
         size_t cm = 1;
         while (cm < n + 1 && cm < (1u << 16)) cm <<= 1;
         ctx.chain.assign(cm, -1);
         ctx.chain_mask = cm - 1;
-    }
+    }  // levels <= 3 (fast/dfast matchers) never touch the chain ring
 
     std::vector<Seq> seqs;
     std::vector<uint8_t> body;
@@ -1672,6 +1783,9 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
         if (level <= 1)
             find_sequences_fast(src, off, off + bsize, ctx, hash_bits,
                                 max_offset, seqs, lit_tail);
+        else if (level <= 3)
+            find_sequences_dfast(src, off, off + bsize, n, ctx, hash_bits,
+                                 level > 2, max_offset, seqs, lit_tail, lit_bits);
         else
             find_sequences(src, off, off + bsize, n, ctx, hash_bits, depth, lazy,
                            max_offset, seqs, lit_tail, level > 12 ? 3 : 0, lit_bits);
