@@ -46,20 +46,35 @@ static inline int highbit32(uint32_t v) { return 31 - __builtin_clz(v); }
 // ---------------------------------------------------------------------------
 
 struct BitW {
+    // 64-bit container with batched 8-byte spills (the per-byte push_back
+    // writer measured 66 cycles/seq in the sequence encoder — ~22% of L3
+    // encode).  `out` holds `opos` valid bytes plus scratch slack until
+    // finish() trims it; consumers read `out` only after finish().
     uint64_t acc = 0;
     int nbits = 0;
+    size_t opos = 0;
     std::vector<uint8_t> out;
 
-    void add(uint32_t value, int bits) {
-        if (!bits) return;
-        acc |= (uint64_t)(value & ((1u << bits) - 1)) << nbits;
+    inline void spill_() {
+        if (out.size() < opos + 16) out.resize(out.size() + opos + 64);
+        memcpy(out.data() + opos, &acc, 8);
+        opos += (size_t)((unsigned)nbits >> 3);
+        acc >>= nbits & ~7;
+        nbits &= 7;
+    }
+    inline void add(uint32_t value, int bits) {
+        if (nbits > 32) spill_();  // keeps headroom for bits <= 31
+        acc |= (uint64_t)(value & (((uint64_t)1 << bits) - 1)) << nbits;
         nbits += bits;
-        while (nbits >= 8) { out.push_back((uint8_t)acc); acc >>= 8; nbits -= 8; }
     }
     void finish() {
+        if (nbits > 32) spill_();
         acc |= 1ull << nbits;
         nbits += 1;
-        while (nbits > 0) { out.push_back((uint8_t)acc); acc >>= 8; nbits -= 8; }
+        spill_();
+        if (nbits) { out.resize(opos + 1 > out.size() ? opos + 1 : out.size());
+                     out[opos++] = (uint8_t)acc; acc = 0; nbits = 0; }
+        out.resize(opos);
     }
 };
 
