@@ -505,17 +505,32 @@ static bool fse_weights(const std::vector<int>& W, std::vector<uint8_t>& out) {
     return true;
 }
 
-static void huf_encode_stream(const uint8_t* d, size_t n, const HufEnc& t,
-                              std::vector<uint8_t>& out) {
-    out.clear();
-    out.resize(n * 11 / 8 + 16);
+// Encode one backward huffman stream into `out` (grow-only scratch, never
+// shrunk — a clear+resize writer re-zeroed ~1.4x the input every call).
+// Packed (code | len<<12) entries mean one table load per symbol; two
+// symbols join the accumulator between 32-bit spills (codes are <= 11 bit,
+// so a pair adds <= 22 bits against the >= 32 bits of headroom).
+static size_t huf_encode_stream(const uint8_t* d, size_t n, const HufEnc& t,
+                                std::vector<uint8_t>& out) {
+    size_t need = n * 11 / 8 + 16;
+    if (out.size() < need) out.resize(need);
+    uint16_t packed[256];
+    int top = t.max_symbol < 0 ? -1 : t.max_symbol;
+    for (int s = 0; s <= top; s++)
+        packed[s] = (uint16_t)(t.codes[s] | ((uint16_t)t.lengths[s] << 12));
     uint8_t* op = out.data();
     size_t pos = 0;
     uint64_t acc = 0;
     int nbits = 0;
-    for (size_t i = n; i-- > 0;) {
-        acc |= (uint64_t)t.codes[d[i]] << nbits;
-        nbits += t.lengths[d[i]];
+    size_t i = n;
+    while (i >= 2) {
+        uint32_t e0 = packed[d[i - 1]];
+        acc |= (uint64_t)(e0 & 0x7FF) << nbits;
+        nbits += e0 >> 12;
+        uint32_t e1 = packed[d[i - 2]];
+        acc |= (uint64_t)(e1 & 0x7FF) << nbits;
+        nbits += e1 >> 12;
+        i -= 2;
         if (nbits >= 32) {
             memcpy(op + pos, &acc, 4);
             pos += 4;
@@ -523,10 +538,15 @@ static void huf_encode_stream(const uint8_t* d, size_t n, const HufEnc& t,
             nbits -= 32;
         }
     }
+    if (i) {
+        uint32_t e0 = packed[d[0]];
+        acc |= (uint64_t)(e0 & 0x7FF) << nbits;
+        nbits += e0 >> 12;
+    }
     acc |= 1ull << nbits;  // sentinel
     nbits += 1;
     while (nbits > 0) { op[pos++] = (uint8_t)acc; acc >>= 8; nbits -= 8; }
-    out.resize(pos);
+    return pos;
 }
 
 // ---------------------------------------------------------------------------
@@ -627,20 +647,21 @@ static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>
         }
         if (table) {
             size_t per = (rs + 3) / 4;
-            std::vector<uint8_t> s[4];
+            static thread_local std::vector<uint8_t> s[4];
+            size_t sn[4] = {0, 0, 0, 0};
             bool four = rs >= 256 && rs - 3 * per > 0;
             size_t cs;
             if (four) {
-                huf_encode_stream(lits, per, *table, s[0]);
-                huf_encode_stream(lits + per, per, *table, s[1]);
-                huf_encode_stream(lits + 2 * per, per, *table, s[2]);
-                huf_encode_stream(lits + 3 * per, rs - 3 * per, *table, s[3]);
-                cs = tree.size() + 6 + s[0].size() + s[1].size() + s[2].size() + s[3].size();
+                sn[0] = huf_encode_stream(lits, per, *table, s[0]);
+                sn[1] = huf_encode_stream(lits + per, per, *table, s[1]);
+                sn[2] = huf_encode_stream(lits + 2 * per, per, *table, s[2]);
+                sn[3] = huf_encode_stream(lits + 3 * per, rs - 3 * per, *table, s[3]);
+                cs = tree.size() + 6 + sn[0] + sn[1] + sn[2] + sn[3];
             } else {
-                huf_encode_stream(lits, rs, *table, s[0]);
-                cs = tree.size() + s[0].size();
+                sn[0] = huf_encode_stream(lits, rs, *table, s[0]);
+                cs = tree.size() + sn[0];
             }
-            bool fits = four ? (s[0].size() <= 0xFFFF && s[1].size() <= 0xFFFF && s[2].size() <= 0xFFFF)
+            bool fits = four ? (sn[0] <= 0xFFFF && sn[1] <= 0xFFFF && sn[2] <= 0xFFFF)
                              : (rs <= 1023 && cs <= 1023);
             if (fits && cs + 5 < rs) {
                 // compressed literals header
@@ -666,15 +687,16 @@ static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>
                 }
                 out.insert(out.end(), tree.begin(), tree.end());
                 if (four) {
-                    out.push_back((uint8_t)(s[0].size() & 0xFF));
-                    out.push_back((uint8_t)(s[0].size() >> 8));
-                    out.push_back((uint8_t)(s[1].size() & 0xFF));
-                    out.push_back((uint8_t)(s[1].size() >> 8));
-                    out.push_back((uint8_t)(s[2].size() & 0xFF));
-                    out.push_back((uint8_t)(s[2].size() >> 8));
-                    for (int i = 0; i < 4; i++) out.insert(out.end(), s[i].begin(), s[i].end());
+                    out.push_back((uint8_t)(sn[0] & 0xFF));
+                    out.push_back((uint8_t)(sn[0] >> 8));
+                    out.push_back((uint8_t)(sn[1] & 0xFF));
+                    out.push_back((uint8_t)(sn[1] >> 8));
+                    out.push_back((uint8_t)(sn[2] & 0xFF));
+                    out.push_back((uint8_t)(sn[2] >> 8));
+                    for (int i = 0; i < 4; i++)
+                        out.insert(out.end(), s[i].data(), s[i].data() + sn[i]);
                 } else {
-                    out.insert(out.end(), s[0].begin(), s[0].end());
+                    out.insert(out.end(), s[0].data(), s[0].data() + sn[0]);
                 }
                 if (ltype == 2) {  // fresh table becomes the frame's current
                     ls.prev = t;
