@@ -505,6 +505,58 @@ static bool fse_weights(const std::vector<int>& W, std::vector<uint8_t>& out) {
     return true;
 }
 
+// Pack (code | len<<12) per symbol: one table load instead of two.
+static void huf_pack_table(const HufEnc& t, uint16_t packed[256]) {
+    int top = t.max_symbol < 0 ? -1 : t.max_symbol;
+    for (int s = 0; s <= top; s++)
+        packed[s] = (uint16_t)(t.codes[s] | ((uint16_t)t.lengths[s] << 12));
+}
+
+// Encode TWO backward huffman streams in one loop: the accumulator chain
+// (or+shift serialized through nbits) limits a single stream to ~2 cyc/sym;
+// two independent chains overlap almost fully.  Both streams must have the
+// same symbol count (the 4-stream split gives three equal-size streams).
+static void huf_encode_stream2(const uint8_t* d0, const uint8_t* d1, size_t n,
+                               const uint16_t* packed,
+                               uint8_t* op0, size_t& pos0,
+                               uint8_t* op1, size_t& pos1) {
+    uint64_t acc0 = 0, acc1 = 0;
+    int nb0 = 0, nb1 = 0;
+    size_t p0 = 0, p1 = 0;
+    size_t i = n;
+    while (i >= 2) {
+        uint32_t e0 = packed[d0[i - 1]];
+        acc0 |= (uint64_t)(e0 & 0x7FF) << nb0;
+        nb0 += e0 >> 12;
+        uint32_t f0 = packed[d1[i - 1]];
+        acc1 |= (uint64_t)(f0 & 0x7FF) << nb1;
+        nb1 += f0 >> 12;
+        uint32_t e1 = packed[d0[i - 2]];
+        acc0 |= (uint64_t)(e1 & 0x7FF) << nb0;
+        nb0 += e1 >> 12;
+        uint32_t f1 = packed[d1[i - 2]];
+        acc1 |= (uint64_t)(f1 & 0x7FF) << nb1;
+        nb1 += f1 >> 12;
+        i -= 2;
+        if (nb0 >= 32) { memcpy(op0 + p0, &acc0, 4); p0 += 4; acc0 >>= 32; nb0 -= 32; }
+        if (nb1 >= 32) { memcpy(op1 + p1, &acc1, 4); p1 += 4; acc1 >>= 32; nb1 -= 32; }
+    }
+    if (i) {
+        uint32_t e0 = packed[d0[0]];
+        acc0 |= (uint64_t)(e0 & 0x7FF) << nb0;
+        nb0 += e0 >> 12;
+        uint32_t f0 = packed[d1[0]];
+        acc1 |= (uint64_t)(f0 & 0x7FF) << nb1;
+        nb1 += f0 >> 12;
+    }
+    acc0 |= 1ull << nb0; nb0 += 1;
+    while (nb0 > 0) { op0[p0++] = (uint8_t)acc0; acc0 >>= 8; nb0 -= 8; }
+    acc1 |= 1ull << nb1; nb1 += 1;
+    while (nb1 > 0) { op1[p1++] = (uint8_t)acc1; acc1 >>= 8; nb1 -= 8; }
+    pos0 = p0;
+    pos1 = p1;
+}
+
 // Encode one backward huffman stream into `out` (grow-only scratch, never
 // shrunk — a clear+resize writer re-zeroed ~1.4x the input every call).
 // Packed (code | len<<12) entries mean one table load per symbol; two
@@ -652,8 +704,16 @@ static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>
             bool four = rs >= 256 && rs - 3 * per > 0;
             size_t cs;
             if (four) {
-                sn[0] = huf_encode_stream(lits, per, *table, s[0]);
-                sn[1] = huf_encode_stream(lits + per, per, *table, s[1]);
+                size_t need = per * 11 / 8 + 16;
+                for (int k = 0; k < 3; k++)
+                    if (s[k].size() < need) s[k].resize(need);
+                uint16_t packed[256];
+                huf_pack_table(*table, packed);
+                // streams 0+1 share one interleaved loop (equal lengths);
+                // stream 2 pairs with 3's equal-length prefix via the
+                // single-stream path (3 is shorter: rs - 3*per <= per)
+                huf_encode_stream2(lits, lits + per, per, packed,
+                                   s[0].data(), sn[0], s[1].data(), sn[1]);
                 sn[2] = huf_encode_stream(lits + 2 * per, per, *table, s[2]);
                 sn[3] = huf_encode_stream(lits + 3 * per, rs - 3 * per, *table, s[3]);
                 cs = tree.size() + 6 + sn[0] + sn[1] + sn[2] + sn[3];
