@@ -43,10 +43,28 @@ def test_codec_roundtrip_fuzz(seed):
         data = _gen(rng, size)[:size]
         method = rng.choice([C.CompressionMethod.NONE, C.CompressionMethod.LZ4,
                              C.CompressionMethod.ZSTD])
-        level = rng.choice([1, 3] if method == C.CompressionMethod.LZ4 else [1, 3, 19])
+        level = rng.choice([1, 3] if method == C.CompressionMethod.LZ4 else [1, 2, 3, 19])
         codec = get_codec(method)
         comp = codec.compress(data, level)
         assert codec.decompress(comp, len(data)) == data, (seed, size, method, level)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_zstd_dfast_block_boundary_fuzz(seed):
+    """Levels 2-3 (dfast matcher) across 128 KiB block boundaries, decoded
+    by BOTH our decoder and libzstd — sizes below stay within one block and
+    would never exercise cross-block rep/window state."""
+    import zstandard
+
+    rng = random.Random(7000 + seed)
+    codec = get_codec(C.CompressionMethod.ZSTD)
+    for size in [(128 << 10) - 1, 128 << 10, (128 << 10) + 1, 300 << 10]:
+        data = _gen(rng, size)[:size]
+        for level in (2, 3):
+            comp = codec.compress(data, level)
+            assert codec.decompress(comp, len(data)) == data, (seed, size, level)
+            lib = zstandard.ZstdDecompressor().decompress(comp, max_output_size=size)
+            assert lib == data, (seed, size, level)
 
 
 @pytest.mark.parametrize("seed", range(4))
