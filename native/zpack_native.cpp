@@ -607,34 +607,157 @@ uint32_t zn_xxh32(const uint8_t* d, size_t len, uint32_t seed) {
     return h;
 }
 
-// One-shot lz4 frame compress: independent 64KiB blocks, no checksums
-// (matches the Python encoder's frame shape). Returns size or (size_t)-1.
+// Compress one 64 KiB block of a LINKED-block frame: absolute positions
+// over the whole frame source, so matches may reach up to 65535 bytes into
+// earlier blocks (liblz4's default blockMode — worth ~10% on compressible
+// data vs independent blocks).  The thread_local tables stay warm across a
+// thread's contiguous block range (`warm`): only one cold start per
+// thread instead of per block, which is what keeps the parallel path at
+// independent-block speed.  Sequences still end inside the block (the
+// frame format decodes block-by-block into a rolling 64 KiB history).
+static size_t lz4_compress_block_linked(const uint8_t* base, size_t start,
+                                        size_t bend, uint8_t* dst, size_t cap,
+                                        int level, bool warm) {
+    uint8_t* op = dst;
+    uint8_t* oend = dst + cap;
+    size_t n = bend - start;
+    if (n == 0) return 0;
+    static thread_local int32_t table[1 << HASH_LOG];
+    static thread_local int32_t chain[1 << 16];
+    int depth = level <= 2 ? 1 : level <= 6 ? 1 << (level - 1) : level <= 9 ? 64 : 256;
+    if (!warm) {
+        memset(table, 0xFF, sizeof(table));
+        if (depth > 1) memset(chain, 0xFF, sizeof(chain));
+    }
+    size_t lit_start = start;
+    if (n >= LZ4_MFLIMIT + 1) {
+        size_t pos = start;
+        size_t mflimit = bend - LZ4_MFLIMIT;
+        size_t limit = bend - LZ4_LASTLITS;
+        // 5-byte hash (liblz4's byU32 strategy): longer distinguishing
+        // prefix -> the single stored candidate extends further on text.
+        // The 4-byte hash measured 5% worse frames on the prose slice
+        // (1108K vs lib 989K); with h5 the linked frame is 1.0005x liblz4.
+        // Reads are safe: pos < mflimit = bend - 12.
+        auto h5 = [&](size_t p) -> uint32_t {
+            return (uint32_t)(((rd64(base + p) << 24) * 889523592379ULL) >> (64 - HASH_LOG));
+        };
+        table[h5(pos)] = (int32_t)pos;
+        pos++;
+        size_t attempts = 1u << 6;
+        while (pos < mflimit) {
+            uint32_t h = h5(pos);
+            int32_t cand = table[h];
+            if (depth > 1) chain[pos & 0xFFFF] = cand;
+            table[h] = (int32_t)pos;
+            size_t best_ml = 0;
+            size_t best_cand = 0;
+            int d = depth;
+            while (cand >= 0 && d-- > 0 && pos - (size_t)cand <= 65535) {
+                if ((size_t)cand < pos && rd32(base + cand) == rd32(base + pos)) {
+                    size_t ml = LZ4_MINMATCH;
+                    size_t maxml = limit - pos;
+                    while (ml + 8 <= maxml && rd64(base + cand + ml) == rd64(base + pos + ml)) ml += 8;
+                    while (ml < maxml && base[cand + ml] == base[pos + ml]) ml++;
+                    if (ml > best_ml) { best_ml = ml; best_cand = (size_t)cand; }
+                }
+                if (depth <= 1) break;
+                int32_t nxt = chain[cand & 0xFFFF];
+                if (nxt >= cand) break;
+                cand = nxt;
+            }
+            if (best_ml >= LZ4_MINMATCH) {
+                size_t ml = best_ml;
+                size_t cand2 = best_cand;
+                while (pos > lit_start && cand2 > 0 && base[pos - 1] == base[cand2 - 1]) {
+                    pos--; cand2--; ml++;
+                }
+                op = lz4_emit(op, oend, base, lit_start, pos - lit_start, pos - cand2, ml);
+                if (!op) return (size_t)-1;
+                size_t end_pos = pos + ml;
+                size_t step_in = depth > 1 ? 1 : 3;
+                for (size_t q = pos + 1; q < end_pos && q < mflimit; q += step_in) {
+                    uint32_t hq = h5(q);
+                    if (depth > 1) chain[q & 0xFFFF] = table[hq];
+                    table[hq] = (int32_t)q;
+                }
+                pos = end_pos;
+                lit_start = pos;
+                attempts = 1u << 6;
+                continue;
+            }
+            pos += attempts++ >> 6;
+        }
+    }
+    size_t ll = bend - lit_start;
+    size_t need = 1 + ll / 255 + 1 + ll;
+    if (op + need > oend) return (size_t)-1;
+    *op++ = (uint8_t)((ll < 15 ? ll : 15) << 4);
+    if (ll >= 15) op = write_lsic(op, ll - 15);
+    memcpy(op, base + lit_start, ll);
+    op += ll;
+    return (size_t)(op - dst);
+}
+
+// One-shot lz4 frame compress: LINKED 64KiB blocks (liblz4's default mode,
+// ~10% smaller than independent on compressible data), no checksums.
+// Parallelism: contiguous block RANGES per thread, each range compressed
+// sequentially with a warm match table — one cold start per thread.
+// Returns size or (size_t)-1.
 size_t zn_lz4f_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level) {
     const size_t BS = 64 << 10;
     uint8_t* op = dst;
     uint8_t* oend = dst + cap;
     if (cap < 7 + 4) return (size_t)-1;
-    // magic + FLG(0x60: v01 + B.Indep) + BD(0x40: 64KB) + HC
+    // magic + FLG(0x40: v01 + B.Linked) + BD(0x40: 64KB) + HC
     op[0] = 0x04; op[1] = 0x22; op[2] = 0x4D; op[3] = 0x18;
-    op[4] = 0x60; op[5] = 0x40;
+    op[4] = 0x40; op[5] = 0x40;
     op[6] = (uint8_t)(zn_xxh32(op + 4, 2, 0) >> 8);
     op += 7;
     size_t nb = (n + BS - 1) / BS;
     unsigned nt = zn_nthreads();
+    if (nb <= 1) {
+        // single block: nothing to link — the 16-bit fast matcher is ~1%
+        // tighter than the general one on small inputs
+        size_t chunk = n;
+        if (chunk) {
+            if ((size_t)(oend - op) < 4 + chunk + 16) return (size_t)-1;
+            size_t csz = zn_lz4_compress(src, chunk, op + 4, chunk - 1, level);
+            if (csz != (size_t)-1 && csz < chunk) {
+                op[0] = (uint8_t)csz; op[1] = (uint8_t)(csz >> 8);
+                op[2] = (uint8_t)(csz >> 16); op[3] = (uint8_t)(csz >> 24);
+                op += 4 + csz;
+            } else {
+                uint32_t hdr = (uint32_t)chunk | 0x80000000u;
+                memcpy(op, &hdr, 4);
+                memcpy(op + 4, src, chunk);
+                op += 4 + chunk;
+            }
+        }
+        if ((size_t)(oend - op) < 4) return (size_t)-1;
+        memset(op, 0, 4);  // EndMark
+        op += 4;
+        return (size_t)(op - dst);
+    }
     if (nt >= 2 && nb >= 4) {
-        // Parallel: blocks are independent — compress each into a scratch
-        // slot across threads, then pack serially (memcpy-bound).
         size_t stride = BS;  // cap chunk-1 < BS guarantees fit
         std::unique_ptr<uint8_t[]> scratch(new uint8_t[nb * stride]);
         std::vector<uint32_t> sizes(nb);  // high bit = stored raw
-        zn_parallel_for(nb, nt, [&](size_t i) {
-            size_t off = i * BS;
-            size_t chunk = n - off < BS ? n - off : BS;
-            size_t csz = zn_lz4_compress(src + off, chunk, scratch.get() + i * stride,
-                                         chunk ? chunk - 1 : 0, level);
-            sizes[i] = (csz != (size_t)-1 && csz < chunk)
-                           ? (uint32_t)csz
-                           : ((uint32_t)chunk | 0x80000000u);
+        size_t nranges = nt;
+        size_t per = (nb + nranges - 1) / nranges;
+        zn_parallel_for(nranges, nt, [&](size_t r) {
+            size_t b0 = r * per;
+            size_t b1 = b0 + per < nb ? b0 + per : nb;
+            for (size_t i = b0; i < b1; i++) {
+                size_t off = i * BS;
+                size_t chunk = n - off < BS ? n - off : BS;
+                size_t csz = lz4_compress_block_linked(
+                    src, off, off + chunk, scratch.get() + i * stride,
+                    chunk ? chunk - 1 : 0, level, i != b0);
+                sizes[i] = (csz != (size_t)-1 && csz < chunk)
+                               ? (uint32_t)csz
+                               : ((uint32_t)chunk | 0x80000000u);
+            }
         });
         for (size_t i = 0; i < nb; i++) {
             uint32_t hdr = sizes[i];
@@ -647,10 +770,13 @@ size_t zn_lz4f_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
             op += 4 + payload;
         }
     } else {
+        bool warm = false;
         for (size_t off = 0; off < n; off += BS) {
             size_t chunk = n - off < BS ? n - off : BS;
             if ((size_t)(oend - op) < 4 + chunk + 16) return (size_t)-1;
-            size_t csz = zn_lz4_compress(src + off, chunk, op + 4, chunk ? chunk - 1 : 0, level);
+            size_t csz = lz4_compress_block_linked(src, off, off + chunk, op + 4,
+                                                   chunk ? chunk - 1 : 0, level, warm);
+            warm = true;
             if (csz != (size_t)-1 && csz < chunk) {
                 op[0] = (uint8_t)csz; op[1] = (uint8_t)(csz >> 8);
                 op[2] = (uint8_t)(csz >> 16); op[3] = (uint8_t)(csz >> 24);

@@ -103,7 +103,9 @@ def test_mesh_default_block_ratio_robust():
     mc = MeshCompressor(make_mesh())  # default 64 KiB blocks
     comp = mc.compress(rec)
     assert lz4frame.decompress_frame(comp) == rec
-    native = lz4frame.compress_frame(rec, 1)
+    # the mesh emits independent blocks by design (device parallelism);
+    # baseline on the same mode — the linked one-shot plays a different game
+    native = lz4frame.compress_frame(rec, 1, block_indep=True)
     assert len(comp) <= int(len(native) * 1.25)
 
 

