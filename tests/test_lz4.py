@@ -118,3 +118,40 @@ def test_multiblock_frame():
     comp = frame.compress_frame(data, 1)
     assert frame.decompress_frame(comp) == data
     assert len(comp) < len(data)
+
+
+def test_lz4f_linked_size_parity_vs_liblz4():
+    """Native linked-frame output must stay within 1% of liblz4's default
+    LZ4F output (the reference's lz4 configuration; was 1.049x before the
+    linked-mode + 5-byte-hash encoder).  Skips when the system liblz4
+    runtime library is unavailable."""
+    import ctypes
+    import sys
+
+    from zpack_tpu import native as zn
+
+    if zn.get_lib() is None:
+        pytest.skip("native backend unavailable")
+    try:
+        lz4 = ctypes.CDLL("liblz4.so.1")
+    except OSError:
+        pytest.skip("system liblz4 unavailable")
+    lz4.LZ4F_compressFrameBound.restype = ctypes.c_size_t
+    lz4.LZ4F_compressFrameBound.argtypes = [ctypes.c_size_t, ctypes.c_void_p]
+    lz4.LZ4F_compressFrame.restype = ctypes.c_size_t
+    lz4.LZ4F_compressFrame.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_void_p]
+
+    sys.path.insert(0, ".")
+    from bench import build_corpus
+
+    data = build_corpus(2 << 20)
+    bound = lz4.LZ4F_compressFrameBound(len(data), None)
+    buf = ctypes.create_string_buffer(bound)
+    lib_n = lz4.LZ4F_compressFrame(buf, bound, data, len(data), None)
+    assert lib_n and not (lib_n >> 63)
+    ours = zn.lz4f_compress(data, 1)
+    assert ours is not None
+    assert frame.decompress_frame(ours, len(data)) == data
+    assert len(ours) <= lib_n * 1.01, f"{len(ours)} vs liblz4 {lib_n}"
