@@ -637,10 +637,13 @@ static size_t lz4_compress_block_linked(const uint8_t* base, size_t start,
         // 5-byte hash (liblz4's byU32 strategy): longer distinguishing
         // prefix -> the single stored candidate extends further on text.
         // The 4-byte hash measured 5% worse frames on the prose slice
-        // (1108K vs lib 989K); with h5 the linked frame is 1.0005x liblz4.
+        // (1108K vs lib 989K).  13 hash bits keep the hot table slice
+        // L1-resident: vs 16 bits that is +25% encode speed for +0.08%
+        // size (1.0012x liblz4's linked frames, still under the 1.01 pin).
         // Reads are safe: pos < mflimit = bend - 12.
+        constexpr int LINKED_HASH_LOG = 13;
         auto h5 = [&](size_t p) -> uint32_t {
-            return (uint32_t)(((rd64(base + p) << 24) * 889523592379ULL) >> (64 - HASH_LOG));
+            return (uint32_t)(((rd64(base + p) << 24) * 889523592379ULL) >> (64 - LINKED_HASH_LOG));
         };
         table[h5(pos)] = (int32_t)pos;
         pos++;
