@@ -711,12 +711,16 @@ size_t zn_lz4f_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
     const size_t BS = 64 << 10;
     uint8_t* op = dst;
     uint8_t* oend = dst + cap;
-    if (cap < 7 + 4) return (size_t)-1;
-    // magic + FLG(0x40: v01 + B.Linked) + BD(0x40: 64KB) + HC
+    if (cap < 15 + 4) return (size_t)-1;
+    // magic + FLG(0x48: v01 + B.Linked + ContentSize) + BD(0x40: 64KB)
+    // + u64 content size + HC.  The declared size lets concatenated
+    // frames decode in parallel (each frame's output slot is known).
     op[0] = 0x04; op[1] = 0x22; op[2] = 0x4D; op[3] = 0x18;
-    op[4] = 0x40; op[5] = 0x40;
-    op[6] = (uint8_t)(zn_xxh32(op + 4, 2, 0) >> 8);
-    op += 7;
+    op[4] = 0x48; op[5] = 0x40;
+    uint64_t csz64 = (uint64_t)n;
+    memcpy(op + 6, &csz64, 8);
+    op[14] = (uint8_t)(zn_xxh32(op + 4, 10, 0) >> 8);
+    op += 15;
     size_t nb = (n + BS - 1) / BS;
     unsigned nt = zn_nthreads();
     if (nb <= 1) {

@@ -36,10 +36,14 @@ class LZ4Codec(Codec):
                     return mc.compress(bytes(data))
                 except Exception:
                     pass  # fall through to host engines
-            if len(data) > (16 << 20):
+            if len(data) > (2 << 20):
+                # one linked frame per 2 MiB chunk: encode chunks AND
+                # decode frames in parallel; the only ratio cost is one
+                # 64 KiB window restart per chunk (~0.1% on mixed data)
                 from ...parallel import host
 
-                comp = host.lz4f_compress_parallel(bytes(data), level)
+                comp = host.lz4f_compress_parallel(bytes(data), level,
+                                                   chunk=2 << 20)
                 if comp is not None:
                     return comp
             return frame.compress_frame(data, level)
@@ -58,6 +62,14 @@ class LZ4Codec(Codec):
                     return decompress_lz4f_batched(bytes(data), uncomp_size)
                 except Exception:
                     pass  # linked blocks / corrupt input: host path decides
+            if len(data) > (1 << 20):
+                # concatenated frames (the chunked encoder's output) decode
+                # frame-parallel; returns None for single/foreign frames
+                from ...parallel import host
+
+                out = host.lz4f_decompress_parallel(bytes(data), uncomp_size)
+                if out is not None:
+                    return out
             return frame.decompress_frame(data, uncomp_size)
 
     def compress_bound(self, size: int) -> int:

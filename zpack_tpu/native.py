@@ -350,6 +350,62 @@ def lz4f_decompress(data: bytes, max_out: int) -> bytes | None:
     return out if n == len(out) else out[:n]
 
 
+_RAW = None
+
+
+def _raw_lib() -> ctypes.CDLL | None:
+    """Second handle onto the same .so with pointer-typed (c_void_p)
+    signatures, for calls that pass raw address offsets into shared
+    buffers (ctypes caches function objects per CDLL instance, so this
+    leaves the bytes-typed signatures on the main handle untouched)."""
+    global _RAW
+    if _RAW is None:
+        if get_lib() is None:
+            return None
+        _RAW = ctypes.CDLL(str(_SO))
+        _RAW.zn_lz4f_decompress.restype = ctypes.c_size_t
+        _RAW.zn_lz4f_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t]
+    return _RAW
+
+
+def lz4f_decompress_frames(data: bytes, bounds) -> bytes | None:
+    """Decode concatenated lz4 frames IN PARALLEL straight into one output
+    buffer — src/dst are raw address offsets, so there is no per-frame
+    slice copy and no join copy (the copying ThreadPool version measured
+    SLOWER than sequential; this one scales with cores).
+
+    ``bounds``: [(start, end, content_size)] per frame, as produced by
+    parallel.host._scan_lz4f_frames.  Returns None on any frame failure.
+    """
+    raw = _raw_lib()
+    if raw is None:
+        return None
+    import concurrent.futures as cf
+
+    total = sum(b[2] for b in bounds)
+    out, optr = _bytes_out(total)
+    src_addr = _pyapi.PyBytes_AsString(data)
+    offs = []
+    acc = 0
+    for _, _, cs in bounds:
+        offs.append(acc)
+        acc += cs
+    fn = raw.zn_lz4f_decompress
+
+    def one(i: int) -> bool:
+        s, e, cs = bounds[i]
+        n = int(fn(src_addr + s, e - s, optr + offs[i], cs))
+        return n == cs
+
+    workers = max(1, min(8, os.cpu_count() or 1))
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        ok = list(ex.map(one, range(len(bounds))))
+    if not all(ok):
+        return None
+    return out if total == len(out) else out[:total]
+
+
 def zstd_compress(data: bytes, level: int = 3) -> bytes | None:
     lib = get_lib()
     if lib is None:

@@ -120,3 +120,74 @@ def lz4f_compress_parallel(data: bytes, level: int = 1, *, chunk: int = DEFAULT_
     if any(f is None for f in frames):
         return None
     return b"".join(frames)
+
+
+def _scan_lz4f_frames(data: bytes):
+    """Return [(start, end, content_size)] for concatenated lz4 frames with
+    declared content sizes (our native encoder always declares them), or
+    None when any frame lacks one / looks unfamiliar."""
+    import struct
+
+    from ..codecs.lz4 import frame as lf
+
+    bounds = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if n - pos < 4:
+            return None
+        (magic,) = struct.unpack_from("<I", data, pos)
+        if lf.MAGIC_SKIPPABLE_MIN <= magic <= lf.MAGIC_SKIPPABLE_MAX:
+            if n - pos < 8:
+                return None
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            pos += 8 + size
+            continue
+        if magic != lf.MAGIC:
+            return None
+        start = pos
+        if n - pos < 7:
+            return None
+        flg = data[pos + 4]
+        if (flg >> 6) != 1 or not (flg & 0x08):
+            return None  # no declared content size: sequential path
+        b_chk = bool(flg & 0x10)
+        c_chk = bool(flg & 0x04)
+        desc_len = 2 + 8 + (4 if flg & 0x01 else 0)
+        if n - pos < 4 + desc_len + 1:
+            return None
+        (content_size,) = struct.unpack_from("<Q", data, pos + 6)
+        p = pos + 4 + desc_len + 1
+        while True:
+            if n - p < 4:
+                return None
+            (bh,) = struct.unpack_from("<I", data, p)
+            p += 4
+            if bh == 0:
+                break
+            p += (bh & 0x7FFFFFFF) + (4 if b_chk else 0)
+            if p > n:
+                return None
+        if c_chk:
+            p += 4
+        if p > n:
+            return None
+        bounds.append((start, p, content_size))
+        pos = p
+    return bounds
+
+
+def lz4f_decompress_parallel(data: bytes, max_out: int | None = None, *,
+                             workers: int | None = None) -> bytes | None:
+    """Decompress concatenated lz4 frames in parallel (frames carry their
+    content size).  None when unavailable/unsuitable — callers fall back to
+    the sequential native path."""
+    if native.get_lib() is None:
+        return None
+    bounds = _scan_lz4f_frames(data)
+    if bounds is None or len(bounds) < 2:
+        return None
+    total = sum(b[2] for b in bounds)
+    if max_out is not None and total > max_out:
+        return None
+    return native.lz4f_decompress_frames(data, bounds)
