@@ -122,17 +122,19 @@ def lz4f_compress_parallel(data: bytes, level: int = 1, *, chunk: int = DEFAULT_
     return b"".join(frames)
 
 
-def _scan_lz4f_frames(data: bytes):
+def _scan_lz4f_frames(data: bytes, start: int = 0, end: int | None = None):
     """Return [(start, end, content_size)] for concatenated lz4 frames with
     declared content sizes (our native encoder always declares them), or
-    None when any frame lacks one / looks unfamiliar."""
+    None when any frame lacks one / looks unfamiliar.  ``start``/``end``
+    bound the scan region (offsets stay absolute into ``data``), letting an
+    archive reader scan one entry's span in place."""
     import struct
 
     from ..codecs.lz4 import frame as lf
 
     bounds = []
-    pos = 0
-    n = len(data)
+    pos = start
+    n = len(data) if end is None else end
     while pos < n:
         if n - pos < 4:
             return None

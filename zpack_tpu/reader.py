@@ -65,6 +65,13 @@ class _MemorySource:
     def read_at(self, offset: int, size: int) -> bytes:
         return bytes(self.buf[offset : offset + size])
 
+    def bytes_base(self):
+        """The underlying ``bytes`` object when the source wraps one —
+        lets large-entry decode run in place over the archive buffer
+        (no compressed-slice copy)."""
+        obj = self.buf.obj
+        return obj if type(obj) is bytes else None
+
 
 class Reader:
     def __init__(self, source, *, owns_file: bool = False, shared: bool = False):
@@ -165,6 +172,25 @@ class Reader:
             return entry
         return self.get_file_entry(entry)
 
+    def _read_lz4_inplace(self, base: bytes, e) -> bytes | None:
+        """Frame-parallel lz4 decode straight out of the archive buffer.
+        None when the entry isn't concatenated content-sized frames (the
+        caller falls back to the copying path)."""
+        from . import native
+        from .parallel import host
+        from .utils.observe import metrics
+
+        try:
+            bounds = host._scan_lz4f_frames(base, e.offset, e.offset + e.comp_size)
+        except Exception:
+            return None
+        if not bounds or len(bounds) < 2:
+            return None
+        if sum(b[2] for b in bounds) != e.uncomp_size:
+            return None
+        with metrics.phase("lz4.decompress", e.uncomp_size):
+            return native.lz4f_decompress_frames(base, bounds)
+
     def read_raw_file(self, entry) -> bytes:
         """Read an entry's raw (compressed) bytes
         (parity: zpack_read_raw_file, lib/zpack_read.c:298-340)."""
@@ -221,6 +247,23 @@ class Reader:
         ``verify=False`` (parity: zpack_read_file always verifies,
         lib/zpack_read.c:466-468)."""
         e = self._resolve(entry)
+        # zero-copy fast path: large multi-frame lz4 entries of an in-memory
+        # archive decode IN PLACE over the archive buffer (frame-parallel,
+        # no compressed-slice copy — the copy alone costs ~25% of the
+        # decode time on an 8 MB entry)
+        if (e.comp_method == int(C.CompressionMethod.LZ4)
+                and e.comp_size > (1 << 20)
+                and e.offset + e.comp_size <= self.file_size):
+            base = getattr(self._source, "bytes_base", lambda: None)()
+            if base is not None:
+                get_codec(e.comp_method)  # enforce codec gates
+                out = self._read_lz4_inplace(base, e)
+                if out is not None:
+                    if verify:
+                        h = xxh3_64(out)
+                        if h != e.hash:
+                            raise HashMismatchError(e.hash, h)
+                    return out
         raw = self.read_raw_file(e)
         # plausibility bound: no supported codec expands beyond ~1e6x
         # (zstd RLE blocks peak near 5e5x); a corrupt uncomp_size field must
