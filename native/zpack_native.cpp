@@ -722,7 +722,11 @@ size_t zn_lz4f_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
     op[14] = (uint8_t)(zn_xxh32(op + 4, 10, 0) >> 8);
     op += 15;
     size_t nb = (n + BS - 1) / BS;
-    unsigned nt = zn_nthreads();
+    // internal range-parallelism only for big single calls: the chunked
+    // codec path (one frame per 2 MiB) already parallelizes across frames
+    // in the caller's pool — nested ranges oversubscribed the cores, and a
+    // sequential fully-warm table is also the best-ratio shape per frame
+    unsigned nt = n > (4u << 20) ? zn_nthreads() : 1;
     if (nb <= 1) {
         // single block: nothing to link — the 16-bit fast matcher is ~1%
         // tighter than the general one on small inputs
