@@ -607,11 +607,132 @@ uint32_t zn_xxh32(const uint8_t* d, size_t len, uint32_t seed) {
     return h;
 }
 
-// Compress one 64 KiB block of a LINKED-block frame: absolute positions
-// over the whole frame source, so matches may reach up to 65535 bytes into
-// earlier blocks (liblz4's default blockMode — worth ~10% on compressible
-// data vs independent blocks).  The thread_local tables stay warm across a
-// thread's contiguous block range (`warm`): only one cold start per
+// 5-byte hash (liblz4's byU32 strategy): longer distinguishing prefix ->
+// the single stored candidate extends further on text.  13 hash bits keep
+// the hot table slice L1-resident (32 KiB of i32): vs 16 bits that is
+// +25% encode speed for +0.08% size.
+#define LINKED_HASH_LOG 13
+static inline uint32_t lz4h5(const uint8_t* p) {
+    return (uint32_t)(((rd64(p) << 24) * 889523592379ULL) >> (64 - LINKED_HASH_LOG));
+}
+
+// First mismatching byte between p and m, scanning 8 bytes at a time with
+// xor+ctz (the byte loop only runs in the sub-8 tail near `lim`).
+static inline size_t lz4_count(const uint8_t* p, const uint8_t* m, const uint8_t* lim) {
+    const uint8_t* s = p;
+    while (p + 8 <= lim) {
+        uint64_t d = rd64(p) ^ rd64(m);
+        if (d) return (size_t)(p - s) + ((size_t)__builtin_ctzll(d) >> 3);
+        p += 8; m += 8;
+    }
+    while (p < lim && *p == *m) { p++; m++; }
+    return (size_t)(p - s);
+}
+
+// Greedy linked-block matcher for one 64 KiB block: absolute positions over
+// the whole frame source, so matches reach up to 65535 bytes into earlier
+// blocks (liblz4's default blockMode).  Speed-of-light single-thread loop:
+// xor+ctz match counting, 8-byte wildcopy literal emission with NO
+// per-sequence bounds checks (dst MUST have (bend-start) + (bend-start)/255
+// + 80 bytes of writable slack — callers use padded scratch), hash inserts
+// only at match-end-2 plus an immediate zero-literal retry at match end
+// (the policy that makes liblz4's fast level fast).  Sequences still end
+// inside the block (frame decodes block-by-block into rolling history).
+static size_t lz4_block_linked_greedy(const uint8_t* base, size_t start,
+                                      size_t bend, uint8_t* dst, bool warm) {
+    static thread_local int32_t table[1 << LINKED_HASH_LOG];
+    uint8_t* op = dst;
+    size_t n = bend - start;
+    if (n == 0) return 0;
+    if (!warm) memset(table, 0xFF, sizeof(table));
+    size_t lit_start = start;
+    if (n >= LZ4_MFLIMIT + 1) {
+        size_t pos = start;
+        const size_t mflimit = bend - LZ4_MFLIMIT;
+        const uint8_t* mlim = base + (bend - LZ4_LASTLITS);
+        table[lz4h5(base + pos)] = (int32_t)pos;
+        pos++;
+        size_t attempts = 1u << 6;
+        while (pos < mflimit) {
+            uint32_t h = lz4h5(base + pos);
+            int32_t cand = table[h];
+            table[h] = (int32_t)pos;
+            // pos - cand - 1 < 65535 enforces BOTH cand < pos (the retry
+            // path below stores the CURRENT pos before breaking back here —
+            // a self-match at offset 0 would be malformed) and offset<=65535
+            if (!(cand >= 0 && pos - (size_t)cand - 1 < 65535 &&
+                  rd32(base + cand) == rd32(base + pos))) {
+                pos += attempts++ >> 6;  // step grows every 64 failed probes
+                continue;
+            }
+            attempts = 1u << 6;
+            size_t mpos = (size_t)cand;
+            for (;;) {
+                // backward extension into pending literals (no-op on the
+                // immediate-retry iterations where pos == lit_start)
+                while (pos > lit_start && mpos > 0 && base[pos - 1] == base[mpos - 1]) {
+                    pos--; mpos--;
+                }
+                size_t ll = pos - lit_start;
+                uint8_t* tok = op++;
+                if (ll < 15) {
+                    *tok = (uint8_t)(ll << 4);
+                } else {
+                    *tok = 0xF0;
+                    op = write_lsic(op, ll - 15);
+                }
+                {   // literal wildcopy, 8-byte strides (reads stay < bend-4:
+                    // lit end == pos < mflimit == bend-12)
+                    const uint8_t* lp = base + lit_start;
+                    uint8_t* lo = op;
+                    uint8_t* le = op + ll;
+                    do { memcpy(lo, lp, 8); lo += 8; lp += 8; } while (lo < le);
+                    op = le;
+                }
+                size_t off = pos - mpos;
+                *op++ = (uint8_t)off; *op++ = (uint8_t)(off >> 8);
+                size_t mlc = lz4_count(base + pos + LZ4_MINMATCH,
+                                       base + mpos + LZ4_MINMATCH, mlim);
+                if (mlc < 15) {
+                    *tok |= (uint8_t)mlc;
+                } else {
+                    *tok |= 15;
+                    op = write_lsic(op, mlc - 15);
+                }
+                pos += mlc + LZ4_MINMATCH;
+                lit_start = pos;
+                if (pos >= mflimit) goto last_literals;
+                table[lz4h5(base + pos - 2)] = (int32_t)(pos - 2);
+                // immediate retry at the match end: a hit here emits a
+                // zero-literal sequence without re-entering the skip loop.
+                // pos - c2 - 1 < 65535 enforces BOTH c2 < pos (an earlier
+                // search position can equal the new pos after backward
+                // extension — offset 0 would be malformed) and offset<=65535.
+                uint32_t h2 = lz4h5(base + pos);
+                int32_t c2 = table[h2];
+                table[h2] = (int32_t)pos;
+                if (!(c2 >= 0 && pos - (size_t)c2 - 1 < 65535 &&
+                      rd32(base + c2) == rd32(base + pos)))
+                    break;
+                mpos = (size_t)c2;
+            }
+        }
+    }
+last_literals:
+    {
+        size_t ll = bend - lit_start;
+        *op++ = (uint8_t)((ll < 15 ? ll : 15) << 4);
+        if (ll >= 15) op = write_lsic(op, ll - 15);
+        memcpy(op, base + lit_start, ll);
+        op += ll;
+    }
+    return (size_t)(op - dst);
+}
+
+// Compress one 64 KiB block of a LINKED-block frame — HC path (level>=3,
+// chain walk; used by the depth>1 levels only; level<=2 routes to
+// lz4_block_linked_greedy above).  The thread_local tables stay warm across
+// a thread's contiguous block range (`warm`): only one cold start per
 // thread instead of per block, which is what keeps the parallel path at
 // independent-block speed.  Sequences still end inside the block (the
 // frame format decodes block-by-block into a rolling 64 KiB history).
@@ -634,17 +755,9 @@ static size_t lz4_compress_block_linked(const uint8_t* base, size_t start,
         size_t pos = start;
         size_t mflimit = bend - LZ4_MFLIMIT;
         size_t limit = bend - LZ4_LASTLITS;
-        // 5-byte hash (liblz4's byU32 strategy): longer distinguishing
-        // prefix -> the single stored candidate extends further on text.
-        // The 4-byte hash measured 5% worse frames on the prose slice
-        // (1108K vs lib 989K).  13 hash bits keep the hot table slice
-        // L1-resident: vs 16 bits that is +25% encode speed for +0.08%
-        // size (1.0012x liblz4's linked frames, still under the 1.01 pin).
-        // Reads are safe: pos < mflimit = bend - 12.
-        constexpr int LINKED_HASH_LOG = 13;
-        auto h5 = [&](size_t p) -> uint32_t {
-            return (uint32_t)(((rd64(base + p) << 24) * 889523592379ULL) >> (64 - LINKED_HASH_LOG));
-        };
+        // Same 5-byte hash as the greedy path (see lz4h5 above); reads are
+        // safe: pos < mflimit = bend - 12.
+        auto h5 = [&](size_t p) -> uint32_t { return lz4h5(base + p); };
         table[h5(pos)] = (int32_t)pos;
         pos++;
         size_t attempts = 1u << 6;
@@ -709,6 +822,19 @@ static size_t lz4_compress_block_linked(const uint8_t* base, size_t start,
 // Returns size or (size_t)-1.
 size_t zn_lz4f_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level) {
     const size_t BS = 64 << 10;
+    if (n >= (1ULL << 30)) {
+        // int32 position tables: segment giant direct calls into 1 GiB
+        // frames (spec-valid concatenation; the archive codec path already
+        // chunks at 2 MiB, this guards the public one-shot entry point)
+        size_t total = 0;
+        for (size_t off = 0; off < n; off += (1ULL << 30)) {
+            size_t seg = n - off < (1ULL << 30) ? n - off : (1ULL << 30);
+            size_t r = zn_lz4f_compress(src + off, seg, dst + total, cap - total, level);
+            if (r == (size_t)-1) return (size_t)-1;
+            total += r;
+        }
+        return total;
+    }
     uint8_t* op = dst;
     uint8_t* oend = dst + cap;
     if (cap < 15 + 4) return (size_t)-1;
@@ -750,21 +876,29 @@ size_t zn_lz4f_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
         op += 4;
         return (size_t)(op - dst);
     }
-    if (nt >= 2 && nb >= 4) {
-        size_t stride = BS;  // cap chunk-1 < BS guarantees fit
+    {
+        // blocks compress into slack-padded scratch (the greedy matcher
+        // wildcopies with no per-sequence bounds checks), then concatenate
+        // in order; multi-thread runs contiguous block RANGES per thread so
+        // each range keeps a warm match table (one cold start per thread).
+        const size_t stride = BS + (BS / 255) + 128;
+        bool greedy = level <= 2;
         std::unique_ptr<uint8_t[]> scratch(new uint8_t[nb * stride]);
         std::vector<uint32_t> sizes(nb);  // high bit = stored raw
-        size_t nranges = nt;
+        size_t nranges = (nt >= 2 && nb >= 4) ? nt : 1;
         size_t per = (nb + nranges - 1) / nranges;
-        zn_parallel_for(nranges, nt, [&](size_t r) {
+        zn_parallel_for(nranges, (unsigned)nranges, [&](size_t r) {
             size_t b0 = r * per;
             size_t b1 = b0 + per < nb ? b0 + per : nb;
             for (size_t i = b0; i < b1; i++) {
                 size_t off = i * BS;
                 size_t chunk = n - off < BS ? n - off : BS;
-                size_t csz = lz4_compress_block_linked(
-                    src, off, off + chunk, scratch.get() + i * stride,
-                    chunk ? chunk - 1 : 0, level, i != b0);
+                size_t csz = greedy
+                    ? lz4_block_linked_greedy(src, off, off + chunk,
+                                              scratch.get() + i * stride, i != b0)
+                    : lz4_compress_block_linked(src, off, off + chunk,
+                                                scratch.get() + i * stride,
+                                                stride, level, i != b0);
                 sizes[i] = (csz != (size_t)-1 && csz < chunk)
                                ? (uint32_t)csz
                                : ((uint32_t)chunk | 0x80000000u);
@@ -779,25 +913,6 @@ size_t zn_lz4f_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
                 (hdr & 0x80000000u) ? src + i * BS : scratch.get() + i * stride;
             memcpy(op + 4, from, payload);
             op += 4 + payload;
-        }
-    } else {
-        bool warm = false;
-        for (size_t off = 0; off < n; off += BS) {
-            size_t chunk = n - off < BS ? n - off : BS;
-            if ((size_t)(oend - op) < 4 + chunk + 16) return (size_t)-1;
-            size_t csz = lz4_compress_block_linked(src, off, off + chunk, op + 4,
-                                                   chunk ? chunk - 1 : 0, level, warm);
-            warm = true;
-            if (csz != (size_t)-1 && csz < chunk) {
-                op[0] = (uint8_t)csz; op[1] = (uint8_t)(csz >> 8);
-                op[2] = (uint8_t)(csz >> 16); op[3] = (uint8_t)(csz >> 24);
-                op += 4 + csz;
-            } else {
-                uint32_t hdr = (uint32_t)chunk | 0x80000000u;
-                memcpy(op, &hdr, 4);
-                memcpy(op + 4, src + off, chunk);
-                op += 4 + chunk;
-            }
         }
     }
     if ((size_t)(oend - op) < 4) return (size_t)-1;

@@ -68,9 +68,11 @@ class _MemorySource:
     def bytes_base(self):
         """The underlying ``bytes`` object when the source wraps one —
         lets large-entry decode run in place over the archive buffer
-        (no compressed-slice copy)."""
+        (no compressed-slice copy).  Only returned when the view spans the
+        whole object: entry offsets are relative to the view, so a
+        nonzero-offset slice would alias them onto the wrong base."""
         obj = self.buf.obj
-        return obj if type(obj) is bytes else None
+        return obj if type(obj) is bytes and len(self.buf) == len(obj) else None
 
 
 class Reader:
@@ -247,6 +249,16 @@ class Reader:
         ``verify=False`` (parity: zpack_read_file always verifies,
         lib/zpack_read.c:466-468)."""
         e = self._resolve(entry)
+        # plausibility bound: no supported codec expands beyond ~1e6x
+        # (zstd RLE blocks peak near 5e5x); a corrupt uncomp_size field must
+        # not drive giant allocations before the size/hash checks fire.
+        # This must precede EVERY decode path, including the in-place
+        # fast path below (whose frame scan trusts declared content sizes).
+        if e.comp_size and e.uncomp_size > e.comp_size * 1_000_000 + (1 << 20):
+            raise ZPackError(
+                Result.ERROR_FILE_SIZE_INVALID,
+                f"implausible uncompressed size {e.uncomp_size} for {e.comp_size} compressed bytes",
+            )
         # zero-copy fast path: large multi-frame lz4 entries of an in-memory
         # archive decode IN PLACE over the archive buffer (frame-parallel,
         # no compressed-slice copy — the copy alone costs ~25% of the
@@ -265,14 +277,6 @@ class Reader:
                             raise HashMismatchError(e.hash, h)
                     return out
         raw = self.read_raw_file(e)
-        # plausibility bound: no supported codec expands beyond ~1e6x
-        # (zstd RLE blocks peak near 5e5x); a corrupt uncomp_size field must
-        # not drive giant allocations before the size/hash checks fire
-        if e.comp_size and e.uncomp_size > e.comp_size * 1_000_000 + (1 << 20):
-            raise ZPackError(
-                Result.ERROR_FILE_SIZE_INVALID,
-                f"implausible uncompressed size {e.uncomp_size} for {e.comp_size} compressed bytes",
-            )
         codec = get_codec(e.comp_method)
         if (e.comp_method == int(C.CompressionMethod.ZSTD)
                 and e.filename != C.DICT_ENTRY_NAME and self._frame_wants_dict(raw)):
