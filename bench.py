@@ -213,10 +213,12 @@ def main() -> int:
     value = 2 * size_mb / (enc + dec)
     _log(f"lz4 rt: enc {size_mb/enc:.0f} MB/s dec {size_mb/dec:.0f} MB/s")
 
-    # --- zstd ratios/speeds (smaller slice keeps the bench bounded)
-    zslice = data[: 2 << 20]
+    # --- zstd ratios/speeds on the SAME full corpus as the reference-CLI
+    # phase (apples-to-apples; VERDICT r3 Weak #7)
+    zslice = data
     z3_enc, z3_dec, z3_size = _roundtrip(zslice, C.CompressionMethod.ZSTD, 3, reps=3)
-    _log("zstd3 done")
+    _log(f"zstd3 rt: enc {len(zslice)/1e6/z3_enc:.0f} MB/s "
+         f"dec {len(zslice)/1e6/z3_dec:.0f} MB/s")
     # per-phase counters for the NATIVE-engine phases only (the baseline's
     # python-fallback runs would otherwise pollute the same phase names)
     phase_metrics = _metrics.snapshot()
@@ -337,6 +339,20 @@ def main() -> int:
                                / (size_mb / ref_cli["lz4_create_MBps"]
                                   + size_mb / ref_cli["lz4_extract_MBps"])), 3)
                 if ref_cli else None),
+            "zstd3_roundtrip_vs_reference_cli": (
+                round((2 * len(zslice) / 1e6 / (z3_enc + z3_dec))
+                      / (2 * size_mb
+                         / (size_mb / ref_cli["zstd3_create_MBps"]
+                            + size_mb / ref_cli["zstd3_extract_MBps"])), 3)
+                if ref_cli else None),
+            "zstd3_size_vs_reference_cli": (
+                round(z3_size / ref_cli["zstd3_archive_bytes"], 4)
+                if ref_cli else None),
+            "lz4_size_vs_reference_cli": (
+                round(csize / ref_cli["lz4_archive_bytes"], 4)
+                if ref_cli else None),
+            "native_threads": int(os.environ.get("ZPACK_NATIVE_THREADS", 0))
+                               or (os.cpu_count() or 1),
             # per-phase GB/s counters from the observe registry (SURVEY §5)
             "metrics": phase_metrics,
         },

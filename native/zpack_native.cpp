@@ -921,6 +921,154 @@ size_t zn_lz4f_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, 
     return (size_t)(op - dst);
 }
 
+// Whole-entry compress: n bytes -> consecutive lz4 frames of `chunk` input
+// bytes each (linked 64 KiB blocks inside a frame; every frame declares its
+// content size -> zero-copy frame-parallel decode), PLUS the XXH3-64 of the
+// whole input, in ONE call on one worker pool.  Tasks are (frame, block-
+// range) pairs — finer than whole frames, so 2 cores stay busy to the end —
+// with the hash as task 0.  Replaces the python writer's slice-per-chunk /
+// compress / b"".join / hash sequence (3 extra passes over the corpus).
+// `chunk` must be a multiple of 64 KiB.  Returns total bytes or (size_t)-1.
+// Role parity: the lz4f side of zpack_compress_file + the XXH3 in
+// zpack_add_written_file_entry (lib/zpack_write.c:204-211,256) fused.
+// defined in zstd_encode.cpp / zstd_decode.cpp
+size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level);
+size_t zn_zstd_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap);
+
+size_t zn_lz4f_compress_chunked(const uint8_t* src, size_t n, size_t chunk,
+                                uint8_t* dst, size_t cap, int level,
+                                uint64_t* hash_out) {
+    const size_t BS = 64 << 10;
+    if (hash_out) *hash_out = 0;
+    if (chunk == 0 || chunk % BS || chunk >= (1ULL << 30)) return (size_t)-1;
+    if (n == 0) {
+        if (hash_out) *hash_out = zn_xxh3_64(src, 0);
+        return 0;
+    }
+    size_t nframes = (n + chunk - 1) / chunk;
+    size_t bpc = chunk / BS;               // blocks per (full) chunk
+    size_t gnb = (n + BS - 1) / BS;        // global block count
+    const size_t stride = BS + (BS / 255) + 128;
+    std::unique_ptr<uint8_t[]> scratch(new uint8_t[gnb * stride]);
+    std::vector<uint32_t> sizes(gnb);      // high bit = stored raw
+    unsigned nt = zn_nthreads();
+    bool greedy = level <= 2;
+    struct Task { size_t foff, b0, b1; };  // block range within one frame
+    std::vector<Task> tasks;
+    tasks.reserve(nframes * nt + 1);
+    for (size_t f = 0; f < nframes; f++) {
+        size_t foff = f * chunk;
+        size_t flen = n - foff < chunk ? n - foff : chunk;
+        size_t nbf = (flen + BS - 1) / BS;
+        size_t nr = nt > 1 && nbf >= 16 ? nt : 1;
+        size_t per = (nbf + nr - 1) / nr;
+        for (size_t r = 0; r < nr; r++) {
+            size_t b0 = r * per;
+            size_t b1 = b0 + per < nbf ? b0 + per : nbf;
+            if (b0 < b1) tasks.push_back({foff, b0, b1});
+        }
+    }
+    size_t ntasks = tasks.size();
+    zn_parallel_for(ntasks + 1, nt, [&](size_t t) {
+        if (t == 0) {  // hash task first: short, overlaps the first ranges
+            uint64_t h = zn_xxh3_64(src, n);
+            if (hash_out) *hash_out = h;
+            return;
+        }
+        const Task& tk = tasks[t - 1];
+        const uint8_t* base = src + tk.foff;  // positions relative to frame
+        size_t flen = n - tk.foff < chunk ? n - tk.foff : chunk;
+        for (size_t i = tk.b0; i < tk.b1; i++) {
+            size_t off = i * BS;
+            size_t blen = flen - off < BS ? flen - off : BS;
+            size_t gb = tk.foff / BS + i;
+            size_t csz = greedy
+                ? lz4_block_linked_greedy(base, off, off + blen,
+                                          scratch.get() + gb * stride, i != tk.b0)
+                : lz4_compress_block_linked(base, off, off + blen,
+                                            scratch.get() + gb * stride,
+                                            stride, level, i != tk.b0);
+            sizes[gb] = (csz != (size_t)-1 && csz < blen)
+                            ? (uint32_t)csz
+                            : ((uint32_t)blen | 0x80000000u);
+        }
+    });
+    // assembly: header | blocks | EndMark per frame, in order
+    uint8_t* op = dst;
+    uint8_t* oend = dst + cap;
+    for (size_t f = 0; f < nframes; f++) {
+        size_t foff = f * chunk;
+        size_t flen = n - foff < chunk ? n - foff : chunk;
+        size_t nbf = (flen + BS - 1) / BS;
+        if ((size_t)(oend - op) < 15) return (size_t)-1;
+        op[0] = 0x04; op[1] = 0x22; op[2] = 0x4D; op[3] = 0x18;
+        op[4] = 0x48; op[5] = 0x40;  // FLG: v01+Linked+ContentSize; BD: 64KB
+        uint64_t csz64 = (uint64_t)flen;
+        memcpy(op + 6, &csz64, 8);
+        op[14] = (uint8_t)(zn_xxh32(op + 4, 10, 0) >> 8);
+        op += 15;
+        for (size_t i = 0; i < nbf; i++) {
+            size_t gb = f * bpc + i;
+            uint32_t hdr = sizes[gb];
+            size_t payload = hdr & 0x7FFFFFFFu;
+            if ((size_t)(oend - op) < 4 + payload + 4) return (size_t)-1;
+            memcpy(op, &hdr, 4);
+            const uint8_t* from = (hdr & 0x80000000u)
+                                      ? src + foff + i * BS
+                                      : scratch.get() + gb * stride;
+            memcpy(op + 4, from, payload);
+            op += 4 + payload;
+        }
+        memset(op, 0, 4);  // EndMark
+        op += 4;
+    }
+    return (size_t)(op - dst);
+}
+
+// Same one-call shape for zstd: one frame per chunk (frame-level tasks; the
+// zstd encoder is single-threaded per frame) + the XXH3 of the whole input.
+// Segment-parallel zstd is how the multi-MiB archive entries beat the
+// single-threaded reference CLI create (role parity: lib/zpack_write.c:179).
+size_t zn_zstd_compress_chunked(const uint8_t* src, size_t n, size_t chunk,
+                                uint8_t* dst, size_t cap, int level,
+                                uint64_t* hash_out) {
+    if (hash_out) *hash_out = 0;
+    if (chunk == 0) return (size_t)-1;
+    if (n == 0) {
+        if (hash_out) *hash_out = zn_xxh3_64(src, 0);
+        return zn_zstd_compress(src, 0, dst, cap, level);
+    }
+    size_t nframes = (n + chunk - 1) / chunk;
+    size_t bound = chunk + chunk / 128 + 1024;
+    std::unique_ptr<uint8_t[]> scratch(new uint8_t[nframes * bound]);
+    std::vector<size_t> sizes(nframes);
+    std::atomic<bool> bad{false};
+    zn_parallel_for(nframes + 1, zn_nthreads(), [&](size_t t) {
+        if (t == 0) {
+            uint64_t h = zn_xxh3_64(src, n);
+            if (hash_out) *hash_out = h;
+            return;
+        }
+        size_t f = t - 1;
+        size_t foff = f * chunk;
+        size_t flen = n - foff < chunk ? n - foff : chunk;
+        size_t r = zn_zstd_compress(src + foff, flen, scratch.get() + f * bound,
+                                    bound, level);
+        if (r == (size_t)-1) bad.store(true);
+        sizes[f] = r;
+    });
+    if (bad.load()) return (size_t)-1;
+    size_t total = 0;
+    for (size_t f = 0; f < nframes; f++) total += sizes[f];
+    if (total > cap) return (size_t)-1;
+    uint8_t* op = dst;
+    for (size_t f = 0; f < nframes; f++) {
+        memcpy(op, scratch.get() + f * bound, sizes[f]);
+        op += sizes[f];
+    }
+    return total;
+}
+
 // One-shot lz4 frame decompress (standard + skippable frames, linked or
 // independent blocks, optional checksums). Returns size or (size_t)-1.
 size_t zn_lz4f_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap) {
@@ -1032,10 +1180,6 @@ size_t zn_lz4f_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap
     }
     return op;
 }
-
-// defined in zstd_encode.cpp / zstd_decode.cpp
-size_t zn_zstd_compress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap, int level);
-size_t zn_zstd_decompress(const uint8_t* src, size_t n, uint8_t* dst, size_t cap);
 
 // Batch decompress + XXH3-verify N archive entries in one call (parallel
 // worker threads; the read-side analog of zn_compress_batch).  Entries may

@@ -92,6 +92,13 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_char_p, ctypes.c_size_t,
             ctypes.c_void_p, ctypes.c_size_t,
         ]
+        for fn in (lib.zn_lz4f_compress_chunked, lib.zn_zstd_compress_chunked):
+            fn.restype = ctypes.c_size_t
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint64),
+            ]
         lib.zn_compress_batch.restype = ctypes.c_size_t
         lib.zn_compress_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
@@ -337,6 +344,59 @@ def lz4f_compress(data: bytes, level: int = 1) -> bytes | None:
     if n == _FAIL:
         return None
     return arr[:n].tobytes()
+
+
+def _chunked_fn(method: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    return lib.zn_zstd_compress_chunked if method == 1 else lib.zn_lz4f_compress_chunked
+
+
+def _chunked_cap(n: int, chunk: int) -> int:
+    nframes = (n + chunk - 1) // chunk if n else 1
+    return n + n // 128 + nframes * 64 + 4096
+
+
+def compress_chunked_into(method: int, data: bytes, dst: bytearray, offset: int,
+                          level: int, chunk: int = 2 << 20):
+    """Fused whole-entry compress: consecutive frames of ``chunk`` input
+    bytes + the XXH3-64 of the whole input, in ONE native call on one worker
+    pool, written IN PLACE into ``dst[offset:]`` (the writer's heap buffer —
+    no Python-side chunk slices, join, or emit copy).  The caller must have
+    grown ``dst`` by at least ``_chunked_cap(len(data), chunk)`` bytes.
+    Returns (compressed_size, hash) or None."""
+    fn = _chunked_fn(method)
+    if fn is None:
+        return None
+    n = len(data)
+    cap = len(dst) - offset
+    h = ctypes.c_uint64(0)
+    arr = (ctypes.c_char * cap).from_buffer(dst, offset)
+    try:
+        r = int(fn(data, n, chunk, arr, cap, level, ctypes.byref(h)))
+    finally:
+        del arr  # release the buffer export so dst can be resized again
+    if r == _FAIL:
+        return None
+    return r, int(h.value)
+
+
+def compress_chunked(method: int, data: bytes, level: int,
+                     chunk: int = 2 << 20):
+    """Like :func:`compress_chunked_into` but returns (bytes, hash) —
+    the file-sink writer path."""
+    fn = _chunked_fn(method)
+    if fn is None:
+        return None
+    n = len(data)
+    cap = _chunked_cap(n, chunk)
+    arr, buf = _outbuf(cap)
+    h = ctypes.c_uint64(0)
+    r = int(fn(data, n, chunk, buf, cap, level, ctypes.byref(h)))
+    if r == _FAIL:
+        return None
+    return arr[:r].tobytes(), int(h.value)
 
 
 def lz4f_decompress(data: bytes, max_out: int) -> bytes | None:

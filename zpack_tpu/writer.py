@@ -233,6 +233,18 @@ class Writer:
         options = options or CompressOptions()
         codec = get_codec(options.method)
         dictionary = self._dict_for(options)
+        # Fused fast path for large zstd/lz4 entries: chunk-parallel frames +
+        # the entry XXH3 in ONE native call, written straight into the heap
+        # buffer — removes the python-side chunk slices, b"".join, separate
+        # hash pass and emit copy (~25% of large-entry create time).
+        if (dictionary is None
+                and int(options.method) in (1, 2)
+                and len(data) > (2 << 20)
+                and os.environ.get("ZPACK_TPU_ENGINE") != "tpu"):
+            entry = self._add_file_fused(filename, data, int(options.method),
+                                         options.resolved_level())
+            if entry is not None:
+                return entry
         if dictionary is not None:
             self._ensure_dict_entry()
             comp = codec.compress(bytes(data), options.resolved_level(),
@@ -249,6 +261,45 @@ class Writer:
             hash=xxh3_64(data),
             comp_method=int(options.method),
         )
+        self.file_entries.append(entry)
+        return entry
+
+    def _add_file_fused(self, filename: str, data, method: int,
+                        level: int) -> records.FileEntry | None:
+        """One-call native chunked compress + hash (see add_file).  Returns
+        None when the native backend is unavailable or the sink state does
+        not fit the in-place shape — caller falls back to the codec path."""
+        from . import native
+
+        if native.get_lib() is None:
+            return None
+        data = bytes(data)
+        n = len(data)
+        chunk = 2 << 20
+        offset = self.write_offset
+        if isinstance(self._sink, _HeapSink) and offset == len(self._sink.buf):
+            buf = self._sink.buf
+            cap = native._chunked_cap(n, chunk)
+            buf.extend(b"\0" * cap)
+            res = native.compress_chunked_into(method, data, buf, offset,
+                                               level, chunk)
+            if res is None:
+                del buf[offset:]
+                return None
+            size, h = res
+            del buf[offset + size:]
+            self.write_offset = offset + size
+            self.file_size = max(self.file_size, self.write_offset)
+        else:
+            res = native.compress_chunked(method, data, level, chunk)
+            if res is None:
+                return None
+            comp, h = res
+            size = len(comp)
+            self._emit(comp)
+        entry = records.FileEntry(
+            filename=filename, offset=offset, comp_size=size,
+            uncomp_size=n, hash=h, comp_method=method)
         self.file_entries.append(entry)
         return entry
 
