@@ -144,3 +144,47 @@ def test_reference_golden_store_bytes(ref_cli, tmp_path):
             ("f2.txt", f2.read_bytes(), CompressOptions(CompressionMethod.NONE, 0)),
         ])
     assert ours.read_bytes() == ref_arch.read_bytes()
+
+
+@pytest.mark.parametrize("margs", [["-m", "lz4:1"], ["-m", "zstd:3"]])
+def test_read_back_carry_on_reference_archive(ref_cli, corpus, tmp_path, margs):
+    """The faithful caller-buffer streaming decode (read_file_stream_buffer)
+    exercises REAL nonzero read_back carries against an archive produced by
+    the reference binary — the reference's defining streaming subtlety
+    (lib/zpack_read.c:529-536, caller memmove protocol
+    tests/read_archive.c:56-61 / programs/commands.c:394-397)."""
+    from zpack_tpu import stream as S
+
+    # mildly compressible payload: compressed size must dwarf the input
+    # buffer or there is genuinely nothing to carry
+    import random
+
+    rng = random.Random(7)
+    payload = b"".join(
+        (b"carry protocol %d " % i) + rng.randbytes(24) for i in range(6000))
+    src = tmp_path / "carry.bin"
+    src.write_bytes(payload)
+    arch = tmp_path / "ref.zpk"
+    c = _ref(ref_cli, "c", *margs, str(arch), str(src), cwd=tmp_path)
+    assert c.returncode == 0, c.stdout + c.stderr
+    with Reader.open(arch) as r:
+        entry = r.file_entries[0]
+        assert entry.comp_size > 8 * 1024  # sanity: many buffer refills
+        stream = S.init_stream()
+        buf = bytearray(1024)       # small input buffer
+        stream.next_in = buf
+        out = bytearray()
+        carries = 0
+        for _ in range(10_000_000):
+            if stream.read_back:    # the caller-side memmove carry
+                buf[: stream.read_back] = (
+                    buf[stream.in_pos - stream.read_back : stream.in_pos])
+                carries += 1
+            stream.avail_in = len(buf)
+            stream.avail_out = 512  # output budget < decoded block size
+            S.read_file_stream_buffer(r, entry, stream)
+            out += stream.next_out
+            if S.read_stream_done(stream, entry):
+                break
+        assert bytes(out) == payload
+        assert carries > 0, "no real read_back carry against a reference archive"

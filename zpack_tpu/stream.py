@@ -6,11 +6,19 @@ lib/zpack_stream.c:4-29) and the chunked decode path
 
 Contract notes (reference: lib/zpack.h:399-415 and §3.5 of SURVEY.md):
 the reference may leave an unconsumed suffix of the input buffer and
-report it in ``read_back`` for the caller to re-present.  Our codec
-decompressors buffer partial input internally instead, so ``read_back``
-is always 0 — a legal degenerate of the same contract — and completion
-is still ``total_in == comp_size and read_back == 0`` plus drained
-output (see :func:`read_stream_done`).
+report it in ``read_back`` for the caller to re-present at the front of
+the next buffer.  Two faces implement that contract here:
+
+- :func:`read_file_stream` — convenience mode; partial input is buffered
+  internally so ``read_back`` stays 0 (a legal degenerate).
+- :func:`read_file_stream_buffer` — the faithful caller-buffer mode:
+  input is consumed only as far as the output budget allows and the
+  genuinely-unconsumed suffix is reported in ``read_back`` (nonzero in
+  practice; tests/test_stream.py asserts real carries occur, including
+  against archives produced by the reference CLI binary).
+
+Completion is ``total_in == comp_size and read_back == 0`` plus drained
+output in both modes (see :func:`read_stream_done`).
 """
 
 from __future__ import annotations
