@@ -26,9 +26,15 @@ _SRCS = [
     _ROOT / "native" / "zstd_encode.cpp",
 ]
 _SO = _ROOT / "native" / "_zpack_native.so"
+# Prebuilt .so override (e.g. a sanitizer build from scripts/sanitize_native.py)
+_SO_OVERRIDE = os.environ.get("ZPACK_TPU_NATIVE_SO")
+if _SO_OVERRIDE:
+    _SO = pathlib.Path(_SO_OVERRIDE)
 
 
 def _build() -> bool:
+    if _SO_OVERRIDE:
+        return _SO.exists()  # never rebuild an explicit override
     srcs = [s for s in _SRCS if s.exists()]
     if not srcs:
         return False
