@@ -79,6 +79,25 @@ def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def load_corpus(size: int) -> bytes:
+    """Headline corpus: the Silesia-style LOCAL mix (scripts/corpus.py —
+    real prose/source/markup/ELF/records/noise files from the image; the
+    environment cannot fetch actual Silesia).  ZPACK_BENCH_CORPUS=synthetic
+    selects the legacy generated mix (r1-r3 comparability)."""
+    if os.environ.get("ZPACK_BENCH_CORPUS", "local") == "local":
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "scripts"))
+            import corpus as corpus_mod
+
+            data, man = corpus_mod.cached_build(size)
+            _log(f"corpus local mix: {man}")
+            return data
+        except Exception as e:  # pragma: no cover - defensive
+            _log(f"local corpus failed ({type(e).__name__}); synthetic fallback")
+    return build_corpus(size)
+
+
 def _roundtrip(data: bytes, method, level: int, reps: int = 1):
     """Archive-level round-trip via the framework; returns best-of-reps
     (enc_s, dec_s, csize).  Multiple reps factor out first-touch page
@@ -200,7 +219,7 @@ def main() -> int:
 
     from zpack_tpu import constants as C
 
-    data = build_corpus(int(os.environ.get("ZPACK_BENCH_BYTES", 8 << 20)))
+    data = load_corpus(int(os.environ.get("ZPACK_BENCH_BYTES", 8 << 20)))
     size_mb = len(data) / 1e6
     _log(f"corpus {len(data)} bytes")
 

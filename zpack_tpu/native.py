@@ -163,6 +163,7 @@ def get_lib() -> ctypes.CDLL | None:
 
 
 _FAIL = (1 << 64) - 1  # (size_t)-1 from the C side
+_SCRATCH = threading.local()  # reusable compress_chunked output scratch
 
 
 def xxh3_64(data: bytes) -> int | None:
@@ -390,19 +391,33 @@ def compress_chunked_into(method: int, data: bytes, dst: bytearray, offset: int,
 
 def compress_chunked(method: int, data: bytes, level: int,
                      chunk: int = 2 << 20):
-    """Like :func:`compress_chunked_into` but returns (bytes, hash) —
-    the file-sink writer path."""
+    """Like :func:`compress_chunked_into` but compresses into an
+    uninitialized numpy scratch and returns (view, hash) where ``view`` is
+    a zero-copy np.uint8 slice of it — the writer emits the view straight
+    into its sink (ONE copy of the compressed size, vs zero-filling the
+    full input-sized cap that the in-place variant needs)."""
     fn = _chunked_fn(method)
     if fn is None:
         return None
     n = len(data)
     cap = _chunked_cap(n, chunk)
-    arr, buf = _outbuf(cap)
+    # reusable per-thread scratch: fresh np.empty would page-fault every
+    # output byte on every call (the pages are new anon mappings); reuse
+    # makes repeated large writes fault-free after the first
+    tl = _SCRATCH
+    arr = getattr(tl, "arr", None)
+    if arr is None or arr.size < cap:
+        arr = np.empty(cap, dtype=np.uint8)
+        tl.arr = arr
     h = ctypes.c_uint64(0)
-    r = int(fn(data, n, chunk, buf, cap, level, ctypes.byref(h)))
+    r = int(fn(data, n, chunk, arr.ctypes.data, cap, level, ctypes.byref(h)))
     if r == _FAIL:
         return None
-    return arr[:r].tobytes(), int(h.value)
+    # memoryview: bytearray slice-assignment accepts it zero-copy (it
+    # rejects ndarray directly).  NOTE: the view aliases the shared
+    # scratch — it is only valid until this thread's next call; callers
+    # (the writer fused path) copy it into their sink immediately.
+    return memoryview(arr[:r]), int(h.value)
 
 
 def lz4f_decompress(data: bytes, max_out: int) -> bytes | None:

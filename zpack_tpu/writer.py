@@ -277,26 +277,12 @@ class Writer:
         n = len(data)
         chunk = 2 << 20
         offset = self.write_offset
-        if isinstance(self._sink, _HeapSink) and offset == len(self._sink.buf):
-            buf = self._sink.buf
-            cap = native._chunked_cap(n, chunk)
-            buf.extend(b"\0" * cap)
-            res = native.compress_chunked_into(method, data, buf, offset,
-                                               level, chunk)
-            if res is None:
-                del buf[offset:]
-                return None
-            size, h = res
-            del buf[offset + size:]
-            self.write_offset = offset + size
-            self.file_size = max(self.file_size, self.write_offset)
-        else:
-            res = native.compress_chunked(method, data, level, chunk)
-            if res is None:
-                return None
-            comp, h = res
-            size = len(comp)
-            self._emit(comp)
+        res = native.compress_chunked(method, data, level, chunk)
+        if res is None:
+            return None
+        comp, h = res  # comp: zero-copy view of the native scratch
+        size = len(comp)
+        self._emit(comp)
         entry = records.FileEntry(
             filename=filename, offset=offset, comp_size=size,
             uncomp_size=n, hash=h, comp_method=method)
