@@ -857,6 +857,9 @@ static inline size_t match_len(const uint8_t* a, const uint8_t* b, size_t limit)
 static inline uint32_t zhash6(uint64_t v, int bits) {
     return (uint32_t)(((v << 16) * 0x9E3779B185EBCA87ULL) >> (64 - bits));
 }
+static inline uint32_t zhash5(uint64_t v, int bits) {
+    return (uint32_t)(((v << 24) * 0x9E3779B185EBCA87ULL) >> (64 - bits));
+}
 
 static void find_sequences_fast(const uint8_t* base, size_t start, size_t end,
                                 EncCtx& ctx, int hash_bits, size_t max_offset,
@@ -952,16 +955,22 @@ static void find_sequences_dfast(const uint8_t* base, size_t start, size_t end,
     std::vector<int32_t>& htab = ctx.htab;
     size_t pos = start;
     size_t lit_start = start;
-    size_t accel = 1;
     seqs.clear();
     if (end < 4 || src_total < 13) { lit_tail = end - start; return; }
     size_t mf = end >= 4 ? end - 4 : 0;
+    int32_t* h4t = htab.data();
+    int32_t* h8t = ctx.htab8.data();
+    const int h8b = ctx.h8_bits;
+    // Priority-take loop (libzstd doubleFast's shape): rep first, then the
+    // long (8-byte) probe, then the short — the FIRST hit is taken, so the
+    // common path runs one match_len instead of up to three best-of
+    // candidates.  Acceleration = (literal run >> 8) + 1, the smooth
+    // doubleFast step that makes incompressible runs cheap.
     while (pos < mf) {
         size_t best_len = 0, best_off = 0;
         bool best_is_rep = false;
         uint32_t ll_now = (uint32_t)(pos - lit_start);
-        // rep0 probe (the addressable first repeat for the current ll)
-        {
+        {   // rep0 probe (the addressable first repeat for the current ll)
             uint64_t off = ll_now ? ctx.rep[0] : ctx.rep[1];
             if (off && off <= pos &&
                 rd32e(base + pos) == rd32e(base + pos - off)) {
@@ -969,25 +978,25 @@ static void find_sequences_dfast(const uint8_t* base, size_t start, size_t end,
                 if (l >= 4) { best_len = l; best_off = off; best_is_rep = true; }
             }
         }
-        uint32_t h8 = 0;
         bool have8 = pos + 8 <= end;
         if (have8) {
-            h8 = zhash8(rd64e(base + pos), ctx.h8_bits);
-            int32_t c8 = ctx.htab8[h8];
-            if (c8 >= 0 && (size_t)c8 < pos && pos - (size_t)c8 <= max_offset &&
+            uint32_t h8 = zhash8(rd64e(base + pos), h8b);
+            int32_t c8 = h8t[h8];
+            h8t[h8] = (int32_t)pos;
+            if (!best_is_rep && c8 >= 0 && (size_t)c8 < pos &&
+                pos - (size_t)c8 <= max_offset &&
                 rd64e(base + c8) == rd64e(base + pos)) {
-                size_t l = match_len(base + pos, base + c8, end - pos);
-                if (l > best_len + (best_is_rep ? 1 : 0)) {
-                    best_len = l; best_off = pos - c8; best_is_rep = false;
-                }
+                best_len = match_len(base + pos, base + c8, end - pos);
+                best_off = pos - c8;
             }
         }
-        uint32_t h = zhash(rd32e(base + pos), hash_bits);
-        int32_t cand = htab[h];
-        htab[h] = (int32_t)pos;
-        if (have8) ctx.htab8[h8] = (int32_t)pos;
-        // short-hash probe only when the long probe didn't already find a
-        // solid match (an 8+ match via h8 is rarely beaten by the h4 head)
+        // 5-byte short hash (libzstd's L3 minMatch=5): 4-byte candidates
+        // on text are mostly "the "-class false positives whose match_len
+        // calls dominate find time; 5-byte keys cut them ~3x
+        uint32_t h = have8 ? zhash5(rd64e(base + pos), hash_bits)
+                           : zhash(rd32e(base + pos), hash_bits);
+        int32_t cand = h4t[h];
+        h4t[h] = (int32_t)pos;
         if (best_len < 8 && cand >= 0 && (size_t)cand < pos &&
             pos - (size_t)cand <= max_offset &&
             rd32e(base + cand) == rd32e(base + pos)) {
@@ -1002,7 +1011,6 @@ static void find_sequences_dfast(const uint8_t* base, size_t start, size_t end,
             best_len = 0;
         }
         if (best_len >= 4) {
-            accel = 1;
             if (best_off != ctx.rep[0] && pos + 1 < mf) {
                 uint64_t r0 = ctx.rep[0];
                 if (r0 && r0 <= pos + 1 &&
@@ -1011,9 +1019,9 @@ static void find_sequences_dfast(const uint8_t* base, size_t start, size_t end,
                     if (l1 >= 4 && l1 + 1 >= best_len) { pos += 1; continue; }
                 }
             }
-            if (lazy && !best_is_rep && pos + 1 < mf) {
-                uint32_t h2 = zhash(rd32e(base + pos + 1), hash_bits);
-                int32_t c2 = htab[h2];
+            if (lazy && !best_is_rep && pos + 9 <= end && pos + 1 < mf) {
+                uint32_t h2 = zhash5(rd64e(base + pos + 1), hash_bits);
+                int32_t c2 = h4t[h2];
                 if (c2 >= 0 && pos + 1 - (size_t)c2 <= max_offset &&
                     rd32e(base + c2) == rd32e(base + pos + 1)) {
                     size_t l2 = match_len(base + pos + 1, base + c2, end - pos - 1);
@@ -1026,19 +1034,23 @@ static void find_sequences_dfast(const uint8_t* base, size_t start, size_t end,
             s.ov = offset_value(best_off, s.ll, ctx.rep);
             seqs.push_back(s);
             size_t mend = pos + best_len;
-            // sparse in-match insertion: ~4 anchors per match instead of
-            // every other position (the dense loop was ~30% of find time)
-            size_t step = best_len / 4 ? best_len / 4 : 1;
+            // sparse in-match insertion: ~4 anchors per match, stride >= 2
+            // (stride-1 on short matches cost ~6 random table writes per
+            // match on ELF code for ~0 ratio; two-anchor-only lost 1.2%
+            // size on text — this is the measured sweet spot)
+            size_t step = best_len / 4 > 2 ? best_len / 4 : 2;
             for (size_t q = pos + 1; q < mend && q < mf; q += step) {
-                uint32_t hq = zhash(rd32e(base + q), hash_bits);
-                htab[hq] = (int32_t)q;
-                if (q + 8 <= end) ctx.htab8[zhash8(rd64e(base + q), ctx.h8_bits)] = (int32_t)q;
+                if (q + 8 <= end) {
+                    h4t[zhash5(rd64e(base + q), hash_bits)] = (int32_t)q;
+                    h8t[zhash8(rd64e(base + q), h8b)] = (int32_t)q;
+                } else {
+                    h4t[zhash(rd32e(base + q), hash_bits)] = (int32_t)q;
+                }
             }
             pos = mend;
             lit_start = pos;
         } else {
-            pos += 1 + (accel >> 6);
-            accel++;
+            pos += ((pos - lit_start) >> 8) + 1;
         }
     }
     lit_tail = end - lit_start;
