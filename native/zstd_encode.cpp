@@ -1523,7 +1523,11 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
         if (!reachable) continue;
         // literal step (reps inherited, pending run grows)
         {
-            uint32_t p = cur.price + P.lit8[base[pos]];  // absolute pos
+            // +1 bit flat literal bias: the entropy estimate underprices
+            // real literal cost (huffman quantization + section overheads);
+            // measured best at +8/8ths across source/text/records/mixed
+            // (source-code L19 1.0082 -> 1.0028 vs libzstd)
+            uint32_t p = cur.price + P.lit8[base[pos]] + 8;
             if (p < cells[i + 1].price)
                 cells[i + 1] = OCell{p, 0, 0, cur.rep0, cur.rep1, cur.rep2,
                                      cur.litlen + 1};

@@ -170,3 +170,27 @@ def test_encode_l19_longrange_pinned():
     ours = len(native.zstd_compress(data, 19))
     ref = len(zstandard.ZstdCompressor(level=19).compress(data))
     assert ours <= ref * 1.02, f"L19 longrange: {ours} vs {ref} ({ours/ref:.4f})"
+
+
+def test_encode_l19_real_source_code_pinned():
+    """VERDICT r3 item 7: L19 on REAL source-code text (numpy's .py files
+    via the local-corpus builder).  The +1-bit flat literal-price bias
+    closed 1.0082 -> 1.0028 vs libzstd-19; pinned at <= 1.005 so the
+    remaining ~0.3% (entropy-section equilibrium, see docs/parity.md)
+    can only shrink.  Skips if the corpus source files are unavailable."""
+    import sys
+
+    sys.path.insert(0, ".")
+    sys.path.insert(0, "scripts")
+    import corpus as corpus_mod
+
+    from zpack_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native backend unavailable")
+    blob = corpus_mod._category_bytes("source", 2 << 20)
+    if len(blob) < (2 << 20):
+        pytest.skip("local source corpus unavailable")
+    ours = len(native.zstd_compress(blob, 19))
+    ref = len(zstandard.ZstdCompressor(level=19).compress(blob))
+    assert ours <= ref * 1.005, f"L19 source: {ours} vs {ref} ({ours/ref:.4f})"
