@@ -177,7 +177,7 @@ def _tpu_kernel_rates() -> dict:
     import subprocess
 
     metrics: dict[str, float] = {}
-    timeout = int(os.environ.get("ZPACK_BENCH_TPU_TIMEOUT", 600))
+    timeout = int(os.environ.get("ZPACK_BENCH_TPU_TIMEOUT", 1600))
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "scripts", "tpu_bench.py")
     for attempt in range(2):
@@ -320,6 +320,12 @@ def main() -> int:
                     for m in s["mesh_weak"]},
                 "elastic_2proc_work_efficiency":
                     s["elastic_strong"][-1]["work_strong_efficiency"],
+                # RAW (un-normalized) weak scaling: n independent
+                # single-threaded compress processes, n <= ncores (the
+                # multi-host deployment shape; VERDICT r3 item 9)
+                "proc_raw_weak_efficiency": {
+                    str(m["n"]): m["raw_weak_efficiency"]
+                    for m in s.get("proc_weak", [])},
             }
             _log(f"scaling: {scaling}")
         except Exception as e:

@@ -1902,6 +1902,33 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
         else
             find_sequences(src, off, off + bsize, n, ctx, hash_bits, depth, lazy,
                            max_offset, seqs, lit_tail, level > 12 ? 3 : 0, lit_bits);
+        // Incompressible bail (role: the fast raw-block escape that gives
+        // libzstd its multi-GB/s on high-entropy data): almost no matches
+        // found + a SAMPLED literal entropy at ~8 bits/byte -> emit the
+        // raw block now, skipping encode_block_body's full histogram +
+        // literal copies.  Entropy-only-compressible data (base64-class,
+        // ~6 bits/byte) stays on the normal path.
+        if (level <= 12 && bsize >= (16 << 10) && seqs.size() < bsize / 4096) {
+            uint32_t h64[256] = {0};
+            size_t step_s = bsize / 4096;
+            size_t cnt = 0;
+            for (size_t q = 0; q < bsize; q += step_s) { h64[src[off + q]]++; cnt++; }
+            double bits = 0;
+            for (int q = 0; q < 256; q++) {
+                uint32_t c = h64[q];
+                if (!c) continue;
+                double pr = (double)c / (double)cnt;
+                bits -= (double)c * 1.4426950408889634 * __builtin_log(pr);
+            }
+            if (bits > 7.85 * (double)cnt) {
+                ctx.rep[0] = rep_backup[0]; ctx.rep[1] = rep_backup[1]; ctx.rep[2] = rep_backup[2];
+                lit_state = lit_backup;
+                uint32_t bh = (uint32_t)last | (0u << 1) | ((uint32_t)bsize << 3);
+                uint8_t bhb[3] = {(uint8_t)bh, (uint8_t)(bh >> 8), (uint8_t)(bh >> 16)};
+                if (!emit(bhb, 3) || !emit(src + off, bsize)) return (size_t)-1;
+                continue;
+            }
+        }
         body.clear();
         bool ok = encode_block_body(src + off, bsize, seqs, lit_tail, body, lit_state);
         if (level > 12) {

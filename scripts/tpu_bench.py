@@ -69,9 +69,44 @@ def best_call(fn, reps: int = 6) -> float:
     return max(best - _RTT, 1e-9)
 
 
-def main() -> int:
+GROUPS = [
+    # One subprocess per group: the wide-vmap tokenizer program degrades
+    # the whole process's subsequent dispatches ~1000x on the axon runtime
+    # (scripts/tpu_primitives.py + order tests, round 4) — every kernel
+    # measured after it in one process reported tunnel-degraded numbers in
+    # BENCH_r01..r03.  Isolation gives each metric an honest runtime.
+    "huf,hufdec,xxh3,fse,lz4replay",
+    "tok",
+    "zmesh",
+]
+
+
+def orchestrate() -> int:
+    import subprocess
+    here = os.path.abspath(__file__)
+    for group in GROUPS:
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--only", group],
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("ZPACK_BENCH_TPU_GROUP_TIMEOUT", 480)),
+                cwd=os.path.dirname(os.path.dirname(here)))
+            out = proc.stdout or ""
+        except subprocess.TimeoutExpired as e:
+            raw = e.stdout or b""
+            out = raw.decode() if isinstance(raw, bytes) else raw
+        for line in out.splitlines():
+            if line.strip():
+                print(line, flush=True)
+    return 0
+
+
+def main(only: set | None = None) -> int:
     global _RTT
     rng = np.random.default_rng(0)
+
+    def want(name: str) -> bool:
+        return only is None or name in only
 
     # --- rtt: trivial dispatch+sync round-trip
     tiny = jax.jit(lambda x: x + 1)
@@ -88,11 +123,12 @@ def main() -> int:
     # --- tok: LZ4 tokenizer device rate (2048 x 8 KiB blocks = 16 MiB/call:
     # the dispatch size that saturates the device; 512-block dispatches
     # measure ~149 MB/s vs 344 at 2048 — docs/roofline.md)
-    from zpack_tpu.kernels.lz4_jax import tokenize_block_u16
+    if want("tok"):
+        from zpack_tpu.kernels.lz4_jax import tokenize_block_u16
 
-    blks = jnp.asarray(rng.integers(0, 90, (2048, 8192)).astype(np.uint8))
-    fn = jax.jit(jax.vmap(partial(tokenize_block_u16, depth=2, n_words=2)))
-    emit("tok", 2048 * 8192 / best_call(lambda: fn(blks)) / 1e6)
+        blks = jnp.asarray(rng.integers(0, 90, (2048, 8192)).astype(np.uint8))
+        fn = jax.jit(jax.vmap(partial(tokenize_block_u16, depth=2, n_words=2)))
+        emit("tok", 2048 * 8192 / best_call(lambda: fn(blks)) / 1e6)
 
     # --- huf: batched huffman encode (256 distinct streams x 16 KiB)
     from zpack_tpu.codecs.zstd import huffman as H
@@ -102,122 +138,127 @@ def main() -> int:
                      p=rng.dirichlet(np.ones(48) * 0.3)).astype(np.uint8)
     et = H.build_encode_table(np.bincount(lit, minlength=256))
     S, L = 256, 16384
-    base = np.broadcast_to(lit, (S, L)).copy()
-    for i in range(S):
-        base[i] = np.roll(lit, i)
-    syms = jnp.asarray(base)
-    lens = jnp.full((S,), L, jnp.int32)
-    ct = jnp.asarray(np.broadcast_to(
-        np.pad(et.codes.astype(np.int32), (0, 256 - len(et.codes))), (S, 256)).copy())
-    lt = jnp.asarray(np.broadcast_to(
-        np.pad(et.lengths.astype(np.int32), (0, 256 - len(et.lengths))), (S, 256)).copy())
-    nw = HJ.words_needed(L)
-    emit("huf", S * L / best_call(
-        lambda: HJ.encode_streams(syms, lens, ct, lt, n_words=nw)) / 1e6)
+    if want("huf"):
+        base = np.broadcast_to(lit, (S, L)).copy()
+        for i in range(S):
+            base[i] = np.roll(lit, i)
+        syms = jnp.asarray(base)
+        lens = jnp.full((S,), L, jnp.int32)
+        ct = jnp.asarray(np.broadcast_to(
+            np.pad(et.codes.astype(np.int32), (0, 256 - len(et.codes))), (S, 256)).copy())
+        lt = jnp.asarray(np.broadcast_to(
+            np.pad(et.lengths.astype(np.int32), (0, 256 - len(et.lengths))), (S, 256)).copy())
+        nw = HJ.words_needed(L)
+        emit("huf", S * L / best_call(
+            lambda: HJ.encode_streams(syms, lens, ct, lt, n_words=nw)) / 1e6)
 
     # --- hufdec: batched huffman decode of the same streams (scan kernel)
-    payload = H._encode_stream(lit, et)
-    total = sum((1 << (w - 1)) for w in et.weights if w > 0)
-    np2 = 1 << total.bit_length()
-    dtb = H.build_decode_table(et.weights + [(np2 - total).bit_length()])
-    P = len(payload)
-    pay = np.zeros((S, P), dtype=np.uint8)
-    pay[:] = np.frombuffer(payload, dtype=np.uint8)
-    starts = np.full((S,), (P - 1) * 8 + (payload[-1].bit_length() - 1), np.int32)
-    sym_t = jnp.asarray(np.broadcast_to(
-        dtb.symbols.astype(np.int32), (S, 1 << dtb.max_bits)).copy())
-    nb_t = jnp.asarray(np.broadcast_to(
-        dtb.nb_bits.astype(np.int32), (S, 1 << dtb.max_bits)).copy())
-    pay_d = jnp.asarray(pay)
-    starts_d = jnp.asarray(starts)
-    emit("hufdec", S * L / best_call(lambda: HJ.decode_streams(
-        pay_d, starts_d, sym_t, nb_t, max_bits=dtb.max_bits, n_out=L)) / 1e6)
+    if want("hufdec"):
+        payload = H._encode_stream(lit, et)
+        total = sum((1 << (w - 1)) for w in et.weights if w > 0)
+        np2 = 1 << total.bit_length()
+        dtb = H.build_decode_table(et.weights + [(np2 - total).bit_length()])
+        P = len(payload)
+        pay = np.zeros((S, P), dtype=np.uint8)
+        pay[:] = np.frombuffer(payload, dtype=np.uint8)
+        starts = np.full((S,), (P - 1) * 8 + (payload[-1].bit_length() - 1), np.int32)
+        sym_t = jnp.asarray(np.broadcast_to(
+            dtb.symbols.astype(np.int32), (S, 1 << dtb.max_bits)).copy())
+        nb_t = jnp.asarray(np.broadcast_to(
+            dtb.nb_bits.astype(np.int32), (S, 1 << dtb.max_bits)).copy())
+        pay_d = jnp.asarray(pay)
+        starts_d = jnp.asarray(starts)
+        emit("hufdec", S * L / best_call(lambda: HJ.decode_streams(
+            pay_d, starts_d, sym_t, nb_t, max_bits=dtb.max_bits, n_out=L)) / 1e6)
 
     # --- xxh3: batched Pallas XXH3 accumulate rate (128 lanes x 512 KiB;
     # the device answer to native xxh3's 9-11 GB/s — VERDICT r2 weak #9
     # wanted this number recorded next to the native one)
     from zpack_tpu.kernels import xxh3_pallas as XP
 
-    if XP._CONSTS is None:
+    if want("xxh3") and XP._CONSTS is None:
         sh, sl, mi = XP._make_consts()
         XP._CONSTS = (jnp.asarray(sh), jnp.asarray(sl), jnp.asarray(mi))
-    SLEN = 512 << 10
-    ns_stripes = (SLEN - 1) // 64
-    nblocks = -(-ns_stripes // XP._SPB)
-    nstripes_a = np.zeros((8, XP.LANES), np.int32)
-    nstripes_a[0, :] = ns_stripes
-    data_a = rng.integers(0, 2**32, (nblocks, 256, XP.LANES), dtype=np.uint64)
-    data_d = jnp.asarray(data_a.astype(np.uint32))
-    nstripes_d = jnp.asarray(nstripes_a)
-    interp = jax.default_backend() != "tpu"
-    emit("xxh3", XP.LANES * SLEN / best_call(
-        lambda: XP._run(nstripes_d, *XP._CONSTS, data_d, nblocks, interp)) / 1e6)
+    if want("xxh3"):
+        SLEN = 512 << 10
+        ns_stripes = (SLEN - 1) // 64
+        nblocks = -(-ns_stripes // XP._SPB)
+        nstripes_a = np.zeros((8, XP.LANES), np.int32)
+        nstripes_a[0, :] = ns_stripes
+        data_a = rng.integers(0, 2**32, (nblocks, 256, XP.LANES), dtype=np.uint64)
+        data_d = jnp.asarray(data_a.astype(np.uint32))
+        nstripes_d = jnp.asarray(nstripes_a)
+        interp = jax.default_backend() != "tpu"
+        emit("xxh3", XP.LANES * SLEN / best_call(
+            lambda: XP._run(nstripes_d, *XP._CONSTS, data_d, nblocks, interp)) / 1e6)
 
     # --- fse: batched sequence-section encode (Mseq/s; 256 blocks x 1024)
     from zpack_tpu.codecs.zstd import seq as zseq
     from zpack_tpu.kernels import fse_jax as FJ
 
-    NB, NS = 256, 1024
-    lls = rng.integers(0, 200, NS).astype(np.int64)
-    mls = rng.integers(3, 60, NS).astype(np.int64)
-    ovs = rng.integers(4, 60000, NS).astype(np.int64)
-    ll_t = zseq.predefined_encode_table("ll")
-    of_t = zseq.predefined_encode_table("of")
-    ml_t = zseq.predefined_encode_table("ml")
-    denc = FJ.DeviceSequenceEncoder()
-    blocks = [(np.roll(lls, i), np.roll(mls, i), np.roll(ovs, i))
-              for i in range(NB)]
-    tabs = [(ll_t, of_t, ml_t)] * NB
-    denc.encode_batch(blocks, tabs)  # compile + warm
-    best = float("inf")
-    for _ in range(4):
-        t0 = time.perf_counter()
-        denc.encode_batch(blocks, tabs)
-        best = min(best, time.perf_counter() - t0)
-    emit("fse_mseq", NB * NS / max(best - _RTT, 1e-9) / 1e6)
+    if want("fse"):
+        NB, NS = 256, 1024
+        lls = rng.integers(0, 200, NS).astype(np.int64)
+        mls = rng.integers(3, 60, NS).astype(np.int64)
+        ovs = rng.integers(4, 60000, NS).astype(np.int64)
+        ll_t = zseq.predefined_encode_table("ll")
+        of_t = zseq.predefined_encode_table("of")
+        ml_t = zseq.predefined_encode_table("ml")
+        denc = FJ.DeviceSequenceEncoder()
+        blocks = [(np.roll(lls, i), np.roll(mls, i), np.roll(ovs, i))
+                  for i in range(NB)]
+        tabs = [(ll_t, of_t, ml_t)] * NB
+        denc.encode_batch(blocks, tabs)  # compile + warm
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            denc.encode_batch(blocks, tabs)
+            best = min(best, time.perf_counter() - t0)
+        emit("fse_mseq", NB * NS / max(best - _RTT, 1e-9) / 1e6)
 
     # --- lz4replay: batched device sequence replay (decode side of the
     # --engine tpu extract path; host token parse excluded — it overlaps
     # device compute in production)
-    from zpack_tpu.codecs.lz4 import block as lz4block
-    from zpack_tpu.kernels import lz4_jax as LJ
+    if want("lz4replay"):
+        from zpack_tpu.codecs.lz4 import block as lz4block
+        from zpack_tpu.kernels import lz4_jax as LJ
 
-    words = [b"replay", b"the", b"sequences", b"on", b"device", b"fast"]
-    blob = bytearray()
-    while len(blob) < (64 << 10):
-        blob += words[int(rng.integers(len(words)))] + b" "
-    raw = bytes(blob[: 64 << 10])
-    NBK = 64
-    parsed = [LJ.parse_block_sequences(lz4block.compress_block(
-        bytes(np.roll(np.frombuffer(raw, np.uint8), i).tobytes()))) for i in range(NBK)]
-    S = max(len(p[0]) for p in parsed)
-    Sp = 1
-    while Sp < S:
-        Sp <<= 1
-    L = 1
-    while L < max(len(p[3]) for p in parsed):
-        L <<= 1
-    lit_b = np.zeros((NBK, L), np.uint8)
-    seg_st = np.zeros((NBK, Sp), np.int32)
-    lit_st = np.zeros((NBK, Sp), np.int32)
-    ll_a = np.zeros((NBK, Sp), np.int32)
-    off_a = np.zeros((NBK, Sp), np.int32)
-    ns = np.zeros(NBK, np.int32)
-    for i, (lls, offs, mls, lits) in enumerate(parsed):
-        k = len(lls)
-        seg_len = lls + mls
-        seg_st[i, :k] = np.cumsum(seg_len) - seg_len
-        lit_st[i, :k] = np.cumsum(lls) - lls
-        ll_a[i, :k] = lls
-        off_a[i, :k] = offs
-        ns[i] = k
-        lit_b[i, : len(lits)] = np.frombuffer(lits, np.uint8)
-    args_d = [jnp.asarray(a) for a in (lit_b, seg_st, lit_st, ll_a, off_a, ns)]
-    emit("lz4replay", NBK * len(raw) / best_call(
-        lambda: LJ.replay_sequences(*args_d, n_out=64 << 10)) / 1e6)
+        words = [b"replay", b"the", b"sequences", b"on", b"device", b"fast"]
+        blob = bytearray()
+        while len(blob) < (64 << 10):
+            blob += words[int(rng.integers(len(words)))] + b" "
+        raw = bytes(blob[: 64 << 10])
+        NBK = 64
+        parsed = [LJ.parse_block_sequences(lz4block.compress_block(
+            bytes(np.roll(np.frombuffer(raw, np.uint8), i).tobytes()))) for i in range(NBK)]
+        S = max(len(p[0]) for p in parsed)
+        Sp = 1
+        while Sp < S:
+            Sp <<= 1
+        L = 1
+        while L < max(len(p[3]) for p in parsed):
+            L <<= 1
+        lit_b = np.zeros((NBK, L), np.uint8)
+        seg_st = np.zeros((NBK, Sp), np.int32)
+        lit_st = np.zeros((NBK, Sp), np.int32)
+        ll_a = np.zeros((NBK, Sp), np.int32)
+        off_a = np.zeros((NBK, Sp), np.int32)
+        ns = np.zeros(NBK, np.int32)
+        for i, (lls, offs, mls, lits) in enumerate(parsed):
+            k = len(lls)
+            seg_len = lls + mls
+            seg_st[i, :k] = np.cumsum(seg_len) - seg_len
+            lit_st[i, :k] = np.cumsum(lls) - lls
+            ll_a[i, :k] = lls
+            off_a[i, :k] = offs
+            ns[i] = k
+            lit_b[i, : len(lits)] = np.frombuffer(lits, np.uint8)
+        args_d = [jnp.asarray(a) for a in (lit_b, seg_st, lit_st, ll_a, off_a, ns)]
+        emit("lz4replay", NBK * len(raw) / best_call(
+            lambda: LJ.replay_sequences(*args_d, n_out=64 << 10)) / 1e6)
 
     # --- device-vs-host entropy A/B on the end-to-end mesh zstd path
-    if os.environ.get("ZPACK_TPU_BENCH_AB", "1") != "0":
+    if want("zmesh") and os.environ.get("ZPACK_TPU_BENCH_AB", "1") != "0":
         from zpack_tpu.parallel.pipeline import MeshCompressor
 
         words = [b"compression", b"archive", b"entropy", b"the", b"of", b"data"]
@@ -235,4 +276,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        sys.exit(main(only))
+    sys.exit(orchestrate())
