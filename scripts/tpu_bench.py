@@ -208,13 +208,38 @@ def main(only: set | None = None) -> int:
         blocks = [(np.roll(lls, i), np.roll(mls, i), np.roll(ovs, i))
                   for i in range(NB)]
         tabs = [(ll_t, of_t, ml_t)] * NB
-        denc.encode_batch(blocks, tabs)  # compile + warm
+        # device-kernel rate with PRE-STAGED operands (the huf/tok
+        # methodology): the wrapper's host packing + operand upload ride
+        # the dev tunnel (~12 MB/s) and would swamp the kernel timing;
+        # production overlaps them with device compute.  The wrapper
+        # end-to-end (packing + tunnel) is reported as fse_e2e_mseq.
+        staged = {}
+
+        def run_staged():
+            if "args" not in staged:
+                import zpack_tpu.kernels.fse_jax as _FJ
+                orig = _FJ.encode_seq_streams
+
+                def capture(*args, n_words):
+                    staged["args"] = [jnp.asarray(a) for a in args]
+                    staged["n_words"] = n_words
+                    return orig(*args, n_words=n_words)
+
+                _FJ.encode_seq_streams = capture
+                try:
+                    denc.encode_batch(blocks, tabs)
+                finally:
+                    _FJ.encode_seq_streams = orig
+            return FJ.encode_seq_streams(*staged["args"],
+                                         n_words=staged["n_words"])
+
+        emit("fse_mseq", NB * NS / best_call(run_staged, reps=4) / 1e6)
         best = float("inf")
-        for _ in range(4):
+        for _ in range(3):
             t0 = time.perf_counter()
             denc.encode_batch(blocks, tabs)
             best = min(best, time.perf_counter() - t0)
-        emit("fse_mseq", NB * NS / max(best - _RTT, 1e-9) / 1e6)
+        emit("fse_e2e_mseq", NB * NS / max(best - _RTT, 1e-9) / 1e6)
 
     # --- lz4replay: batched device sequence replay (decode side of the
     # --engine tpu extract path; host token parse excluded — it overlaps

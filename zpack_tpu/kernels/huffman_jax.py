@@ -250,14 +250,20 @@ def decode_streams(payloads, starts, symbols_tab, nbits_tab, *, max_bits: int,
     Returns (syms (S, n_out) uint8, pos (S, n_out) int32 bit position
     BEFORE each symbol, nb (S, n_out) int32 bits consumed).
 
-    Formulation: a `lax.scan` over symbol steps, every stream advancing in
-    lockstep — per step: ONE window gather from a precomputed 24-bit
-    sliding-window table, ONE symbol + ONE nbits table gather, all of
-    width S.  Gather volume is 3 elements per decoded symbol, vs the
-    speculative decode-at-every-bit-position + pointer-doubling
-    formulation whose jump-table doubling gathered the full bit-position
-    domain (8 x bytes) log2(n_out) times — ~50x more gather traffic
-    (measured 1.5 MB/s; generic gathers run ~100M elem/s on TPU).
+    Formulation: SPECULATIVE decode at every bit position + pointer
+    doubling.  A (symbol, nbits) is decoded at ALL 8*P bit positions with
+    dense bulk gathers, giving a jump table nxt[p] = p - nbits[p]; the
+    true decode path is the orbit of `starts`, extracted by prefix
+    doubling — positions of the first 2^k symbols are known after k
+    rounds, each round one bulk gather plus one jump-table composition.
+
+    A lax.scan over symbol steps (3 tiny gathers per step) was the r3
+    formulation; per-step gathers inside a scan run ~50 Melem/s on this
+    TPU while the SAME gathers issued in bulk run 20-280 Gelem/s
+    (scripts/tpu_primitives.py) — the r3 note deeming doubling "50x more
+    gather traffic" compared traffic, not achievable rate, and its 1.5
+    MB/s measurement was taken in a tokenizer-degraded process (see
+    tpu_bench.py GROUPS).  Bulk formulation measures ~100x the scan.
     """
     S, P = payloads.shape
     # +4 zero bytes in front: bit offset +32 makes k = p - max_bits
@@ -267,21 +273,32 @@ def decode_streams(payloads, starts, symbols_tab, nbits_tab, *, max_bits: int,
     b = jnp.concatenate([pad, payloads, pad], axis=1).astype(jnp.uint32)
     w24 = b[:, :-2] | (b[:, 1:-1] << jnp.uint32(8)) | (b[:, 2:] << jnp.uint32(16))
     mask = jnp.uint32((1 << max_bits) - 1)
-
-    def step(p, _):
-        k = p + (32 - max_bits)  # bit offset of the window in the padded buf
-        jb = k >> 3
-        sh = (k & 7).astype(jnp.uint32)
-        w = jnp.take_along_axis(w24, jb[:, None], axis=1)[:, 0]
-        win = ((w >> sh) & mask).astype(jnp.int32)
-        sym = jnp.take_along_axis(symbols_tab, win[:, None], axis=1)[:, 0]
-        nb = jnp.take_along_axis(nbits_tab, win[:, None], axis=1)[:, 0]
-        p2 = jnp.maximum(p - nb, 0)  # clamp like the numpy oracle's nxt
-        return p2, (sym.astype(jnp.uint8), p, nb)
-
-    _, (syms, pos, nbs) = jax.lax.scan(step, starts.astype(jnp.int32), None,
-                                       length=n_out)
-    return syms.T, pos.T, nbs.T
+    D = 8 * P + 8  # bit-position domain (starts < 8P; +8 covers windows)
+    p_all = jnp.arange(D, dtype=jnp.int32)
+    k = p_all + (32 - max_bits)
+    jb = k >> 3
+    sh = (k & 7).astype(jnp.uint32)
+    w = jnp.take(w24, jb, axis=1)  # (S, D) monotone bulk gather
+    win = ((w >> sh[None, :]) & mask).astype(jnp.int32)
+    sym_all = jnp.take_along_axis(symbols_tab, win, axis=1).astype(jnp.uint8)
+    nb_all = jnp.take_along_axis(nbits_tab, win, axis=1).astype(jnp.int32)
+    nxt = jnp.maximum(p_all[None, :] - nb_all, 0)  # clamp like the oracle
+    # prefix doubling: after round r, positions of the first 2^r symbols
+    # are known and J jumps 2^r symbols at once
+    pos = jnp.zeros((S, n_out), dtype=jnp.int32)
+    pos = pos.at[:, 0].set(starts.astype(jnp.int32))
+    known = 1
+    J = nxt
+    while known < n_out:
+        take = min(known, n_out - known)
+        stepped = jnp.take_along_axis(J, pos[:, :take], axis=1)
+        pos = jax.lax.dynamic_update_slice(pos, stepped, (0, known))
+        known += take
+        if known < n_out:
+            J = jnp.take_along_axis(J, J, axis=1)
+    syms = jnp.take_along_axis(sym_all, pos, axis=1)
+    nbs = jnp.take_along_axis(nb_all, pos, axis=1)
+    return syms, pos, nbs
 
 
 class DeviceHuffmanDecoder:

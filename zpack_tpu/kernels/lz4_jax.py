@@ -520,16 +520,16 @@ def replay_sequences(lit_bytes, seg_start, lit_start, lit_len, offset, n_seq,
         f = jnp.where(inlit, pos, pos - off[seg_of])
         f = jnp.maximum(f, 0)
 
-        def cond(c):
-            f, done = c
-            return ~done
-
-        def body(c):
-            f, _ = c
-            f2 = f[f]
-            return f2, jnp.all(f2 == f)
-
-        f, _ = jax.lax.while_loop(cond, body, (f, jnp.array(False)))
+        # pointer doubling with a FIXED, trace-time-unrolled round count:
+        # log2(n_out) rounds always reach the fixed point (f is monotone
+        # non-increasing toward literal positions).  A lax.while_loop with
+        # a convergence test ran the same gathers ~1000x slower — gathers
+        # embedded in device control flow compile to a serial form on this
+        # TPU (scripts/tpu_primitives.py: bulk 20-280 Gelem/s vs ~50
+        # Melem/s inside scan/while bodies).
+        rounds = max(1, int(np.ceil(np.log2(max(n_out, 2)))))
+        for _ in range(rounds):
+            f = f[f]
         return lit_b[lit_idx[f]]
 
     return jax.vmap(one)(lit_bytes, seg_start, lit_start, lit_len, offset, n_seq)
