@@ -58,13 +58,24 @@ def emit(name: str, value: float) -> None:
 _RTT = 0.0
 
 
+def _hard_sync(out):
+    """Materialize ONE element of the result on the host.  On the axon
+    backend `block_until_ready` can return before the device work is
+    actually complete (round-4 finding: 64 MB XXH3 'finished' inside the
+    71 us dispatch RTT); fetching a result element is the only sync that
+    provably bounds the computation.  Costs ~1 RTT, which best_call
+    subtracts."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def best_call(fn, reps: int = 6) -> float:
-    """Min wall-clock of single blocking calls, net of dispatch RTT."""
-    jax.block_until_ready(fn())  # compile + warm
+    """Min wall-clock of single hard-synced calls, net of dispatch RTT."""
+    _hard_sync(fn())  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _hard_sync(fn())
         best = min(best, time.perf_counter() - t0)
     return max(best - _RTT, 1e-9)
 
@@ -111,11 +122,11 @@ def main(only: set | None = None) -> int:
     # --- rtt: trivial dispatch+sync round-trip
     tiny = jax.jit(lambda x: x + 1)
     x0 = jnp.zeros(8, jnp.int32)
-    jax.block_until_ready(tiny(x0))
+    np.asarray(tiny(x0)[0])
     rtts = []
     for _ in range(10):
         t0 = time.perf_counter()
-        jax.block_until_ready(tiny(x0))
+        np.asarray(tiny(x0)[0])  # same hard sync best_call uses
         rtts.append(time.perf_counter() - t0)
     _RTT = min(rtts)
     emit("rtt_ms", _RTT * 1e3)
