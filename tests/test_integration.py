@@ -245,3 +245,30 @@ def test_concurrent_readers_shared_buffer():
         t.join()
     if errors:
         raise errors[0]
+
+
+def test_fused_writer_large_entry_both_sinks(tmp_path):
+    """>2 MiB zstd/lz4 entries take the fused native path (chunk-parallel
+    frames + entry XXH3 in one call, round 4): heap and file sinks must
+    produce identical archives that round-trip with full verification."""
+    import numpy as np
+
+    from zpack_tpu.reader import Reader
+    from zpack_tpu.writer import CompressOptions, Writer
+
+    rng = np.random.default_rng(11)
+    word = b"fused writer path exercises the chunked native compressor "
+    noise = rng.integers(0, 256, 1 << 20).astype(np.uint8).tobytes()
+    data = (word * 40000 + noise + word * 30000)[: 5 << 20]
+    for method, lvl in ((C.CompressionMethod.ZSTD, 3), (C.CompressionMethod.LZ4, 1)):
+        w = Writer.to_heap()
+        w.write_archive([("big.bin", data, CompressOptions(method, lvl))])
+        heap_buf = w.buffer
+        path = tmp_path / f"fused_{int(method)}.zpk"
+        with Writer.open(path) as wf:
+            wf.write_archive([("big.bin", data, CompressOptions(method, lvl))])
+        assert path.read_bytes() == heap_buf  # sink-independent output
+        r = Reader.from_memory(heap_buf, shared=True)
+        assert r.read_file("big.bin") == data  # includes XXH3 verify
+        with Reader.open(path) as rf:
+            assert rf.read_file("big.bin") == data
