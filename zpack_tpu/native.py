@@ -365,37 +365,16 @@ def _chunked_cap(n: int, chunk: int) -> int:
     return n + n // 128 + nframes * 64 + 4096
 
 
-def compress_chunked_into(method: int, data: bytes, dst: bytearray, offset: int,
-                          level: int, chunk: int = 2 << 20):
-    """Fused whole-entry compress: consecutive frames of ``chunk`` input
-    bytes + the XXH3-64 of the whole input, in ONE native call on one worker
-    pool, written IN PLACE into ``dst[offset:]`` (the writer's heap buffer —
-    no Python-side chunk slices, join, or emit copy).  The caller must have
-    grown ``dst`` by at least ``_chunked_cap(len(data), chunk)`` bytes.
-    Returns (compressed_size, hash) or None."""
-    fn = _chunked_fn(method)
-    if fn is None:
-        return None
-    n = len(data)
-    cap = len(dst) - offset
-    h = ctypes.c_uint64(0)
-    arr = (ctypes.c_char * cap).from_buffer(dst, offset)
-    try:
-        r = int(fn(data, n, chunk, arr, cap, level, ctypes.byref(h)))
-    finally:
-        del arr  # release the buffer export so dst can be resized again
-    if r == _FAIL:
-        return None
-    return r, int(h.value)
-
-
 def compress_chunked(method: int, data: bytes, level: int,
                      chunk: int = 2 << 20):
-    """Like :func:`compress_chunked_into` but compresses into an
-    uninitialized numpy scratch and returns (view, hash) where ``view`` is
-    a zero-copy np.uint8 slice of it — the writer emits the view straight
-    into its sink (ONE copy of the compressed size, vs zero-filling the
-    full input-sized cap that the in-place variant needs)."""
+    """Fused whole-entry compress: consecutive frames of ``chunk`` input
+    bytes + the XXH3-64 of the whole input, in ONE native call on one
+    worker pool.  Compresses into a reusable per-thread numpy scratch and
+    returns (view, hash) where ``view`` is a zero-copy np.uint8 slice of
+    it — the writer emits the view straight into its sink (one copy of
+    the compressed size; an in-place-into-the-heap variant measured WORSE
+    because growing the bytearray zero-fills the full input-sized cap).
+    Returns None when the native backend is unavailable."""
     fn = _chunked_fn(method)
     if fn is None:
         return None
