@@ -119,16 +119,28 @@ def main(only: set | None = None) -> int:
     def want(name: str) -> bool:
         return only is None or name in only
 
-    # --- rtt: trivial dispatch+sync round-trip
+    # --- rtt: trivial dispatch+sync round-trip.  Health-gated: the axon
+    # tunnel has multi-minute degradation episodes (rtt 0.06 -> 20+ ms);
+    # measuring kernels inside one records junk, so wait for recovery
+    # (bounded) and report the rtt the metrics actually ran under.
     tiny = jax.jit(lambda x: x + 1)
     x0 = jnp.zeros(8, jnp.int32)
     np.asarray(tiny(x0)[0])
-    rtts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        np.asarray(tiny(x0)[0])  # same hard sync best_call uses
-        rtts.append(time.perf_counter() - t0)
-    _RTT = min(rtts)
+
+    def measure_rtt():
+        rtts = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            np.asarray(tiny(x0)[0])  # same hard sync best_call uses
+            rtts.append(time.perf_counter() - t0)
+        return min(rtts)
+
+    _RTT = measure_rtt()
+    waited = 0
+    while _RTT > 0.003 and waited < int(os.environ.get("ZPACK_TPU_HEALTH_WAIT", 300)):
+        time.sleep(30)
+        waited += 30
+        _RTT = measure_rtt()
     emit("rtt_ms", _RTT * 1e3)
 
     # --- tok: LZ4 tokenizer device rate (2048 x 8 KiB blocks = 16 MiB/call:
