@@ -353,6 +353,8 @@ def main() -> int:
             "tpu_huffman_decode_MBps": round(tpu["hufdec"], 2) if "hufdec" in tpu else None,
             "tpu_xxh3_pallas_MBps": round(tpu["xxh3"], 2) if "xxh3" in tpu else None,
             "tpu_fse_encode_Mseqps": round(tpu["fse_mseq"], 3) if "fse_mseq" in tpu else None,
+            "tpu_fse_e2e_Mseqps": round(tpu["fse_e2e_mseq"], 3) if "fse_e2e_mseq" in tpu else None,
+            "tpu_rtt_ms": round(tpu["rtt_ms"], 3) if "rtt_ms" in tpu else None,
             "tpu_lz4_replay_MBps": round(tpu["lz4replay"], 2) if "lz4replay" in tpu else None,
             "tpu_zstd_mesh_device_entropy_MBps": round(tpu["zmesh_dev"], 2) if "zmesh_dev" in tpu else None,
             "tpu_zstd_mesh_host_entropy_MBps": round(tpu["zmesh_host"], 2) if "zmesh_host" in tpu else None,
