@@ -16,6 +16,25 @@
 
 #include "zn_threads.h"
 
+// Phase profiling (diagnostic builds only: g++ -DZPACK_PROF via
+// scripts/profile_native.py).  Accumulates rdtsc ticks per decode phase;
+// zn_zstd_prof() snapshots {literals, seq_tables, seq_loop, nb_seq,
+// lit_bytes, out_bytes}.
+#ifdef ZPACK_PROF
+#include <x86intrin.h>
+static uint64_t g_prof[8];
+extern "C" void zn_zstd_prof(uint64_t* out) {
+    for (int i = 0; i < 8; i++) { out[i] = g_prof[i]; g_prof[i] = 0; }
+}
+#define PROF_T(v) uint64_t v = __rdtsc()
+#define PROF_ACC(slot, t0) (g_prof[slot] += __rdtsc() - (t0))
+#define PROF_ADD(slot, n) (g_prof[slot] += (n))
+#else
+#define PROF_T(v) ((void)0)
+#define PROF_ACC(slot, t0) ((void)0)
+#define PROF_ADD(slot, n) ((void)0)
+#endif
+
 namespace {
 
 struct ByteSpan {
@@ -760,6 +779,7 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
                   uint8_t* dst, size_t& opos, size_t base, size_t cap) {
     init_defaults();
     if (bsize < 1) return false;
+    PROF_T(prof_t0);
     // ---- literals section
     uint8_t b0 = block[0];
     int ltype = b0 & 3;
@@ -866,6 +886,9 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
         pos += cs;
     }
     // ---- sequences section
+    PROF_ACC(0, prof_t0);
+    PROF_ADD(4, lits_n);
+    PROF_T(prof_t1);
     if (pos >= bsize) return false;
     size_t nb_seq;
     uint8_t s0 = block[pos];
@@ -901,6 +924,9 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
                        ctx.ml, ctx.mlp);
     if (r < 0) return false; pos = (size_t)r;
 
+    PROF_ACC(1, prof_t1);
+    PROF_ADD(3, nb_seq);
+    PROF_T(prof_t2);
     BackBits br;
     if (!br.init(block + pos, bsize - pos)) return false;
     uint32_t ll_state = br.read(ctx.llp->al);
@@ -1065,6 +1091,8 @@ bool decode_block(DCtx& ctx, const uint8_t* block, size_t bsize,
     if (op + tail > cap) return false;
     memcpy(dst + op, lits_p + lit_pos, tail);
     op += tail;
+    PROF_ACC(2, prof_t2);
+    PROF_ADD(5, op - opos);
     opos = op;
     return true;
 }
