@@ -197,6 +197,7 @@ def _tpu_kernel_rates() -> dict:
             status = "timeout"
         except Exception as e:  # pragma: no cover - defensive
             status = f"{type(e).__name__}"
+        metrics.pop("degraded", None)  # stale marker from a prior attempt
         for line in out.splitlines():
             parts = line.split()
             if len(parts) == 2:
@@ -355,6 +356,9 @@ def main() -> int:
             "tpu_fse_encode_Mseqps": round(tpu["fse_mseq"], 3) if "fse_mseq" in tpu else None,
             "tpu_fse_e2e_Mseqps": round(tpu["fse_e2e_mseq"], 3) if "fse_e2e_mseq" in tpu else None,
             "tpu_rtt_ms": round(tpu["rtt_ms"], 3) if "rtt_ms" in tpu else None,
+            # set when the device tunnel stayed degraded (rtt > 3 ms) past
+            # the health wait: kernel metrics are withheld, not slow
+            "tpu_degraded": bool(tpu.get("degraded")),
             "tpu_lz4_replay_MBps": round(tpu["lz4replay"], 2) if "lz4replay" in tpu else None,
             "tpu_zstd_mesh_device_entropy_MBps": round(tpu["zmesh_dev"], 2) if "zmesh_dev" in tpu else None,
             "tpu_zstd_mesh_host_entropy_MBps": round(tpu["zmesh_host"], 2) if "zmesh_host" in tpu else None,

@@ -142,6 +142,14 @@ def main(only: set | None = None) -> int:
         waited += 30
         _RTT = measure_rtt()
     emit("rtt_ms", _RTT * 1e3)
+    if _RTT > 0.003:
+        # Degraded episode outlasted the wait: any kernel rate recorded now
+        # is junk in BOTH directions (dispatch stalls record falsely-slow
+        # kernels; the broken sync records falsely-fast ones — a 139 GB/s
+        # "XXH3" was observed under rtt 27 ms).  Refuse to measure; the
+        # bench JSON then carries nulls plus this marker instead of noise.
+        emit("degraded", 1)
+        return 0
 
     # --- tok: LZ4 tokenizer device rate (2048 x 8 KiB blocks = 16 MiB/call:
     # the dispatch size that saturates the device; 512-block dispatches
