@@ -138,7 +138,10 @@ def _child_proc(total_bytes: int) -> None:
     os.environ["ZPACK_NATIVE_THREADS"] = "1"
     from zpack_tpu import native
 
-    data = _corpus(total_bytes, seed=os.getpid() & 0xFFFF)
+    # FIXED seed: every worker must do byte-identical work, or the
+    # n=1 vs n=2 inner-time comparison measures corpus compressibility
+    # variance instead of scaling (a 1.08 "efficiency" was captured once)
+    data = _corpus(total_bytes, seed=11)
     native.get_lib()
     # warm (first-touch pages, table init)
     native.compress_chunked(1, data[: 1 << 20], 3)
@@ -207,9 +210,23 @@ def measure(bytes_per_dev: int = 1 << 20, mesh_ns=(1, 2, 4, 8),
         r["device_core_limited_efficiency"] = round(
             d1 * r["n"] / (r["device_seconds"] * ideal), 3)
 
+    # two interleaved rounds per arm, min-merged: the arms run minutes
+    # apart and this box's background load drifts enough to fake
+    # superlinear scaling (a 1.14 "work efficiency" was captured once)
+    best: dict[int, dict] = {}
+    for _ in range(2):
+        for w in worker_ns:
+            r = _run_child(["--child-elastic", str(w), str(elastic_bytes)])
+            b = best.get(w)
+            if b is None:
+                best[w] = r
+            else:
+                b["seconds"] = min(b["seconds"], r["seconds"])
+                b["startup_seconds"] = min(b["startup_seconds"],
+                                           r["startup_seconds"])
     elastic = []
     for w in worker_ns:
-        r = _run_child(["--child-elastic", str(w), str(elastic_bytes)])
+        r = best[w]
         elastic.append(r)
         print(f"[scaling] elastic workers={w}: {r['seconds']:.3f}s "
               f"({r['bytes']/r['seconds']/1e6:.0f} MB/s)", file=sys.stderr)
@@ -226,12 +243,16 @@ def measure(bytes_per_dev: int = 1 << 20, mesh_ns=(1, 2, 4, 8),
     # un-normalized number the multi-host deployment shape would see
     proc_weak = []
     bpp = 48 << 20
-    for n in (1, min(2, ncores)):
-        best = None
-        for _ in range(3):  # best-of: inner time of the slowest worker
+    arms = (1,) if ncores < 2 else (1, 2)
+    pbest: dict[int, dict] = {}
+    for _ in range(3):  # interleaved best-of: arms alternate so load
+        for n in arms:  # drift between arms cancels instead of biasing
             r = _proc_weak(n, bpp)
-            if best is None or r["inner_seconds"] < best["inner_seconds"]:
-                best = r
+            b = pbest.get(n)
+            if b is None or r["inner_seconds"] < b["inner_seconds"]:
+                pbest[n] = r
+    for n in arms:
+        best = pbest[n]
         proc_weak.append(best)
         print(f"[scaling] proc weak n={n}: inner {best['inner_seconds']:.3f}s "
               f"wall {best['wall_seconds']:.3f}s", file=sys.stderr)
