@@ -194,3 +194,28 @@ def test_encode_l19_real_source_code_pinned():
     ours = len(native.zstd_compress(blob, 19))
     ref = len(zstandard.ZstdCompressor(level=19).compress(blob))
     assert ours <= ref * 1.005, f"L19 source: {ours} vs {ref} ({ours/ref:.4f})"
+
+
+def test_encode_l19_real_elf_and_records_pinned():
+    """Round-4 splitter gains pinned (depth-5 recursive block splitter
+    with 3-fraction top levels, native/zstd_encode.cpp): ELF executables
+    1.0077 -> 1.0028 and collation-record tables 1.0111 -> 1.0067 vs
+    libzstd-19 on the real local corpus.  Pinned with small headroom so
+    regressions surface; skips where the corpus sources are missing."""
+    import sys
+
+    sys.path.insert(0, ".")
+    sys.path.insert(0, "scripts")
+    import corpus as corpus_mod
+
+    from zpack_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native backend unavailable")
+    for shape, cap in (("binary", 1.005), ("records", 1.009)):
+        blob = corpus_mod._category_bytes(shape, 2 << 20)
+        if len(blob) < (2 << 20):
+            pytest.skip(f"local {shape} corpus unavailable")
+        ours = len(native.zstd_compress(blob, 19))
+        ref = len(zstandard.ZstdCompressor(level=19).compress(blob))
+        assert ours <= ref * cap, f"L19 {shape}: {ours} vs {ref} ({ours/ref:.4f})"
