@@ -95,11 +95,38 @@ GROUPS = [
 def orchestrate() -> int:
     import subprocess
     here = os.path.abspath(__file__)
+    # One health gate for the whole run: a fully-degraded tunnel would
+    # otherwise cost every group child its own 300 s wait (~30 min of
+    # dead time per attempt).  The probe child spends the full wait once;
+    # children then re-check with a short 30 s allowance.
+    env = dict(os.environ)
+    try:
+        probe = subprocess.run(
+            [sys.executable, here, "--only", "none"],
+            capture_output=True, text=True,
+            timeout=int(os.environ.get("ZPACK_BENCH_TPU_GROUP_TIMEOUT", 480)),
+            cwd=os.path.dirname(os.path.dirname(here)))
+        out = probe.stdout or ""
+    except subprocess.TimeoutExpired as e:
+        raw = e.stdout or b""
+        out = raw.decode() if isinstance(raw, bytes) else raw
+    degraded = True  # a probe that printed nothing is a hung tunnel
+    for line in out.splitlines():
+        if line.startswith("rtt_ms "):
+            degraded = float(line.split()[1]) > 3.0
+    if degraded:
+        for line in out.splitlines():
+            if line.strip():
+                print(line, flush=True)
+        if "degraded" not in out:
+            print("degraded 1", flush=True)
+        return 0
+    env["ZPACK_TPU_HEALTH_WAIT"] = env.get("ZPACK_TPU_HEALTH_WAIT_CHILD", "30")
     for group in GROUPS:
         try:
             proc = subprocess.run(
                 [sys.executable, here, "--only", group],
-                capture_output=True, text=True,
+                capture_output=True, text=True, env=env,
                 timeout=int(os.environ.get("ZPACK_BENCH_TPU_GROUP_TIMEOUT", 480)),
                 cwd=os.path.dirname(os.path.dirname(here)))
             out = proc.stdout or ""
