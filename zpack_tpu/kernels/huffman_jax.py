@@ -280,8 +280,13 @@ def decode_streams(payloads, starts, symbols_tab, nbits_tab, *, max_bits: int,
     sh = (k & 7).astype(jnp.uint32)
     w = jnp.take(w24, jb, axis=1)  # (S, D) monotone bulk gather
     win = ((w >> sh[None, :]) & mask).astype(jnp.int32)
-    sym_all = jnp.take_along_axis(symbols_tab, win, axis=1).astype(jnp.uint8)
-    nb_all = jnp.take_along_axis(nbits_tab, win, axis=1).astype(jnp.int32)
+    # one packed-table gather (sym | nb << 8) instead of two: the two
+    # (S, D) table gathers were the single biggest gather after the
+    # doubling rounds, and sym/nb unpack is free VPU work
+    combo_tab = symbols_tab | (nbits_tab << jnp.int32(8))
+    combo_all = jnp.take_along_axis(combo_tab, win, axis=1)
+    sym_all = (combo_all & jnp.int32(0xFF)).astype(jnp.uint8)
+    nb_all = combo_all >> jnp.int32(8)
     nxt = jnp.maximum(p_all[None, :] - nb_all, 0)  # clamp like the oracle
     # prefix doubling: after round r, positions of the first 2^r symbols
     # are known and J jumps 2^r symbols at once
@@ -296,8 +301,9 @@ def decode_streams(payloads, starts, symbols_tab, nbits_tab, *, max_bits: int,
         known += take
         if known < n_out:
             J = jnp.take_along_axis(J, J, axis=1)
-    syms = jnp.take_along_axis(sym_all, pos, axis=1)
-    nbs = jnp.take_along_axis(nb_all, pos, axis=1)
+    final = jnp.take_along_axis(combo_all, pos, axis=1)  # one gather, not two
+    syms = (final & jnp.int32(0xFF)).astype(jnp.uint8)
+    nbs = final >> jnp.int32(8)
     return syms, pos, nbs
 
 
