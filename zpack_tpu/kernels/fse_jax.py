@@ -79,19 +79,6 @@ def _init_state(sym, st, dnb, dfs):
     return jnp.take_along_axis(st, ((val >> nb) + f)[:, None], axis=1)[:, 0]
 
 
-def _step_state_pre(state, d, f, st, active):
-    """One fse.EncodeTable.encode step with the per-symbol deltas (d, f)
-    gathered in BULK before the scan — the in-scan work is one state-table
-    gather (gathers embedded in scan bodies run ~1000x below their bulk
-    rate on this TPU; hoisting the symbol-indexed ones triples the scan's
-    arithmetic density).  Returns (bits_value, nb, next)."""
-    nb = (state + d) >> 16
-    nb = jnp.where(active, nb, 0)
-    val = state & ((jnp.int32(1) << nb) - 1)
-    nxt = jnp.take_along_axis(st, ((state >> nb) + f)[:, None], axis=1)[:, 0]
-    return val, nb, jnp.where(active, nxt, state)
-
-
 @partial(jax.jit, static_argnames=("n_words",))
 def encode_seq_streams(r_llx, r_llnb, r_mlx, r_mlnb, r_ofx, r_ofnb,
                        r_llc, r_mlc, r_ofc, n_seq,
@@ -123,13 +110,35 @@ def encode_seq_streams(r_llx, r_llnb, r_mlx, r_mlnb, r_ofx, r_ofnb,
     ml_d = jnp.take_along_axis(ml_dnb, r_mlc, axis=1)
     ml_f_ = jnp.take_along_axis(ml_dfs, r_mlc, axis=1)
 
+    # ONE concatenated state table: the scan body's three per-kind gathers
+    # fuse into a single (B, 3) take_along_axis — in-scan gathers are
+    # latency-bound per OP on this TPU (docs/roofline.md), so dispatching
+    # one instead of three is the scan's dominant cost lever
+    W_of = of_st.shape[1]
+    W_ml = ml_st.shape[1]
+    cat_st = jnp.concatenate([of_st, ml_st, ll_st], axis=1)
+
     def step(carry, k):
         ll_s, of_s, ml_s = carry
         active = k < n_seq
         # emission order per host loop: of state bits, ml, ll
-        of_v, of_n, of_s2 = _step_state_pre(of_s, of_d[:, k], of_f_[:, k], of_st, active)
-        ml_v, ml_n, ml_s2 = _step_state_pre(ml_s, ml_d[:, k], ml_f_[:, k], ml_st, active)
-        ll_v, ll_n, ll_s2 = _step_state_pre(ll_s, ll_d[:, k], ll_f_[:, k], ll_st, active)
+        of_n = jnp.where(active, (of_s + of_d[:, k]) >> 16, 0)
+        of_v = of_s & ((jnp.int32(1) << of_n) - 1)
+        ml_n = jnp.where(active, (ml_s + ml_d[:, k]) >> 16, 0)
+        ml_v = ml_s & ((jnp.int32(1) << ml_n) - 1)
+        ll_n = jnp.where(active, (ll_s + ll_d[:, k]) >> 16, 0)
+        ll_v = ll_s & ((jnp.int32(1) << ll_n) - 1)
+        # inactive lanes gather a junk (possibly cross-segment) entry and
+        # discard it below, exactly like the old masked per-kind gathers
+        idx = jnp.stack([
+            (of_s >> of_n) + of_f_[:, k],
+            (ml_s >> ml_n) + ml_f_[:, k] + W_of,
+            (ll_s >> ll_n) + ll_f_[:, k] + W_of + W_ml,
+        ], axis=1)
+        nxt = jnp.take_along_axis(cat_st, idx, axis=1)
+        of_s2 = jnp.where(active, nxt[:, 0], of_s)
+        ml_s2 = jnp.where(active, nxt[:, 1], ml_s)
+        ll_s2 = jnp.where(active, nxt[:, 2], ll_s)
         return (ll_s2, of_s2, ml_s2), (of_v, of_n, ml_v, ml_n, ll_v, ll_n)
 
     (ll_f, of_f, ml_f), ys = jax.lax.scan(
