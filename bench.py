@@ -209,6 +209,24 @@ def _tpu_kernel_rates() -> dict:
              f"metrics {sorted(metrics)}")
         if {"tok", "huf", "hufdec"} <= metrics.keys():
             break
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".tpu_last_good.json")
+    if {"tok", "huf", "hufdec"} <= metrics.keys() and not metrics.get("degraded"):
+        try:
+            with open(cache, "w") as f:
+                json.dump({"at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                           **metrics}, f)
+        except OSError:
+            pass
+    elif os.path.exists(cache):
+        # tunnel degraded for this whole run: surface the last HEALTHY
+        # kernel rates under a separate, clearly-labelled key — the live
+        # fields stay null so nobody mistakes cached for current
+        try:
+            with open(cache) as f:
+                metrics["_last_healthy"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     return metrics
 
 
@@ -359,6 +377,9 @@ def main() -> int:
             # set when the device tunnel stayed degraded (rtt > 3 ms) past
             # the health wait: kernel metrics are withheld, not slow
             "tpu_degraded": bool(tpu.get("degraded")),
+            # last healthy-tunnel kernel rates (only present when the live
+            # run was degraded; see _tpu_kernel_rates cache)
+            "tpu_last_healthy": tpu.get("_last_healthy"),
             "tpu_lz4_replay_MBps": round(tpu["lz4replay"], 2) if "lz4replay" in tpu else None,
             "tpu_zstd_mesh_device_entropy_MBps": round(tpu["zmesh_dev"], 2) if "zmesh_dev" in tpu else None,
             "tpu_zstd_mesh_host_entropy_MBps": round(tpu["zmesh_host"], 2) if "zmesh_host" in tpu else None,
