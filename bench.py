@@ -383,6 +383,10 @@ def main() -> int:
             "tpu_lz4_replay_MBps": round(tpu["lz4replay"], 2) if "lz4replay" in tpu else None,
             "tpu_zstd_mesh_device_entropy_MBps": round(tpu["zmesh_dev"], 2) if "zmesh_dev" in tpu else None,
             "tpu_zstd_mesh_host_entropy_MBps": round(tpu["zmesh_host"], 2) if "zmesh_host" in tpu else None,
+            # entropy-STAGE-only rates (end-to-end zmesh is transfer-bound
+            # on the dev tunnel, hiding the device-entropy advantage)
+            "tpu_zmesh_dev_entropy_stage_MBps": round(tpu["zmesh_dev_entropy"], 2) if "zmesh_dev_entropy" in tpu else None,
+            "tpu_zmesh_host_entropy_stage_MBps": round(tpu["zmesh_host_entropy"], 2) if "zmesh_host_entropy" in tpu else None,
             "scaling": scaling,
             # the REAL reference binary's numbers on this corpus/host
             "reference_cli": ref_cli,

@@ -349,12 +349,25 @@ def main(only: set | None = None) -> int:
         while len(blob) < (1 << 20):
             blob += words[int(rng.integers(len(words)))] + b" "
         data = bytes(blob[: 1 << 20])
+        from zpack_tpu.utils.observe import metrics as _obs
+
         mc = MeshCompressor()
         for name, dev in (("zmesh_dev", True), ("zmesh_host", False)):
             mc.compress_zstd(data, device_entropy=dev)  # warm/compile
+            _obs.reset()
             t0 = time.perf_counter()
             mc.compress_zstd(data, device_entropy=dev)
             emit(name, len(data) / (time.perf_counter() - t0) / 1e6)
+            # entropy-stage-only rate: the end-to-end A/B is dominated by
+            # the dev tunnel's transfer cost on this host, which hides the
+            # device-entropy advantage the A/B exists to show
+            snap = _obs.snapshot()
+            ent = {k: v for k, v in snap.items()
+                   if "entropy" in k or "fse" in k}
+            secs = sum(v["seconds"] for v in ent.values())
+            nbytes = sum(v["bytes"] for v in ent.values())
+            if secs > 0:
+                emit(name + "_entropy", nbytes / secs / 1e6)
     return 0
 
 
