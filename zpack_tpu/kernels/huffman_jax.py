@@ -60,8 +60,15 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     assert L % 4 == 0, "bucketed stream lengths are multiples of 4"
     idx_r = jnp.arange(L, dtype=jnp.int32)
     valid = idx_r < n
-    lens = jnp.where(valid, lens_tab[syms], 0).astype(jnp.int32)
-    vals = jnp.where(valid, codes_tab[syms], 0).astype(jnp.uint32)
+    # MXU one-hot lookup: per-stream take_along_axis-style gathers run
+    # ~100-175 Melem/s on the v5e and were 76% of this kernel's time
+    # (83 of 109 ms at 256x16K); a one-hot (L, 256) f32 matmul against
+    # the two tables is sub-millisecond and exact (values < 2^24)
+    oh = jax.nn.one_hot(syms.astype(jnp.int32), 256, dtype=jnp.float32)
+    lens_f = oh @ lens_tab.astype(jnp.float32)
+    vals_f = oh @ codes_tab.astype(jnp.float32)
+    lens = jnp.where(valid, lens_f.astype(jnp.int32), 0)
+    vals = jnp.where(valid, vals_f.astype(jnp.uint32), 0)
     # tree round 1 — pairs: symbol 2i occupies bits ABOVE symbol 2i+1
     # (backward stream: later symbols live at lower bit offsets)
     l0, l1, l2, l3 = lens[0::4], lens[1::4], lens[2::4], lens[3::4]
@@ -85,6 +92,9 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     w1 = ((lo4 >> jnp.uint32(1)) >> sh_r) | (hi4 << sh)
     w2 = (hi4 >> jnp.uint32(1)) >> sh_r
     acc = jnp.zeros(n_words, dtype=jnp.uint32)
+    # (widx is monotone DESCENDING here; XLA's indices_are_sorted hint
+    # means ascending, so it cannot be claimed — measured worth ~11% on
+    # ascending indices, a possible future win via reversed layout)
     acc = acc.at[widx].add(w0, mode="drop")
     acc = acc.at[widx + 1].add(w1, mode="drop")
     acc = acc.at[widx + 2].add(w2, mode="drop")
