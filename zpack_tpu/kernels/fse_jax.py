@@ -103,12 +103,22 @@ def encode_seq_streams(r_llx, r_llnb, r_mlx, r_mlnb, r_ofx, r_ofnb,
 
     # bulk-gather the symbol-indexed deltas for every step up front (the
     # scan body then only does the state-table gathers)
-    ll_d = jnp.take_along_axis(ll_dnb, r_llc, axis=1)
-    ll_f_ = jnp.take_along_axis(ll_dfs, r_llc, axis=1)
-    of_d = jnp.take_along_axis(of_dnb, r_ofc, axis=1)
-    of_f_ = jnp.take_along_axis(of_dfs, r_ofc, axis=1)
-    ml_d = jnp.take_along_axis(ml_dnb, r_mlc, axis=1)
-    ml_f_ = jnp.take_along_axis(ml_dfs, r_mlc, axis=1)
+    # MXU one-hot lookups: generic gathers run ~100-175 Melem/s on the
+    # v5e (docs/roofline.md session-2 correction) while a one-hot matmul
+    # against these tiny (<=64-symbol) tables is ~free and exact — dnb
+    # < 2^21 and |dfs| < 512 are both f32-exact
+    def _lut(codes, tab):
+        oh = jax.nn.one_hot(codes, tab.shape[1], dtype=jnp.float32)
+        return jnp.einsum("bnc,bc->bn", oh, tab.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST,
+                          ).astype(jnp.int32)
+
+    ll_d = _lut(r_llc, ll_dnb)
+    ll_f_ = _lut(r_llc, ll_dfs)
+    of_d = _lut(r_ofc, of_dnb)
+    of_f_ = _lut(r_ofc, of_dfs)
+    ml_d = _lut(r_mlc, ml_dnb)
+    ml_f_ = _lut(r_mlc, ml_dfs)
 
     # ONE concatenated state table: the scan body's three per-kind gathers
     # fuse into a single (B, 3) take_along_axis — in-scan gathers are

@@ -65,8 +65,9 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     # (83 of 109 ms at 256x16K); a one-hot (L, 256) f32 matmul against
     # the two tables is sub-millisecond and exact (values < 2^24)
     oh = jax.nn.one_hot(syms.astype(jnp.int32), 256, dtype=jnp.float32)
-    lens_f = oh @ lens_tab.astype(jnp.float32)
-    vals_f = oh @ codes_tab.astype(jnp.float32)
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    lens_f = mm(oh, lens_tab.astype(jnp.float32))
+    vals_f = mm(oh, codes_tab.astype(jnp.float32))
     lens = jnp.where(valid, lens_f.astype(jnp.int32), 0)
     vals = jnp.where(valid, vals_f.astype(jnp.uint32), 0)
     # tree round 1 — pairs: symbol 2i occupies bits ABOVE symbol 2i+1
