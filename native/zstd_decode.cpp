@@ -22,13 +22,20 @@
 // lit_bytes, out_bytes}.
 #ifdef ZPACK_PROF
 #include <x86intrin.h>
-static uint64_t g_prof[8];
+#include <atomic>
+// The decoder is normally multithreaded (zn_threads.h worker pools), so
+// the accumulators are relaxed atomics: a -DZPACK_PROF build stays
+// race-free even without ZPACK_NATIVE_THREADS=1.
+static std::atomic<uint64_t> g_prof[8];
 extern "C" void zn_zstd_prof(uint64_t* out) {
-    for (int i = 0; i < 8; i++) { out[i] = g_prof[i]; g_prof[i] = 0; }
+    for (int i = 0; i < 8; i++)
+        out[i] = g_prof[i].exchange(0, std::memory_order_relaxed);
 }
 #define PROF_T(v) uint64_t v = __rdtsc()
-#define PROF_ACC(slot, t0) (g_prof[slot] += __rdtsc() - (t0))
-#define PROF_ADD(slot, n) (g_prof[slot] += (n))
+#define PROF_ACC(slot, t0) \
+    (g_prof[slot].fetch_add(__rdtsc() - (t0), std::memory_order_relaxed))
+#define PROF_ADD(slot, n) \
+    (g_prof[slot].fetch_add((n), std::memory_order_relaxed))
 #else
 #define PROF_T(v) ((void)0)
 #define PROF_ACC(slot, t0) ((void)0)

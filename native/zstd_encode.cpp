@@ -2055,8 +2055,12 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                     if (depth > 0 && nsq >= 8) {
                         // Top two levels weigh three split fractions (ELF
                         // code/data and record-table boundaries rarely sit
-                        // at byte midpoints); deeper levels midpoint-only,
-                        // which keeps total splitter work ~O(depth * bs).
+                        // at byte midpoints); deeper levels midpoint-only.
+                        // The two 3-way levels cost ~9 subtree explorations
+                        // (~40*bs of encode_block_body work vs ~3*bs for the
+                        // old depth-2 midpoint splitter) — acceptable only
+                        // because the splitter is gated to level > 12 where
+                        // the DP dominates.
                         // Measured on the real corpus: L19 binary 1.0077 ->
                         // 1.0028x lib, records 1.0111 -> 1.0067, markup
                         // 1.0023, at no wall-clock cost vs the old depth-2

@@ -178,11 +178,7 @@ def test_encode_l19_real_source_code_pinned():
     closed 1.0082 -> 1.0028 vs libzstd-19; pinned at <= 1.005 so the
     remaining ~0.3% (entropy-section equilibrium, see docs/parity.md)
     can only shrink.  Skips if the corpus source files are unavailable."""
-    import sys
-
-    sys.path.insert(0, ".")
-    sys.path.insert(0, "scripts")
-    import corpus as corpus_mod
+    from scripts import corpus as corpus_mod
 
     from zpack_tpu import native
 
@@ -202,11 +198,7 @@ def test_encode_l19_real_elf_and_records_pinned():
     1.0077 -> 1.0028 and collation-record tables 1.0111 -> 1.0067 vs
     libzstd-19 on the real local corpus.  Pinned with small headroom so
     regressions surface; skips where the corpus sources are missing."""
-    import sys
-
-    sys.path.insert(0, ".")
-    sys.path.insert(0, "scripts")
-    import corpus as corpus_mod
+    from scripts import corpus as corpus_mod
 
     from zpack_tpu import native
 

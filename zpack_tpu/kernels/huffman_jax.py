@@ -63,13 +63,22 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     # MXU one-hot lookup: per-stream take_along_axis-style gathers run
     # ~100-175 Melem/s on the v5e and were 76% of this kernel's time
     # (83 of 109 ms at 256x16K); a one-hot (L, 256) f32 matmul against
-    # the two tables is sub-millisecond and exact (values < 2^24)
-    oh = jax.nn.one_hot(syms.astype(jnp.int32), 256, dtype=jnp.float32)
+    # the two tables is sub-millisecond and exact (values < 2^24).
+    # Chunked along L: one (C, 256) one-hot serves BOTH tables (stacked
+    # into (256, 2)), and live HBM stays O(S*C*256) instead of O(S*L*256)
+    # — the unchunked form is multiple GB at the 65536 bucket if XLA
+    # does not fuse the one-hot into the dot.
     mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-    lens_f = mm(oh, lens_tab.astype(jnp.float32))
-    vals_f = mm(oh, codes_tab.astype(jnp.float32))
-    lens = jnp.where(valid, lens_f.astype(jnp.int32), 0)
-    vals = jnp.where(valid, vals_f.astype(jnp.uint32), 0)
+    tab2 = jnp.stack(
+        [lens_tab.astype(jnp.float32), codes_tab.astype(jnp.float32)], axis=1
+    )  # (256, 2)
+    C = min(L, 4096)
+    lut = jax.lax.map(
+        lambda chunk: mm(jax.nn.one_hot(chunk, 256, dtype=jnp.float32), tab2),
+        syms.astype(jnp.int32).reshape(L // C, C),
+    ).reshape(L, 2)
+    lens = jnp.where(valid, lut[:, 0].astype(jnp.int32), 0)
+    vals = jnp.where(valid, lut[:, 1].astype(jnp.uint32), 0)
     # tree round 1 — pairs: symbol 2i occupies bits ABOVE symbol 2i+1
     # (backward stream: later symbols live at lower bit offsets)
     l0, l1, l2, l3 = lens[0::4], lens[1::4], lens[2::4], lens[3::4]
