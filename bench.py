@@ -370,6 +370,7 @@ def main() -> int:
             "tpu_tokenizer_MBps": round(tpu["tok"], 2) if "tok" in tpu else None,
             "tpu_huffman_encode_MBps": round(tpu["huf"], 2) if "huf" in tpu else None,
             "tpu_huffman_decode_MBps": round(tpu["hufdec"], 2) if "hufdec" in tpu else None,
+            "tpu_huffman_decode_doubling_MBps": round(tpu["hufdec_doubling"], 2) if "hufdec_doubling" in tpu else None,
             "tpu_xxh3_pallas_MBps": round(tpu["xxh3"], 2) if "xxh3" in tpu else None,
             "tpu_fse_encode_Mseqps": round(tpu["fse_mseq"], 3) if "fse_mseq" in tpu else None,
             "tpu_fse_e2e_Mseqps": round(tpu["fse_e2e_mseq"], 3) if "fse_e2e_mseq" in tpu else None,

@@ -122,6 +122,7 @@ def orchestrate() -> int:
             print("degraded 1", flush=True)
         return 0
     env["ZPACK_TPU_HEALTH_WAIT"] = env.get("ZPACK_TPU_HEALTH_WAIT_CHILD", "30")
+    metrics: dict[str, float] = {}
     for group in GROUPS:
         try:
             proc = subprocess.run(
@@ -136,6 +137,24 @@ def orchestrate() -> int:
         for line in out.splitlines():
             if line.strip():
                 print(line, flush=True)
+            parts = line.split()
+            if len(parts) == 2:
+                try:
+                    metrics[parts[0]] = float(parts[1])
+                except ValueError:
+                    pass
+    # Persist a healthy complete capture so ANY runner (bench.py, the
+    # health-window watcher, a manual run) fills the last-good cache that
+    # bench.py surfaces on degraded runs (VERDICT r4 missing #3).
+    if {"tok", "huf", "hufdec"} <= metrics.keys() and not metrics.get("degraded"):
+        import json
+        import time as _t
+        cache = os.path.join(REPO, ".tpu_last_good.json")
+        try:
+            with open(cache, "w") as f:
+                json.dump({"at": _t.strftime("%Y-%m-%dT%H:%M:%S"), **metrics}, f)
+        except OSError:
+            pass
     return 0
 
 
@@ -226,7 +245,12 @@ def main(only: set | None = None) -> int:
             dtb.nb_bits.astype(np.int32), (S, 1 << dtb.max_bits)).copy())
         pay_d = jnp.asarray(pay)
         starts_d = jnp.asarray(starts)
-        emit("hufdec", S * L / best_call(lambda: HJ.decode_streams(
+        combo_d = sym_t | (nb_t << 8)
+        # primary: the round-5 lockstep-scan kernel (1.5 gather-elems/sym)
+        emit("hufdec", S * L / best_call(lambda: HJ.decode_streams_scan(
+            pay_d, starts_d, combo_d, max_bits=dtb.max_bits, n_out=L)) / 1e6)
+        # secondary: the r4 speculative+doubling formulation (the A/B)
+        emit("hufdec_doubling", S * L / best_call(lambda: HJ.decode_streams(
             pay_d, starts_d, sym_t, nb_t, max_bits=dtb.max_bits, n_out=L)) / 1e6)
 
     # --- xxh3: batched Pallas XXH3 accumulate rate (128 lanes x 512 KiB;

@@ -327,6 +327,75 @@ def decode_streams(payloads, starts, symbols_tab, nbits_tab, *, max_bits: int,
     return syms, pos, nbs
 
 
+@partial(jax.jit, static_argnames=("max_bits", "n_out", "unroll"))
+def decode_streams_scan(payloads, starts, combo_tab, *, max_bits: int,
+                        n_out: int, unroll: int = 4):
+    """Batched lockstep-scan decode — the round-5 gather-light redesign.
+
+    The speculative-decode + pointer-doubling formulation
+    (:func:`decode_streams`) costs ~18 full (S, 8P) gather passes
+    (~95 gather-elements per symbol at the ~140 Melem/s generic-gather
+    rate — its real ~1.3 MB/s, docs/roofline.md §Round-4).  This kernel
+    instead walks all S streams in LOCKSTEP with one lax.scan: each
+    32-bit window gather covers TWO symbols (codes are <=11 bits and the
+    top-aligned window keeps >=14 bits of shift room below the first
+    symbol), and ``unroll`` windows per scan step amortize the per-step
+    dispatch overhead.  Gather traffic: 1.5 elements per symbol — ~60x
+    less than doubling; throughput rides the batch width S.
+
+    payloads (S, P) uint8 backward-read streams, starts (S,) int32
+    sentinel bit positions, combo_tab (S, 2^max_bits) int32 packed
+    decode tables (sym | nbits << 8), widened to max_bits.
+    Returns (syms (S, n_out) uint8, pos (S, n_out) int32 bit position
+    BEFORE each symbol, nb (S, n_out) int32 bits consumed).
+    """
+    S, P = payloads.shape
+    span = 2 * unroll
+    assert n_out % span == 0, "n_out must be a multiple of 2*unroll"
+    pad = jnp.zeros((S, 4), dtype=jnp.uint8)
+    b = jnp.concatenate([pad, payloads, pad], axis=1).astype(jnp.uint32)
+    # 4-byte LE windows at every byte offset of the padded stream
+    w32 = b[:, :-3] | (b[:, 1:-2] << jnp.uint32(8)) \
+        | (b[:, 2:-1] << jnp.uint32(16)) | (b[:, 3:] << jnp.uint32(24))
+    mask = jnp.uint32((1 << max_bits) - 1)
+    mb = jnp.int32(max_bits)
+
+    def one_sym(w, s):
+        """Decode one symbol from window w at shift s (>=0 when valid)."""
+        win = ((w >> jnp.maximum(s, 0).astype(jnp.uint32)) & mask).astype(jnp.int32)
+        c = jnp.take_along_axis(combo_tab, win[:, None], axis=1)[:, 0]
+        return (c & jnp.int32(0xFF)).astype(jnp.uint8), c >> jnp.int32(8)
+
+    def step(p, _):
+        syms, poss, nbs = [], [], []
+        for _u in range(unroll):
+            # padded-bit top of the first symbol's window is p+32; the
+            # 4-byte window based at its covering byte keeps both symbols
+            # of the pair in range (shift room >= 14 - 11 >= 0)
+            e = p + jnp.int32(32)
+            jb = ((e + jnp.int32(7)) >> jnp.int32(3)) - jnp.int32(4)
+            w = jnp.take_along_axis(w32, jb[:, None], axis=1)[:, 0]
+            s1 = e - mb - (jb << jnp.int32(3))
+            sym1, nb1 = one_sym(w, s1)
+            p1 = jnp.maximum(p - nb1, 0)
+            s2 = s1 - (p - p1)
+            sym2, nb2 = one_sym(w, s2)
+            p2 = jnp.maximum(p1 - nb2, 0)
+            syms += [sym1, sym2]
+            poss += [p, p1]
+            nbs += [nb1, nb2]
+            p = p2
+        return p, (jnp.stack(syms, 1), jnp.stack(poss, 1), jnp.stack(nbs, 1))
+
+    p0 = starts.astype(jnp.int32)
+    _, (sy, po, nb) = jax.lax.scan(step, p0, None, length=n_out // span)
+    # ys are (T, S, span): step-major -> (S, T*span) symbol order
+    sy = jnp.moveaxis(sy, 0, 1).reshape(S, n_out)
+    po = jnp.moveaxis(po, 0, 1).reshape(S, n_out)
+    nb = jnp.moveaxis(nb, 0, 1).reshape(S, n_out)
+    return sy, po, nb
+
+
 class DeviceHuffmanDecoder:
     """Host wrapper for batched device Huffman decode, bit-exact vs
     huffman._decode_one_stream (tested in tests/test_kernels.py)."""
@@ -351,8 +420,7 @@ class DeviceHuffmanDecoder:
         Sp = DeviceHuffmanEncoder._bucket_batch(S)  # bounded compile count
         pay = np.zeros((Sp, P), dtype=np.uint8)
         starts = np.zeros(Sp, dtype=np.int32)
-        sym_t = np.zeros((Sp, 1 << max_bits), dtype=np.int32)
-        nb_t = np.zeros((Sp, 1 << max_bits), dtype=np.int32)
+        combo_t = np.zeros((Sp, 1 << max_bits), dtype=np.int32)
         for i, (p, t) in enumerate(zip(payloads, tables)):
             if not p or p[-1] == 0:
                 raise _decode_err("huffman stream missing sentinel")
@@ -363,11 +431,19 @@ class DeviceHuffmanDecoder:
             # t[v >> d]; the consumed bit count stays the table's own
             d = max_bits - t.max_bits
             idxs = np.arange(1 << max_bits) >> d
-            sym_t[i] = t.symbols[idxs]
-            nb_t[i] = t.nb_bits[idxs]
-        out, pos, nb = decode_streams(
-            jnp.asarray(pay), jnp.asarray(starts), jnp.asarray(sym_t),
-            jnp.asarray(nb_t), max_bits=max_bits, n_out=n_out)
+            combo_t[i] = t.symbols[idxs].astype(np.int32) | (
+                t.nb_bits[idxs].astype(np.int32) << 8)
+        import os
+
+        if os.environ.get("ZPACK_TPU_HUFDEC") == "doubling":
+            out, pos, nb = decode_streams(
+                jnp.asarray(pay), jnp.asarray(starts),
+                jnp.asarray(combo_t & 0xFF), jnp.asarray(combo_t >> 8),
+                max_bits=max_bits, n_out=n_out)
+        else:
+            out, pos, nb = decode_streams_scan(
+                jnp.asarray(pay), jnp.asarray(starts), jnp.asarray(combo_t),
+                max_bits=max_bits, n_out=n_out)
         out = np.asarray(out)
         pos = np.asarray(pos)
         nb = np.asarray(nb)
