@@ -336,3 +336,320 @@ class DeviceSequenceEncoder:
             nbytes = (int(total_bits[i]) + 1 + 7) // 8
             out.append(words[i].tobytes()[:nbytes])
         return out
+
+
+# ---------------------------------------------------------------------------
+# Decode (round 5): batched FSE sequence-section decode + rep resolution
+# ---------------------------------------------------------------------------
+#
+# Role parity: the FSE sequence half of ``ZSTD_decompressDCtx``
+# (lib/zpack_read.c:380, RFC 8878 §3.1.1.3.2.1.2).  Mirrors the huffman
+# lockstep-scan decode: all B blocks' interleaved LL/OF/ML state machines
+# advance together in one lax.scan; each step does three fused backward
+# bit-window reads (OF extra bits; ML+LL extra bits share one 64-bit
+# window; the three state-update reads share another), three packed
+# state-table gathers and two packed constant-table gathers — ~11
+# (B,)-wide gathers per sequence instead of a host loop.
+#
+# Repeat-offset resolution is a SEPARATE bulk stage
+# (:func:`rep_transition_maps` + :func:`apply_rep_maps`): each sequence's
+# rep-state update is a map of the form out_j = in[sel_j] + val_j (or a
+# constant), a family closed under composition, so a frame's whole rep
+# chain collapses with one associative_scan (log2(N) elementwise passes,
+# no gathers).  Block entry states are stitched host-side from the (B, 6)
+# per-block totals — tiny transfers only.
+
+_LL_CONST_NP = (_LL_BASE_NP | (_LL_BITS_NP << 20)).astype(np.int32)  # (36,)
+_ML_CONST_NP = (_ML_BASE_NP | (_ML_BITS_NP << 20)).astype(np.int32)  # (53,)
+
+
+def pack_decode_table(t, max_bits_pad: int = TABLE) -> np.ndarray:
+    """Pack an fse.DecodeTable into (TABLE,) int32 rows:
+    sym | nb_bits << 6 | new_state << 16 (sym<=52, nb<=9, ns<512)."""
+    out = np.zeros(max_bits_pad, np.int32)
+    size = 1 << t.al
+    out[:size] = (t.symbols.astype(np.int32)
+                  | (t.nb_bits.astype(np.int32) << 6)
+                  | (t.new_state.astype(np.int32) << 16))
+    return out
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def decode_seq_streams(payloads, bits_left0, ll_al, of_al, ml_al,
+                       ll_tab, of_tab, ml_tab, nb_seq, *, n_steps: int):
+    """Batched sequence-section bitstream decode.
+
+    payloads (B, P) uint8: the backward bitstream AFTER the table
+    descriptors; bits_left0 (B,) int32 from the sentinel; *_al (B,) int32
+    accuracy logs; *_tab (B, TABLE) int32 packed tables
+    (:func:`pack_decode_table`); nb_seq (B,) int32.
+
+    Returns (lls, mls, ovs) (B, n_steps) int32 — ovs is the RAW offset
+    value (pre rep-resolution) — plus final bit positions (B,) int32
+    (must be 0 for a fully-consumed valid stream) and err (B,) bool
+    (of_code out of the int32-safe range: caller takes the host path).
+    """
+    B, P = payloads.shape
+    pad = jnp.zeros((B, 4), dtype=jnp.uint8)
+    b = jnp.concatenate([pad, payloads, pad], axis=1).astype(jnp.uint32)
+    w32 = b[:, :-3] | (b[:, 1:-2] << jnp.uint32(8)) \
+        | (b[:, 2:-1] << jnp.uint32(16)) | (b[:, 3:] << jnp.uint32(24))
+    ll_const = jnp.asarray(_LL_CONST_NP)
+    ml_const = jnp.asarray(_ML_CONST_NP)
+
+    def read_bits(pos, n):
+        """Bits [pos, pos+n) of the stream, n in 0..32 (data-dependent).
+        pos may be negative (overflow reads zero-fill, matching
+        BackwardBitReader); n == 0 reads nothing."""
+        k = jnp.maximum(pos + 32, 0)
+        jb = k >> 3
+        sh = (k & 7).astype(jnp.uint32)
+        lo = jnp.take_along_axis(w32, jb[:, None], axis=1)[:, 0]
+        hi = jnp.take_along_axis(w32, (jb + 4)[:, None], axis=1)[:, 0]
+        w = (lo >> sh) | ((hi << jnp.uint32(1)) << (jnp.uint32(31) - sh))
+        nn = n.astype(jnp.uint32)
+        mask = jnp.where(nn >= 32, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << nn) - jnp.uint32(1))
+        return w & mask
+
+    def tab_at(tab, state):
+        c = jnp.take_along_axis(tab, state[:, None], axis=1)[:, 0]
+        return c & 0x3F, (c >> 6) & 0x3FF, c >> 16  # sym, nb, new_state
+
+    # init states: read order LL, OF, ML (host decode_sequences parity)
+    pos = bits_left0.astype(jnp.int32)
+    pos = pos - ll_al
+    ll_s = read_bits(pos, ll_al).astype(jnp.int32)
+    pos = pos - of_al
+    of_s = read_bits(pos, of_al).astype(jnp.int32)
+    pos = pos - ml_al
+    ml_s = read_bits(pos, ml_al).astype(jnp.int32)
+
+    def step(carry, i):
+        ll_s, ml_s, of_s, pos, err = carry
+        act = i < nb_seq
+        # --- value phase (read order OF, ML, LL) ---
+        of_sym, of_nb, of_ns = tab_at(of_tab, of_s)
+        ofc = jnp.where(act, of_sym, 0)
+        err = err | (act & (ofc > 30))
+        ofc = jnp.minimum(ofc, 30)
+        pos = pos - ofc
+        of_extra = read_bits(pos, ofc).astype(jnp.int32)
+        ov = jnp.where(ofc > 0, (jnp.int32(1) << ofc) + of_extra, 1)
+        ml_sym, ml_nb, ml_ns = tab_at(ml_tab, ml_s)
+        mlc = jnp.minimum(ml_sym, 52)
+        ml_cb = jnp.take(ml_const, mlc)
+        ml_bits = jnp.where(act, ml_cb >> 20, 0)
+        ll_sym, ll_nb, ll_ns = tab_at(ll_tab, ll_s)
+        llc = jnp.minimum(ll_sym, 35)
+        ll_cb = jnp.take(ll_const, llc)
+        ll_bits = jnp.where(act, ll_cb >> 20, 0)
+        # ML then LL: one window, ML occupies the higher bits
+        both = ml_bits + ll_bits
+        pos = pos - both
+        w = read_bits(pos, both)
+        ll_mask = (jnp.uint32(1) << ll_bits.astype(jnp.uint32)) - jnp.uint32(1)
+        ml_x = (w >> ll_bits.astype(jnp.uint32)).astype(jnp.int32)
+        ll_x = (w & ll_mask).astype(jnp.int32)
+        ml_v = (ml_cb & 0xFFFFF) + ml_x
+        ll_v = (ll_cb & 0xFFFFF) + ll_x
+        # --- state update phase (read order LL, ML, OF), skipped on the
+        # last sequence of each block ---
+        upd = act & ((i + 1) < nb_seq)
+        lln = jnp.where(upd, ll_nb, 0)
+        mln = jnp.where(upd, ml_nb, 0)
+        ofn = jnp.where(upd, of_nb, 0)
+        tot = lln + mln + ofn
+        pos = pos - tot
+        wu = read_bits(pos, tot)
+        of_x = (wu & ((jnp.uint32(1) << ofn.astype(jnp.uint32)) - 1)).astype(jnp.int32)
+        wu = wu >> ofn.astype(jnp.uint32)
+        ml_xu = (wu & ((jnp.uint32(1) << mln.astype(jnp.uint32)) - 1)).astype(jnp.int32)
+        ll_xu = (wu >> mln.astype(jnp.uint32)).astype(jnp.int32)
+        ll_s = jnp.where(upd, ll_ns + ll_xu, ll_s)
+        ml_s = jnp.where(upd, ml_ns + ml_xu, ml_s)
+        of_s = jnp.where(upd, of_ns + of_x, of_s)
+        out = (jnp.where(act, ll_v, 0), jnp.where(act, ml_v, 0),
+               jnp.where(act, ov, 0))
+        return (ll_s, ml_s, of_s, pos, err), out
+
+    init = (ll_s, ml_s, of_s, pos, jnp.zeros((B,), bool))
+    (_, _, _, pos_f, err), (lls, mls, ovs) = jax.lax.scan(
+        step, init, jnp.arange(n_steps, dtype=jnp.int32))
+    return (jnp.moveaxis(lls, 0, 1), jnp.moveaxis(mls, 0, 1),
+            jnp.moveaxis(ovs, 0, 1), pos_f, err)
+
+
+@partial(jax.jit)
+def rep_prefix_maps(ovs, lls, nb_seq):
+    """Inclusive prefix composition of every sequence's rep-state map.
+
+    A sequence's repeat-offset update (codecs/zstd/seq.execute_sequences)
+    is one of seven cases, each a map (r0,r1,r2) -> out with
+    out_j = in[sel_j] + val_j (sel_j in 0..2) or out_j = val_j (sel_j=3).
+    That family is closed under composition, so the whole chain collapses
+    with one associative_scan.  The resolved offset of sequence i is
+    r0 of (prefix_map_i applied to the block's ENTRY rep state).
+
+    ovs/lls (B, N) int32 raw offset values / literal lengths; nb_seq (B,).
+    Returns sel (B, N, 3) int32 and val (B, N, 3) int32 inclusive-prefix
+    maps (identity at steps >= nb_seq).
+    """
+    B, N = ovs.shape
+    act = jnp.arange(N, dtype=jnp.int32)[None, :] < nb_seq[:, None]
+    litz = lls == 0
+    new = ovs > 3
+    # per-case (sel0,val0, sel1,val1, sel2,val2); identity where inactive
+    c1 = (~litz) & (ovs == 1)          # identity
+    c2 = ((~litz) & (ovs == 2)) | (litz & (ovs == 1))   # (r1, r0, r2)
+    c3 = ((~litz) & (ovs == 3)) | (litz & (ovs == 2))   # (r2, r0, r1)
+    cd = litz & (ovs == 3)             # (r0-1, r0, r1)
+    sel0 = jnp.where(new, 3, jnp.where(c2, 1, jnp.where(c3, 2, 0)))
+    val0 = jnp.where(new, ovs - 3, jnp.where(cd, -1, 0))
+    sel1 = jnp.where(new | c2 | c3 | cd, 0, 1)
+    sel2 = jnp.where(new | c3 | cd, 1, 2)
+    sel0 = jnp.where(act, sel0, 0)
+    val0 = jnp.where(act, val0, 0)
+    sel1 = jnp.where(act, sel1, 1)
+    sel2 = jnp.where(act, sel2, 2)
+    zero = jnp.zeros_like(val0)
+    sel = jnp.stack([sel0, sel1, sel2], axis=-1)
+    val = jnp.stack([val0, zero, zero], axis=-1)
+
+    def pick(a, idx):
+        """a[..., idx] for idx in 0..3 (3 -> marker), as a where-cascade
+        (no gathers inside the scan combinator)."""
+        return jnp.where(idx == 0, a[..., 0:1],
+                         jnp.where(idx == 1, a[..., 1:2], a[..., 2:3]))
+
+    def comb(a, b):
+        """b after a (sequence order: a is the earlier prefix)."""
+        a_sel, a_val = a
+        b_sel, b_val = b
+        const = b_sel == 3
+        bs = jnp.minimum(b_sel, 2)
+        gs = jnp.take_along_axis(a_sel, bs, axis=-1)
+        gv = jnp.take_along_axis(a_val, bs, axis=-1)
+        c_sel = jnp.where(const, 3, gs)
+        c_val = jnp.where(const, b_val, gv + b_val)
+        return c_sel, c_val
+
+    sel_p, val_p = jax.lax.associative_scan(comb, (sel, val), axis=1)
+    return sel_p, val_p
+
+
+@partial(jax.jit)
+def apply_rep_maps(sel_p, val_p, entry, ovs, lls, nb_seq):
+    """Resolved offsets: r0 of each inclusive prefix map applied to the
+    block's entry rep state.  entry (B, 3) int32.  Returns offsets
+    (B, N) int32 (0 where inactive) and an underflow-error flag (B,)."""
+    B, N, _ = sel_p.shape
+    e = entry[:, None, :]  # (B, 1, 3)
+    s0 = sel_p[..., 0]
+    v0 = val_p[..., 0]
+    picked = jnp.take_along_axis(
+        jnp.broadcast_to(e, (B, N, 3)), jnp.minimum(s0, 2)[..., None],
+        axis=-1)[..., 0]
+    off = jnp.where(s0 == 3, v0, picked + v0)
+    act = jnp.arange(N, dtype=jnp.int32)[None, :] < nb_seq[:, None]
+    err = jnp.any(act & (off <= 0), axis=1)
+    return jnp.where(act, off, 0), err
+
+
+def eval_rep_map(sel, val, entry):
+    """Host-side (numpy) apply of one map row (3,) to an entry triple —
+    the per-block stitching step."""
+    out = []
+    for j in range(3):
+        s, v = int(sel[j]), int(val[j])
+        out.append(v if s == 3 else int(entry[s]) + v)
+    return out
+
+
+class DeviceSequenceDecoder:
+    """Host wrapper for the batched sequence decode: parses the (tiny)
+    table descriptors host-side, batches the backward bitstreams, runs
+    :func:`decode_seq_streams`, and resolves repeat offsets with the
+    associative-scan stage.  Bit-exact vs seq.decode_sequences +
+    execute_sequences' rep logic (tests/test_kernels.py)."""
+
+    BUCKETS = (128, 512, 2048, 8192, 32768)
+    PBUCKETS = (256, 1024, 4096, 16384, 65536)
+
+    @staticmethod
+    def _bucket(n: int, buckets) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return int(np.ceil(n / buckets[-1])) * buckets[-1]
+
+    def parse_headers(self, payload: bytes, pos: int, tables) -> tuple:
+        """Parse one block's sequence-section headers (count, modes,
+        table descriptors — the few-byte host part), mutating ``tables``
+        like the host decoder.  Returns (nb_seq, bitstream bytes)."""
+        from ..codecs.zstd import seq as S
+        from ..errors import DecompressError
+
+        nb_seq, pos = S.parse_nb_sequences(payload, pos)
+        if nb_seq == 0:
+            return 0, b""
+        if pos >= len(payload):
+            raise DecompressError("missing compression modes byte")
+        modes = payload[pos]
+        pos += 1
+        if modes & 0x3:
+            raise DecompressError("reserved compression-mode bits set")
+        tables.ll, pos = S._read_table(payload, pos, (modes >> 6) & 3, "ll",
+                                       S.LL_CODE_MAX, S.LL_MAX_AL, tables.ll)
+        tables.of, pos = S._read_table(payload, pos, (modes >> 4) & 3, "of",
+                                       S.OF_CODE_MAX, S.OF_MAX_AL, tables.of)
+        tables.ml, pos = S._read_table(payload, pos, (modes >> 2) & 3, "ml",
+                                       S.ML_CODE_MAX, S.ML_MAX_AL, tables.ml)
+        return nb_seq, payload[pos:]
+
+    def decode_batch(self, items: list[tuple]) -> tuple:
+        """items[i] = (bitstream bytes, ll_table, of_table, ml_table,
+        nb_seq).  Returns (lls, mls, ovs) each a list of np arrays (raw
+        offset values, pre rep-resolution)."""
+        from ..errors import DecompressError
+
+        if not items:
+            return [], [], []
+        B = len(items)
+        Bp = DeviceSequenceEncoder._bucket_batch(B)
+        N = self._bucket(max(it[4] for it in items), self.BUCKETS)
+        P = self._bucket(max(len(it[0]) for it in items), self.PBUCKETS)
+        pay = np.zeros((Bp, P), np.uint8)
+        bl0 = np.zeros(Bp, np.int32)
+        als = np.zeros((3, Bp), np.int32)
+        tabs = np.zeros((3, Bp, TABLE), np.int32)
+        nsq = np.zeros(Bp, np.int32)
+        for i, (bs, llt, oft, mlt, nb) in enumerate(items):
+            if not bs or bs[-1] == 0:
+                raise DecompressError("corrupt backward bitstream (no sentinel)")
+            pay[i, :len(bs)] = np.frombuffer(bs, np.uint8)
+            bl0[i] = (len(bs) - 1) * 8 + (bs[-1].bit_length() - 1)
+            for j, t in enumerate((llt, oft, mlt)):
+                als[j, i] = t.al
+                tabs[j, i] = pack_decode_table(t)
+            nsq[i] = nb
+        lls, mls, ovs, pos_f, err = decode_seq_streams(
+            jnp.asarray(pay), jnp.asarray(bl0), jnp.asarray(als[0]),
+            jnp.asarray(als[1]), jnp.asarray(als[2]), jnp.asarray(tabs[0]),
+            jnp.asarray(tabs[1]), jnp.asarray(tabs[2]), jnp.asarray(nsq),
+            n_steps=N)
+        pos_f = np.asarray(pos_f)
+        err = np.asarray(err)
+        if err[:B].any():
+            raise DecompressError("offset code out of device range")
+        for i in range(B):
+            if items[i][4] and pos_f[i] != 0:
+                raise DecompressError(
+                    "sequence bitstream not fully consumed"
+                    if pos_f[i] > 0 else "sequence bitstream over-read")
+        lls = np.asarray(lls)
+        mls = np.asarray(mls)
+        ovs = np.asarray(ovs)
+        return ([lls[i, :it[4]] for i, it in enumerate(items)],
+                [mls[i, :it[4]] for i, it in enumerate(items)],
+                [ovs[i, :it[4]] for i, it in enumerate(items)])
