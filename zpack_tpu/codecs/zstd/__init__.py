@@ -47,13 +47,19 @@ class ZstdCodec(Codec):
             import os
 
             if os.environ.get("ZPACK_TPU_ENGINE") == "tpu":
-                # explicit TPU engine: batched device huffman literal decode
-                from ...parallel.extract import decompress_zstd_batched
+                # explicit TPU engine: fully device-resident entropy decode
+                # (huffman + FSE + rep resolution + sequence execution);
+                # falls back to the literal-stage-only hybrid, then host
+                from ...parallel.extract import (decompress_zstd_batched,
+                                                 decompress_zstd_device)
 
                 try:
-                    return decompress_zstd_batched(bytes(data), uncomp_size)
+                    return decompress_zstd_device(bytes(data), uncomp_size)
                 except Exception:
-                    pass  # fall through to host engines (incl. dict probes)
+                    try:
+                        return decompress_zstd_batched(bytes(data), uncomp_size)
+                    except Exception:
+                        pass  # fall through to host engines (incl. dict probes)
             if uncomp_size is not None:
                 if uncomp_size > (16 << 20):
                     from ...parallel import host
