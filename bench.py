@@ -374,6 +374,8 @@ def main() -> int:
             "tpu_xxh3_pallas_MBps": round(tpu["xxh3"], 2) if "xxh3" in tpu else None,
             "tpu_fse_encode_Mseqps": round(tpu["fse_mseq"], 3) if "fse_mseq" in tpu else None,
             "tpu_fse_e2e_Mseqps": round(tpu["fse_e2e_mseq"], 3) if "fse_e2e_mseq" in tpu else None,
+            "tpu_fse_decode_Mseqps": round(tpu["fsedec_mseq"], 3) if "fsedec_mseq" in tpu else None,
+            "tpu_zstd_device_extract_e2e_MBps": round(tpu["zdec_dev_e2e"], 2) if "zdec_dev_e2e" in tpu else None,
             "tpu_rtt_ms": round(tpu["rtt_ms"], 3) if "rtt_ms" in tpu else None,
             # set when the device tunnel stayed degraded (rtt > 3 ms) past
             # the health wait: kernel metrics are withheld, not slow

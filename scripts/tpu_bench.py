@@ -61,23 +61,32 @@ _RTT = 0.0
 def _hard_sync(out):
     """Materialize ONE element of the result on the host.  On the axon
     backend `block_until_ready` can return before the device work is
-    actually complete (round-4 finding: 64 MB XXH3 'finished' inside the
-    71 us dispatch RTT); fetching a result element is the only sync that
-    provably bounds the computation.  Costs ~1 RTT, which best_call
-    subtracts."""
+    actually complete (round-4 finding, re-confirmed round 5: a 137-GFLOP
+    matmul "completes" in 0.07 ms under block_until_ready); fetching a
+    result element is the only sync that provably bounds the computation.
+
+    ROUND-5 FINDING: the FIRST d2h fetch permanently degrades the
+    process's dispatch round-trip from ~0.1 ms to ~29 ms (h2d staging and
+    device compute do NOT).  So a process that measures must (a) poison
+    itself deliberately up front, (b) measure the poisoned RTT, and
+    (c) amortize it by timing k dispatches per fetch (best_call)."""
     leaf = jax.tree_util.tree_leaves(out)[0]
     return np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def best_call(fn, reps: int = 6) -> float:
-    """Min wall-clock of single hard-synced calls, net of dispatch RTT."""
+def best_call(fn, reps: int = 5, k: int = 8) -> float:
+    """Per-call seconds: min over reps of (wall of k dispatches with one
+    trailing element-fetch − RTT) / k.  The single device core executes
+    programs in order, so fetching the last output bounds all k (verified
+    against chained data-dependent composition: identical walls)."""
     _hard_sync(fn())  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        _hard_sync(fn())
+        outs = [fn() for _ in range(k)]
+        _hard_sync(outs[-1])
         best = min(best, time.perf_counter() - t0)
-    return max(best - _RTT, 1e-9)
+    return max((best - _RTT) / k, 1e-9)
 
 
 GROUPS = [
@@ -86,7 +95,8 @@ GROUPS = [
     # (scripts/tpu_primitives.py + order tests, round 4) — every kernel
     # measured after it in one process reported tunnel-degraded numbers in
     # BENCH_r01..r03.  Isolation gives each metric an honest runtime.
-    "huf,hufdec,xxh3,fse,lz4replay",
+    "huf,hufdec,xxh3,fse,fsedec,lz4replay",
+    "zdec",
     "tok",
     "zmesh",
 ]
@@ -111,9 +121,10 @@ def orchestrate() -> int:
         raw = e.stdout or b""
         out = raw.decode() if isinstance(raw, bytes) else raw
     degraded = True  # a probe that printed nothing is a hung tunnel
+    bad_ms = float(os.environ.get("ZPACK_TPU_RTT_BAD_MS", 100))
     for line in out.splitlines():
         if line.startswith("rtt_ms "):
-            degraded = float(line.split()[1]) > 3.0
+            degraded = float(line.split()[1]) > bad_ms
     if degraded:
         for line in out.splitlines():
             if line.strip():
@@ -165,13 +176,17 @@ def main(only: set | None = None) -> int:
     def want(name: str) -> bool:
         return only is None or name in only
 
-    # --- rtt: trivial dispatch+sync round-trip.  Health-gated: the axon
-    # tunnel has multi-minute degradation episodes (rtt 0.06 -> 20+ ms);
-    # measuring kernels inside one records junk, so wait for recovery
-    # (bounded) and report the rtt the metrics actually ran under.
+    # --- rtt: element-fetch dispatch round-trip of a POISONED process.
+    # Round-5 finding: the first d2h fetch permanently moves the process's
+    # dispatch RTT from ~0.1 ms to ~29 ms (_hard_sync docstring), so the
+    # pre-poison "healthy window" gate of rounds 3-4 could never pass —
+    # every measuring process self-poisons on its first sync.  The honest
+    # protocol: poison deliberately, measure the poisoned RTT (the one
+    # best_call subtracts), and only refuse when the tunnel is in a REAL
+    # outage (rtt far above the ~29 ms poisoned floor, or hung).
     tiny = jax.jit(lambda x: x + 1)
     x0 = jnp.zeros(8, jnp.int32)
-    np.asarray(tiny(x0)[0])
+    np.asarray(tiny(x0)[0])  # compile + deliberate poison
 
     def measure_rtt():
         rtts = []
@@ -181,19 +196,17 @@ def main(only: set | None = None) -> int:
             rtts.append(time.perf_counter() - t0)
         return min(rtts)
 
+    bad = float(os.environ.get("ZPACK_TPU_RTT_BAD_MS", 100)) / 1e3
     _RTT = measure_rtt()
     waited = 0
-    while _RTT > 0.003 and waited < int(os.environ.get("ZPACK_TPU_HEALTH_WAIT", 300)):
+    while _RTT > bad and waited < int(os.environ.get("ZPACK_TPU_HEALTH_WAIT", 300)):
         time.sleep(30)
         waited += 30
         _RTT = measure_rtt()
     emit("rtt_ms", _RTT * 1e3)
-    if _RTT > 0.003:
-        # Degraded episode outlasted the wait: any kernel rate recorded now
-        # is junk in BOTH directions (dispatch stalls record falsely-slow
-        # kernels; the broken sync records falsely-fast ones — a 139 GB/s
-        # "XXH3" was observed under rtt 27 ms).  Refuse to measure; the
-        # bench JSON then carries nulls plus this marker instead of noise.
+    if _RTT > bad:
+        # Real outage outlasted the wait: refuse to measure; the bench
+        # JSON then carries nulls plus this marker instead of noise.
         emit("degraded", 1)
         return 0
 
@@ -323,6 +336,47 @@ def main(only: set | None = None) -> int:
             best = min(best, time.perf_counter() - t0)
         emit("fse_e2e_mseq", NB * NS / max(best - _RTT, 1e-9) / 1e6)
 
+    # --- fsedec: batched device FSE sequence DECODE (round-5 kernel;
+    # role: the FSE half of ZSTD_decompressDCtx, lib/zpack_read.c:380)
+    if want("fsedec"):
+        NB, NS = 256, 1024
+        rngd = np.random.default_rng(5)
+        ll_enc = zseq.predefined_encode_table("ll")
+        of_enc = zseq.predefined_encode_table("of")
+        ml_enc = zseq.predefined_encode_table("ml")
+        ll_dec = zseq.predefined_decode_table("ll")
+        of_dec = zseq.predefined_decode_table("of")
+        ml_dec = zseq.predefined_decode_table("ml")
+        items = []
+        for i in range(NB):
+            lls = rngd.integers(0, 200, NS).astype(np.int64)
+            mls = rngd.integers(3, 60, NS).astype(np.int64)
+            ovs = rngd.integers(4, 60000, NS).astype(np.int64)
+            bs = zseq.encode_sequences(lls, mls, ovs, ll_enc, of_enc, ml_enc)
+            items.append((bs, ll_dec, of_dec, ml_dec, NS))
+        ddec = FJ.DeviceSequenceDecoder()
+        staged_d = {}
+
+        def run_staged_dec():
+            if "args" not in staged_d:
+                import zpack_tpu.kernels.fse_jax as _FJ
+                orig = _FJ.decode_seq_streams
+
+                def capture(*args, n_steps):
+                    staged_d["args"] = [jnp.asarray(a) for a in args]
+                    staged_d["n_steps"] = n_steps
+                    return orig(*args, n_steps=n_steps)
+
+                _FJ.decode_seq_streams = capture
+                try:
+                    ddec.decode_batch(items)
+                finally:
+                    _FJ.decode_seq_streams = orig
+            return FJ.decode_seq_streams(*staged_d["args"],
+                                         n_steps=staged_d["n_steps"])
+
+        emit("fsedec_mseq", NB * NS / best_call(run_staged_dec, reps=4) / 1e6)
+
     # --- lz4replay: batched device sequence replay (decode side of the
     # --engine tpu extract path; host token parse excluded — it overlaps
     # device compute in production)
@@ -365,6 +419,33 @@ def main(only: set | None = None) -> int:
             lambda: LJ.replay_sequences(*args_d, n_out=64 << 10)) / 1e6)
 
     # --- device-vs-host entropy A/B on the end-to-end mesh zstd path
+    # --- zdec: fully device-resident zstd extract, END-TO-END wall
+    # (structural walk + h2d + huffman/FSE/rep/replay device stages + d2h;
+    # role: the whole ZSTD_decompressDCtx loop, lib/zpack_read.c:380).
+    # This is the production --engine tpu number including tunnel costs.
+    if want("zdec"):
+        import zstandard
+
+        from zpack_tpu.parallel.extract import decompress_zstd_device
+
+        words = [b"compression", b"archive", b"entropy", b"the", b"of",
+                 b"data", b"sequence", b"matching"]
+        blob = bytearray()
+        rngz = np.random.default_rng(9)
+        while len(blob) < (8 << 20):
+            blob += words[int(rngz.integers(len(words)))] + b" "
+            if rngz.random() < 0.02:
+                blob += rngz.integers(0, 256, 48).astype(np.uint8).tobytes()
+        blobz = bytes(blob[: 8 << 20])
+        cz = zstandard.ZstdCompressor(level=3).compress(blobz)
+        assert decompress_zstd_device(cz, len(blobz)) == blobz  # warm+verify
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            decompress_zstd_device(cz, len(blobz))
+            best = min(best, time.perf_counter() - t0)
+        emit("zdec_dev_e2e", len(blobz) / best / 1e6)
+
     if want("zmesh") and os.environ.get("ZPACK_TPU_BENCH_AB", "1") != "0":
         from zpack_tpu.parallel.pipeline import MeshCompressor
 
