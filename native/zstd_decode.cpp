@@ -721,15 +721,20 @@ static const unsigned kInc32[8] = {0, 1, 2, 1, 0, 4, 4, 4};
 static const int kDec64[8] = {0, 0, 0, -1, -4, 1, 2, 3};
 
 SeqTable g_ll_def, g_of_def, g_ml_def;
-bool g_def_init = false;
+// Thread-safe lazy init (magic static): decode_frame fans blocks out to
+// the worker pool, so the first decompression reaches this concurrently
+// (TSAN round-5 finding — same plain-bool-guard race as the encoder's
+// enc_init, with the same reallocation hazard).
 void init_defaults() {
-    if (g_def_init) return;
-    std::vector<uint16_t> ss;
-    std::vector<int> ns;
-    build_seq_table(std::vector<int>(LL_DEF, LL_DEF + 36), 6, SEQ_LL, g_ll_def, ss, ns);
-    build_seq_table(std::vector<int>(OF_DEF, OF_DEF + 29), 5, SEQ_OF, g_of_def, ss, ns);
-    build_seq_table(std::vector<int>(ML_DEF, ML_DEF + 53), 6, SEQ_ML, g_ml_def, ss, ns);
-    g_def_init = true;
+    static const bool done = [] {
+        std::vector<uint16_t> ss;
+        std::vector<int> ns;
+        build_seq_table(std::vector<int>(LL_DEF, LL_DEF + 36), 6, SEQ_LL, g_ll_def, ss, ns);
+        build_seq_table(std::vector<int>(OF_DEF, OF_DEF + 29), 5, SEQ_OF, g_of_def, ss, ns);
+        build_seq_table(std::vector<int>(ML_DEF, ML_DEF + 53), 6, SEQ_ML, g_ml_def, ss, ns);
+        return true;
+    }();
+    (void)done;
 }
 
 // Parse one table descriptor; leaves the active-table pointer in `act`

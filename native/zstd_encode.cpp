@@ -263,10 +263,13 @@ static const int OF_DEF[29] = {1,1,1,1,1,1,2,2,2,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,-
 
 static uint8_t g_ll_small[64], g_ml_small[128];
 static FseEnc g_ll_pre, g_of_pre, g_ml_pre;
-static bool g_enc_init = false;
 
-static void enc_init() {
-    if (g_enc_init) return;
+// Thread-safe lazy init via a C++11 magic static: zn_zstd_compress runs
+// blocks on a worker pool, so the first compression can hit this from
+// several threads at once (TSAN round-5 finding — the plain-bool guard
+// raced, and a second initializer could reallocate the FseEnc vectors
+// while another thread was already encoding from them).
+static void enc_init_body() {
     for (int c = 0; c < 36; c++)
         for (uint32_t v = LL_BASE[c]; v < LL_BASE[c] + (1u << LL_EXTRA[c]) && v < 64; v++)
             g_ll_small[v] = (uint8_t)c;
@@ -276,7 +279,11 @@ static void enc_init() {
     g_ll_pre.init(std::vector<int>(LL_DEF, LL_DEF + 36), 6);
     g_of_pre.init(std::vector<int>(OF_DEF, OF_DEF + 29), 5);
     g_ml_pre.init(std::vector<int>(ML_DEF, ML_DEF + 53), 6);
-    g_enc_init = true;
+}
+
+static void enc_init() {
+    static const bool done = [] { enc_init_body(); return true; }();
+    (void)done;
 }
 
 static inline int ll_code(uint32_t v) {

@@ -8,7 +8,11 @@ libasan is LD_PRELOADed into the child pytest (the python binary itself is
 uninstrumented).  Leak checking is off (CPython intentionally leaks);
 every other ASan/UBSan diagnostic aborts the run.
 
-Usage: python scripts/sanitize_native.py [extra pytest args]
+Usage: python scripts/sanitize_native.py [--tsan] [extra pytest args]
+``--tsan`` builds with ThreadSanitizer instead (VERDICT r4 item 6: the
+native backend is threaded — frame-parallel codecs and the
+zn_*_batch worker pools, native/zn_threads.h — so data races are the one
+sanitizer class it actually needs; ASan/UBSan can't see them).
 Exit status: pytest's (nonzero on any sanitizer report or test failure).
 """
 from __future__ import annotations
@@ -21,16 +25,22 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parents[1]
 SRCS = [REPO / "native" / f for f in
         ("zpack_native.cpp", "zstd_decode.cpp", "zstd_encode.cpp")]
-OUT = pathlib.Path("/tmp/zpack_sanitize/_zpack_native_asan.so")
+TSAN = "--tsan" in sys.argv
+if TSAN:
+    sys.argv.remove("--tsan")
+OUT = pathlib.Path("/tmp/zpack_sanitize/_zpack_native_%s.so"
+                   % ("tsan" if TSAN else "asan"))
 
 # The fast paths intentionally read a few bytes past logical ends inside
 # slack-padded buffers; the sanitizer build compiles the same sources, so
 # any report is a REAL overrun of an allocation, not of a logical length.
 CXXFLAGS = ["-O1", "-g", "-std=c++17", "-shared", "-fPIC", "-pthread",
-            "-fsanitize=address,undefined", "-fno-sanitize-recover=all",
-            "-fno-omit-frame-pointer"]
+            "-fno-omit-frame-pointer"] + (
+    ["-fsanitize=thread"] if TSAN else
+    ["-fsanitize=address,undefined", "-fno-sanitize-recover=all"])
 
-DEFAULT_TESTS = ["tests/test_native.py", "tests/test_fuzz.py"]
+DEFAULT_TESTS = ["tests/test_native.py", "tests/test_fuzz.py",
+                 "tests/test_native_threads.py"]
 
 
 def build() -> pathlib.Path | None:
@@ -47,11 +57,12 @@ def build() -> pathlib.Path | None:
 
 
 def libasan_path() -> str | None:
+    name = "libtsan.so" if TSAN else "libasan.so"
     try:
-        p = subprocess.run(["g++", "-print-file-name=libasan.so"],
+        p = subprocess.run(["g++", "-print-file-name=" + name],
                            capture_output=True, text=True, timeout=30)
         path = p.stdout.strip()
-        if path and path != "libasan.so" and os.path.exists(path):
+        if path and path != name and os.path.exists(path):
             return path
     except Exception:
         pass
@@ -67,6 +78,9 @@ def main() -> int:
     env["ZPACK_TPU_NATIVE_SO"] = str(so)
     env["ASAN_OPTIONS"] = "detect_leaks=0:abort_on_error=1"
     env["UBSAN_OPTIONS"] = "halt_on_error=1:abort_on_error=1"
+    # CPython itself is uninstrumented; races are only reportable in the
+    # native .so, which is exactly the code under test
+    env["TSAN_OPTIONS"] = "halt_on_error=1:abort_on_error=1:report_bugs=1"
     if asan:
         env["LD_PRELOAD"] = asan
     tests = sys.argv[1:] or DEFAULT_TESTS
