@@ -576,6 +576,10 @@ class DeviceSequenceDecoder:
     BUCKETS = (128, 512, 2048, 8192, 32768)
     PBUCKETS = (256, 1024, 4096, 16384, 65536)
 
+    def __init__(self, mesh=None):
+        #: optional jax.sharding.Mesh — block batch shards over its devices
+        self.mesh = mesh
+
     @staticmethod
     def _bucket(n: int, buckets) -> int:
         for b in buckets:
@@ -633,11 +637,11 @@ class DeviceSequenceDecoder:
                 als[j, i] = t.al
                 tabs[j, i] = pack_decode_table(t)
             nsq[i] = nb
-        lls, mls, ovs, pos_f, err = decode_seq_streams(
-            jnp.asarray(pay), jnp.asarray(bl0), jnp.asarray(als[0]),
-            jnp.asarray(als[1]), jnp.asarray(als[2]), jnp.asarray(tabs[0]),
-            jnp.asarray(tabs[1]), jnp.asarray(tabs[2]), jnp.asarray(nsq),
-            n_steps=N)
+        from .huffman_jax import shard_rows
+
+        args = shard_rows(self.mesh, pay, bl0, als[0], als[1], als[2],
+                          tabs[0], tabs[1], tabs[2], nsq)
+        lls, mls, ovs, pos_f, err = decode_seq_streams(*args, n_steps=N)
         pos_f = np.asarray(pos_f)
         err = np.asarray(err)
         if err[:B].any():

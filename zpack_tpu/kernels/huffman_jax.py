@@ -170,20 +170,7 @@ class DeviceHuffmanEncoder:
 
     def _shard(self, *arrays):
         """Pad dim 0 to the mesh size and shard over all mesh axes."""
-        if self.mesh is None:
-            return [jnp.asarray(a) for a in arrays]
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        ndev = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
-        S = arrays[0].shape[0]
-        pad = (-S) % ndev
-        out = []
-        for a in arrays:
-            if pad:
-                a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
-            spec = P(tuple(self.mesh.axis_names), *([None] * (a.ndim - 1)))
-            out.append(jax.device_put(a, NamedSharding(self.mesh, spec)))
-        return out
+        return shard_rows(self.mesh, *arrays)
 
     def encode_batch(self, streams: list[np.ndarray], tables) -> list[bytes]:
         """streams[i]: uint8 symbol array; tables[i]: HuffEncodeTable
@@ -396,11 +383,38 @@ def decode_streams_scan(payloads, starts, combo_tab, *, max_bits: int,
     return sy, po, nb
 
 
+def shard_rows(mesh, *arrays):
+    """Pad dim 0 to the mesh size and shard over all mesh axes (the
+    data-parallel batch layout used by every batched entropy wrapper);
+    passthrough when mesh is None."""
+    if mesh is None:
+        return [jnp.asarray(a) for a in arrays]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    S = arrays[0].shape[0]
+    pad = (-S) % ndev
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        if pad:
+            a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+        spec = P(tuple(mesh.axis_names), *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return out
+
+
 class DeviceHuffmanDecoder:
     """Host wrapper for batched device Huffman decode, bit-exact vs
-    huffman._decode_one_stream (tested in tests/test_kernels.py)."""
+    huffman._decode_one_stream (tested in tests/test_kernels.py).
+    With ``mesh`` the stream batch shards data-parallel over all its
+    devices (mesh extraction — the decode mirror of the encoder's
+    sharded entropy stage)."""
 
     BUCKETS = (1024, 4096, 16384, 65536)
+
+    def __init__(self, mesh=None):
+        self.mesh = mesh
 
     def _bucket(self, n: int, buckets) -> int:
         for b in buckets:
@@ -436,14 +450,14 @@ class DeviceHuffmanDecoder:
         import os
 
         if os.environ.get("ZPACK_TPU_HUFDEC") == "doubling":
+            pay_d, starts_d, sym_d, nb_d = shard_rows(
+                self.mesh, pay, starts, combo_t & 0xFF, combo_t >> 8)
             out, pos, nb = decode_streams(
-                jnp.asarray(pay), jnp.asarray(starts),
-                jnp.asarray(combo_t & 0xFF), jnp.asarray(combo_t >> 8),
-                max_bits=max_bits, n_out=n_out)
+                pay_d, starts_d, sym_d, nb_d, max_bits=max_bits, n_out=n_out)
         else:
+            pay_d, starts_d, combo_d = shard_rows(self.mesh, pay, starts, combo_t)
             out, pos, nb = decode_streams_scan(
-                jnp.asarray(pay), jnp.asarray(starts), jnp.asarray(combo_t),
-                max_bits=max_bits, n_out=n_out)
+                pay_d, starts_d, combo_d, max_bits=max_bits, n_out=n_out)
         out = np.asarray(out)
         pos = np.asarray(pos)
         nb = np.asarray(nb)

@@ -244,7 +244,8 @@ def decompress_zstd_batched(data: bytes, max_out: int | None = None) -> bytes:
     return bytes(out)
 
 
-def decompress_zstd_device(data: bytes, max_out: int | None = None) -> bytes:
+def decompress_zstd_device(data: bytes, max_out: int | None = None,
+                           mesh=None) -> bytes:
     """FULLY device-resident entropy decode of concatenated zstd frames —
     the round-5 redesign closing VERDICT r4 missing #1 (the reference does
     all of this inside ``ZSTD_decompressDCtx``, lib/zpack_read.c:380):
@@ -276,7 +277,7 @@ def decompress_zstd_device(data: bytes, max_out: int | None = None) -> bytes:
     streams: list[bytes] = []
     htables = []
     n_syms: list[int] = []
-    dsd = DeviceSequenceDecoder()
+    dsd = DeviceSequenceDecoder(mesh)
     seq_items: list[tuple] = []
     pos = 0
     n = len(data)
@@ -360,8 +361,13 @@ def decompress_zstd_device(data: bytes, max_out: int | None = None) -> bytes:
         frames.append((header, blocks, chk))
 
     # ---- pass 2: device huffman literal decode -----------------------
-    decoded = _device_decoder().decode_batch(streams, htables, n_syms) \
-        if streams else []
+    if mesh is None:
+        hdec = _device_decoder()
+    else:
+        from ..kernels.huffman_jax import DeviceHuffmanDecoder
+
+        hdec = DeviceHuffmanDecoder(mesh)
+    decoded = hdec.decode_batch(streams, htables, n_syms) if streams else []
 
     # ---- pass 3: device FSE sequence decode --------------------------
     if seq_items:
