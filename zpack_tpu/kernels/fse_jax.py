@@ -611,14 +611,33 @@ class DeviceSequenceDecoder:
                                        S.ML_CODE_MAX, S.ML_MAX_AL, tables.ml)
         return nb_seq, payload[pos:]
 
+    def decode_batch_device(self, items: list[tuple]):
+        """Device-resident variant: validates stream consumption, then
+        returns ((ll, ml, ov) DEVICE (Bp, N) int32 arrays, nsq (B,)
+        np.int32) for further device stages (rep resolution, segment
+        assembly) without a metadata round-trip."""
+        lls, mls, ovs, nsq = self._decode_common(items)
+        return (lls, mls, ovs), nsq
+
     def decode_batch(self, items: list[tuple]) -> tuple:
         """items[i] = (bitstream bytes, ll_table, of_table, ml_table,
         nb_seq).  Returns (lls, mls, ovs) each a list of np arrays (raw
         offset values, pre rep-resolution)."""
-        from ..errors import DecompressError
-
         if not items:
             return [], [], []
+        lls, mls, ovs, _nsq = self._decode_common(items)
+        lls = np.asarray(lls)
+        mls = np.asarray(mls)
+        ovs = np.asarray(ovs)
+        return ([lls[i, :it[4]] for i, it in enumerate(items)],
+                [mls[i, :it[4]] for i, it in enumerate(items)],
+                [ovs[i, :it[4]] for i, it in enumerate(items)])
+
+    def _decode_common(self, items: list[tuple]):
+        """Shared batch build + kernel run + validity checks; returns
+        DEVICE (Bp, N) arrays (lls, mls, ovs) and nsq (B,) np.int32."""
+        from ..errors import DecompressError
+
         B = len(items)
         Bp = DeviceSequenceEncoder._bucket_batch(B)
         N = self._bucket(max(it[4] for it in items), self.BUCKETS)
@@ -651,9 +670,4 @@ class DeviceSequenceDecoder:
                 raise DecompressError(
                     "sequence bitstream not fully consumed"
                     if pos_f[i] > 0 else "sequence bitstream over-read")
-        lls = np.asarray(lls)
-        mls = np.asarray(mls)
-        ovs = np.asarray(ovs)
-        return ([lls[i, :it[4]] for i, it in enumerate(items)],
-                [mls[i, :it[4]] for i, it in enumerate(items)],
-                [ovs[i, :it[4]] for i, it in enumerate(items)])
+        return lls, mls, ovs, nsq[:B]

@@ -430,11 +430,26 @@ class DeviceHuffmanDecoder:
                 return b
         return int(np.ceil(n / buckets[-1])) * buckets[-1]
 
-    def decode_batch(self, payloads: list[bytes], tables, n_symbols: list[int]) -> list[np.ndarray]:
-        """payloads[i]: one backward-read huffman stream; tables[i]:
-        HuffDecodeTable; n_symbols[i]: expected regenerated count."""
-        if not payloads:
-            return []
+    def decode_batch_device(self, payloads: list[bytes], tables,
+                            n_symbols: list[int]):
+        """Device-resident variant: returns (syms (Sp, n_out) uint8 DEVICE
+        array, final_bits (S,) np.int32) — the caller composes further
+        device stages without a literal round-trip (round-5 transfer
+        discipline: one d2h fetch also degrades the process RTT ~300x,
+        docs/roofline.md).  final_bits[i] must be 0 for stream validity."""
+        syms, pos, nb, S, n_out = self._decode_common(payloads, tables,
+                                                      n_symbols)
+        n = np.asarray(n_symbols, np.int32)
+        idx = jnp.asarray(np.maximum(n - 1, 0))
+        pos_n = jnp.take_along_axis(pos[:S], idx[:, None], axis=1)[:, 0]
+        nb_n = jnp.take_along_axis(nb[:S], idx[:, None], axis=1)[:, 0]
+        final = np.where(n > 0, np.asarray(pos_n) - np.asarray(nb_n), 0)
+        return syms, final.astype(np.int32)
+
+    def _decode_common(self, payloads: list[bytes], tables,
+                       n_symbols: list[int]):
+        """Build the padded batch, run the kernel; returns DEVICE arrays
+        (syms, pos, nb) plus (S, n_out)."""
         max_bits = max(t.max_bits for t in tables)
         P = self._bucket(max(len(p) for p in payloads), self.BUCKETS)
         n_out = self._bucket(max(n_symbols), self.BUCKETS)
@@ -466,6 +481,15 @@ class DeviceHuffmanDecoder:
             pay_d, starts_d, combo_d = shard_rows(self.mesh, pay, starts, combo_t)
             out, pos, nb = decode_streams_scan(
                 pay_d, starts_d, combo_d, max_bits=max_bits, n_out=n_out)
+        return out, pos, nb, S, n_out
+
+    def decode_batch(self, payloads: list[bytes], tables, n_symbols: list[int]) -> list[np.ndarray]:
+        """payloads[i]: one backward-read huffman stream; tables[i]:
+        HuffDecodeTable; n_symbols[i]: expected regenerated count."""
+        if not payloads:
+            return []
+        out, pos, nb, S, n_out = self._decode_common(payloads, tables,
+                                                     n_symbols)
         out = np.asarray(out)
         pos = np.asarray(pos)
         nb = np.asarray(nb)

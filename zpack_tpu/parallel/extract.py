@@ -360,39 +360,43 @@ def decompress_zstd_device(data: bytes, max_out: int | None = None,
             pos += 4
         frames.append((header, blocks, chk))
 
-    # ---- pass 2: device huffman literal decode -----------------------
+    # ---- pass 2: device huffman literal decode (device-resident) -----
     if mesh is None:
         hdec = _device_decoder()
     else:
         from ..kernels.huffman_jax import DeviceHuffmanDecoder
 
         hdec = DeviceHuffmanDecoder(mesh)
-    decoded = hdec.decode_batch(streams, htables, n_syms) if streams else []
+    syms_dev = None
+    if streams:
+        syms_dev, final_bits = hdec.decode_batch_device(streams, htables,
+                                                        n_syms)
+        if (final_bits != 0).any():
+            raise DecompressError("huffman stream not fully consumed")
 
     # ---- pass 3: device FSE sequence decode --------------------------
+    import jax.numpy as jnp
+
+    B = len(seq_items)
     if seq_items:
-        lls_l, mls_l, ovs_l = dsd.decode_batch(seq_items)
-        B = len(seq_items)
-        N = max(len(a) for a in lls_l)
-        N = dsd._bucket(N, dsd.BUCKETS)
-        ll_p = np.zeros((B, N), np.int32)
-        ov_p = np.zeros((B, N), np.int32)
-        nsq = np.zeros(B, np.int32)
-        for i in range(B):
-            k = len(lls_l[i])
-            ll_p[i, :k] = lls_l[i]
-            ov_p[i, :k] = ovs_l[i]
-            nsq[i] = k
+        (ll_d, ml_d, ov_d), nsq = dsd.decode_batch_device(seq_items)
+        sum_ll_d, sum_ml_d = _masked_sums(ll_d, ml_d, jnp.asarray(
+            np.concatenate([nsq, np.zeros(ll_d.shape[0] - B, np.int32)])))
+        sum_ll = np.asarray(sum_ll_d)[:B]
+        sum_ml = np.asarray(sum_ml_d)[:B]
 
-        # ---- pass 4: rep resolution ----------------------------------
-        import jax.numpy as jnp
-
-        sel_p, val_p = rep_prefix_maps(
-            jnp.asarray(ov_p), jnp.asarray(ll_p), jnp.asarray(nsq))
-        idx = np.maximum(nsq - 1, 0)
-        tot_sel = np.asarray(sel_p)[np.arange(B), idx]  # (B, 3)
-        tot_val = np.asarray(val_p)[np.arange(B), idx]
-        entry = np.zeros((B, 3), np.int32)
+        # ---- pass 4: rep resolution (device maps, host block stitch) --
+        nsq_p = jnp.asarray(np.concatenate(
+            [nsq, np.zeros(ll_d.shape[0] - B, np.int32)]))
+        sel_p, val_p = rep_prefix_maps(ov_d, ll_d, nsq_p)
+        idx = jnp.asarray(np.maximum(
+            np.concatenate([nsq, np.zeros(ll_d.shape[0] - B, np.int32)]) - 1,
+            0))
+        tot_sel = np.asarray(jnp.take_along_axis(
+            sel_p, idx[:, None, None], axis=1)[:, 0])[:B]
+        tot_val = np.asarray(jnp.take_along_axis(
+            val_p, idx[:, None, None], axis=1)[:, 0])[:B]
+        entry = np.zeros((ll_d.shape[0], 3), np.int32)
         for header, blocks, chk in frames:
             rep = [1, 4, 8]
             for _, slot in blocks:
@@ -400,67 +404,170 @@ def decompress_zstd_device(data: bytes, max_out: int | None = None,
                     continue
                 entry[slot] = rep
                 rep = eval_rep_map(tot_sel[slot], tot_val[slot], rep)
-        offs_p, err = apply_rep_maps(sel_p, val_p, jnp.asarray(entry),
-                                     jnp.asarray(ov_p), jnp.asarray(ll_p),
-                                     jnp.asarray(nsq))
-        offs_p = np.asarray(offs_p)
-        if np.asarray(err).any():
+        offs_d, err = apply_rep_maps(sel_p, val_p, jnp.asarray(entry),
+                                     ov_d, ll_d, nsq_p)
+        if np.asarray(err)[:B].any():
             raise DecompressError("repeat offset underflow")
-        offs_l = [offs_p[i, : nsq[i]] for i in range(B)]
     else:
-        lls_l = mls_l = offs_l = []
+        nsq = np.zeros(0, np.int32)
+        sum_ll = sum_ml = np.zeros(0, np.int64)
 
-    # ---- pass 5: per-frame segment assembly + batched replay ---------
-    frame_segs = []   # (seg_ll, seg_ml, seg_off, lit_bytes, total)
+    # ---- pass 5: host layout + device segment/literal assembly -------
+    # Every base/offset below is host-KNOWN (stream counts, literal totals
+    # and nb_seq all come from headers), so assembly is pure device
+    # scatters — no decoded data returns to the host before the final
+    # frame bytes (one d2h degrades dispatch RTT ~300x, docs/roofline.md).
+    F = len(frames)
+    blk_meta = []  # per frame: list of (lit_spec, slot, lit_total)
+    f_lits, f_nseg, f_total = [], [], []
     for header, blocks, chk in frames:
-        parts_ll, parts_ml, parts_off, lit_parts = [], [], [], []
+        metas = []
+        lits_total = 0
+        nseg = 0
+        total = 0
         for lit_spec, slot in blocks:
             if lit_spec[0] == "raw":
-                lits = lit_spec[1]
+                lt = len(lit_spec[1])
             else:
-                _, base, cnt, _tot = lit_spec
-                parts = decoded[base : base + cnt]
-                lits = parts[0].tobytes() if cnt == 1 else b"".join(
-                    p.tobytes() for p in parts)
-            lit_parts.append(lits)
+                lt = lit_spec[3]
             if slot is None:
-                if len(lits):
-                    parts_ll.append(np.array([len(lits)], np.int64))
-                    parts_ml.append(np.zeros(1, np.int64))
-                    parts_off.append(np.zeros(1, np.int64))
-                continue
-            ll = lls_l[slot].astype(np.int64)
-            ml = mls_l[slot].astype(np.int64)
-            off = offs_l[slot].astype(np.int64)
-            used = int(ll.sum())
-            tail = len(lits) - used
-            if tail < 0:
-                raise DecompressError("literal run overruns literals")
-            if tail:
-                ll = np.concatenate([ll, [tail]])
-                ml = np.concatenate([ml, [0]])
-                off = np.concatenate([off, [0]])
-            parts_ll.append(ll)
-            parts_ml.append(ml)
-            parts_off.append(off)
-        seg_ll = np.concatenate(parts_ll) if parts_ll else np.zeros(0, np.int64)
-        seg_ml = np.concatenate(parts_ml) if parts_ml else np.zeros(0, np.int64)
-        seg_off = np.concatenate(parts_off) if parts_off else np.zeros(0, np.int64)
-        seg_len = seg_ll + seg_ml
-        ends = np.cumsum(seg_len)
-        starts = ends - seg_len
-        total = int(ends[-1]) if len(ends) else 0
-        # match validity: a match at output position starts+ll reaches back
-        # `off`; it must stay inside this frame's decoded history
-        bad = (seg_ml > 0) & (seg_off > starts + seg_ll)
-        if bad.any():
-            raise DecompressError("match offset beyond decoded history")
-        frame_segs.append((seg_ll, seg_ml, seg_off,
-                           b"".join(lit_parts), total))
-        if max_out is not None and sum(f[4] for f in frame_segs) > max_out:
+                total += lt
+                nseg += 1 if lt else 0
+            else:
+                tail = lt - int(sum_ll[slot])
+                if tail < 0:
+                    raise DecompressError("literal run overruns literals")
+                total += lt + int(sum_ml[slot])
+                nseg += int(nsq[slot]) + (1 if tail else 0)
+            metas.append((lit_spec, slot, lt))
+            lits_total += lt
+        blk_meta.append(metas)
+        f_lits.append(lits_total)
+        f_nseg.append(nseg)
+        f_total.append(total)
+        if max_out is not None and sum(f_total) > max_out:
             raise DecompressError("zstd output exceeds expected size")
 
-    outs = _replay_frames(frame_segs)
+    live = [i for i in range(F) if f_total[i] > 0]
+    outs: list[bytes] = [b""] * F
+    if live:
+        from ..kernels.lz4_jax import (DeviceLZ4Replayer, _replay_build,
+                                       _replay_emit, _replay_rounds)
+
+        bucket = DeviceLZ4Replayer._bucket
+        Fp = _pow2(len(live))
+        SB = bucket(max(f_nseg[i] for i in live) or 1,
+                    (64, 256, 1024, 4096, 16384, 65536, 262144))
+        LB = bucket(max(f_lits[i] for i in live) or 1,
+                    (1024, 4096, 16384, 65536, 262144, 1 << 20, 4 << 20))
+        n_out = bucket(max(f_total[i] for i in live),
+                       (4096, 65536, 262144, 1 << 20, 2 << 20, 4 << 20))
+
+        # host-side layout walk: scatter bases for every piece
+        sq_frame, sq_base = [], []            # per seq-block slot
+        fix_f, fix_pos, fix_ll = [], [], []   # host-known segments (+tails)
+        st_frame, st_base, st_stream = [], [], []  # huffman stream rows
+        raw_parts = []                        # (bytes, frame, lit_base)
+        for j, i in enumerate(live):
+            seg_pos = 0
+            lit_pos = 0
+            for lit_spec, slot, lt in blk_meta[i]:
+                if lit_spec[0] == "raw":
+                    if lt:
+                        raw_parts.append((lit_spec[1], j, lit_pos))
+                else:
+                    _, sbase, cnt, _tot = lit_spec
+                    sp = lit_pos
+                    for k in range(cnt):
+                        st_frame.append(j)
+                        st_base.append(sp)
+                        st_stream.append(sbase + k)
+                        sp += n_syms[sbase + k]
+                if slot is None:
+                    if lt:
+                        fix_f.append(j)
+                        fix_pos.append(seg_pos)
+                        fix_ll.append(lt)
+                        seg_pos += 1
+                else:
+                    sq_frame.append(j)
+                    sq_base.append(seg_pos)
+                    seg_pos += int(nsq[slot])
+                    tail = lt - int(sum_ll[slot])
+                    if tail:
+                        fix_f.append(j)
+                        fix_pos.append(seg_pos)
+                        fix_ll.append(tail)
+                        seg_pos += 1
+                lit_pos += lt
+        # note: sq_* are in seq_items slot order because the structural
+        # walk assigned slots in the same frame/block order
+
+        seg3 = jnp.zeros((Fp, SB, 3), jnp.int32)
+        if seq_items:
+            rows3 = jnp.stack([ll_d, ml_d, offs_d], axis=-1)
+            Bp = ll_d.shape[0]
+            sqf = np.zeros(Bp, np.int32)
+            sqf[:B] = sq_frame
+            sqb = np.zeros(Bp, np.int32)
+            sqb[:B] = sq_base
+            seg3 = _scatter_rows(seg3, rows3, jnp.asarray(sqf),
+                                 jnp.asarray(sqb), nsq_p)
+        if fix_f:
+            fr = np.array(fix_f, np.int32)
+            po = np.array(fix_pos, np.int32)
+            lv = np.array(fix_ll, np.int32)
+            seg3 = seg3.at[jnp.asarray(fr), jnp.asarray(po), 0].add(
+                jnp.asarray(lv), mode="drop")
+
+        lit_rows = jnp.zeros((Fp, LB), jnp.uint8)
+        if st_frame:
+            order = jnp.asarray(np.array(st_stream, np.int32))
+            rows = jnp.take(syms_dev, order, axis=0)
+            lit_rows = _scatter_rows(
+                lit_rows, rows,
+                jnp.asarray(np.array(st_frame, np.int32)),
+                jnp.asarray(np.array(st_base, np.int32)),
+                jnp.asarray(np.array([n_syms[s] for s in st_stream],
+                                     np.int32)))
+        if raw_parts:
+            flat = b"".join(p[0] for p in raw_parts)
+            R = _pow2(len(flat), 1024)
+            P = _pow2(len(raw_parts), 8)
+            flat_a = np.zeros(R, np.uint8)
+            flat_a[: len(flat)] = np.frombuffer(flat, np.uint8)
+            starts = np.full(P, len(flat), np.int32)
+            dstf = np.zeros(P, np.int32)
+            dstb = np.full(P, LB, np.int32)
+            acc = 0
+            for k, (pb, fj, lb) in enumerate(raw_parts):
+                starts[k] = acc
+                dstf[k] = fj
+                dstb[k] = lb
+                acc += len(pb)
+            lit_rows = _scatter_flat_u8(
+                lit_rows, jnp.asarray(flat_a), jnp.int32(len(flat)),
+                jnp.asarray(starts), jnp.asarray(dstf), jnp.asarray(dstb))
+
+        nseg_a = jnp.asarray(np.array(
+            [f_nseg[i] for i in live] + [0] * (Fp - len(live)), np.int32))
+        seg_st, lit_st, bad = _seg_prefix_validate(seg3, nseg_a)
+        if np.asarray(bad).any():
+            raise DecompressError("match offset beyond decoded history")
+
+        f, lit_idx = _replay_build(
+            lit_rows, seg_st, lit_st, seg3[..., 0], seg3[..., 2], nseg_a,
+            n_out=n_out)
+        max_rounds = max(1, int(np.ceil(np.log2(max(n_out, 2)))))
+        done = 0
+        while done < max_rounds:
+            f, changed = _replay_rounds(f)
+            done += 4
+            if not bool(changed):
+                break
+        out_rows = _replay_emit(lit_rows, lit_idx, f)
+        for j, i in enumerate(live):
+            outs[i] = np.asarray(out_rows[j, : f_total[i]]).tobytes()
 
     # ---- pass 6: checksum verify + assembly --------------------------
     result = bytearray()
@@ -476,49 +583,78 @@ def decompress_zstd_device(data: bytes, max_out: int | None = None,
     return bytes(result)
 
 
-def _replay_frames(frame_segs: list[tuple]) -> list[bytes]:
-    """Batched device execution of per-frame segment lists via
-    kernels/lz4_jax.replay_sequences (prefix-sum + pointer doubling)."""
-    import numpy as np
+# --- device assembly helpers (round 5: zero-intermediate-round-trip path) --
 
-    from ..kernels.lz4_jax import replay_sequences, DeviceLZ4Replayer
+def _jx():
+    import jax
     import jax.numpy as jnp
+    return jax, jnp
 
-    live = [i for i, f in enumerate(frame_segs) if f[4] > 0]
-    outs: list[bytes] = [b""] * len(frame_segs)
-    if not live:
-        return outs
-    bucket = DeviceLZ4Replayer._bucket
-    F = len(live)
-    Fp = 8
-    while Fp < F:
-        Fp <<= 1
-    S = bucket(max(len(frame_segs[i][0]) for i in live),
-               (64, 256, 1024, 4096, 16384, 65536, 262144))
-    L = bucket(max(len(frame_segs[i][3]) for i in live),
-               (1024, 4096, 16384, 65536, 262144, 1 << 20, 4 << 20))
-    n_out = bucket(max(frame_segs[i][4] for i in live),
-                   (4096, 65536, 262144, 1 << 20, 2 << 20, 4 << 20))
-    lit_b = np.zeros((Fp, L), np.uint8)
-    seg_st = np.zeros((Fp, S), np.int32)
-    lit_st = np.zeros((Fp, S), np.int32)
-    ll_a = np.zeros((Fp, S), np.int32)
-    off_a = np.zeros((Fp, S), np.int32)
-    ns = np.zeros(Fp, np.int32)
-    for j, i in enumerate(live):
-        seg_ll, seg_ml, seg_off, lits, total = frame_segs[i]
-        k = len(seg_ll)
-        seg_len = seg_ll + seg_ml
-        seg_st[j, :k] = (np.cumsum(seg_len) - seg_len).astype(np.int32)
-        lit_st[j, :k] = (np.cumsum(seg_ll) - seg_ll).astype(np.int32)
-        ll_a[j, :k] = seg_ll.astype(np.int32)
-        off_a[j, :k] = seg_off.astype(np.int32)
-        ns[j] = k
-        lit_b[j, : len(lits)] = np.frombuffer(lits, np.uint8)
-    out = np.asarray(replay_sequences(
-        jnp.asarray(lit_b), jnp.asarray(seg_st), jnp.asarray(lit_st),
-        jnp.asarray(ll_a), jnp.asarray(off_a), jnp.asarray(ns),
-        n_out=n_out))
-    for j, i in enumerate(live):
-        outs[i] = out[j, : frame_segs[i][4]].tobytes()
-    return outs
+
+def _scatter_rows(dst, rows, frame_idx, base, valid_n):
+    """dst[frame_idx[r], base[r] + i] = rows[r, i] for i < valid_n[r].
+    dst starts zeroed and destinations are disjoint, so add == set; OOB
+    columns (padding) drop."""
+    jax, jnp = _jx()
+    R, N = rows.shape[:2]
+    i = jnp.arange(N, dtype=jnp.int32)[None, :]
+    mask = i < valid_n[:, None]
+    cols = jnp.where(mask, base[:, None] + i, dst.shape[1])
+    vals = jnp.where(mask if rows.ndim == 2 else mask[..., None], rows, 0)
+    return dst.at[frame_idx[:, None], cols].add(vals.astype(dst.dtype),
+                                                mode="drop")
+
+
+def _scatter_flat_u8(dst, flat, n_real, src_start, dst_frame, dst_base):
+    """Scatter a flat concatenation of byte parts into frame rows:
+    part boundaries src_start (P,) ascending (first 0, padded parts at
+    n_real); per-part destination (dst_frame, dst_base)."""
+    jax, jnp = _jx()
+    R = flat.shape[0]
+    P = src_start.shape[0]
+    i = jnp.arange(R, dtype=jnp.int32)
+    marks = jnp.where((jnp.arange(P) >= 1) & (src_start < n_real),
+                      src_start, R)
+    part_of = jnp.cumsum(jnp.zeros(R, jnp.int32).at[marks].add(1, mode="drop"))
+    valid = i < n_real
+    cols = jnp.where(valid,
+                     jnp.take(dst_base, part_of) + i - jnp.take(src_start, part_of),
+                     dst.shape[1])
+    rows = jnp.take(dst_frame, part_of)
+    return dst.at[rows, cols].add(jnp.where(valid, flat, 0).astype(dst.dtype),
+                                  mode="drop")
+
+
+def _masked_sums(ll, ml, nsq):
+    """Per-block sums of the valid sequence prefix: (sum_ll, sum_ml)."""
+    jax, jnp = _jx()
+    N = ll.shape[1]
+    m = jnp.arange(N, dtype=jnp.int32)[None, :] < nsq[:, None]
+    return (jnp.sum(jnp.where(m, ll, 0), axis=1),
+            jnp.sum(jnp.where(m, ml, 0), axis=1))
+
+
+def _seg_prefix_validate(seg3, nseg):
+    """seg3 (F, SB, 3) = (ll, ml, off); returns seg_st, lit_st (F, SB)
+    int32 and per-frame bad-offset flags (match reaching before the
+    frame start)."""
+    jax, jnp = _jx()
+    ll = seg3[..., 0]
+    ml = seg3[..., 1]
+    off = seg3[..., 2]
+    seg_len = ll + ml
+    ends = jnp.cumsum(seg_len, axis=1)
+    seg_st = ends - seg_len
+    lit_ends = jnp.cumsum(ll, axis=1)
+    lit_st = lit_ends - ll
+    SB = ll.shape[1]
+    valid = jnp.arange(SB, dtype=jnp.int32)[None, :] < nseg[:, None]
+    bad = jnp.any(valid & (ml > 0) & (off > seg_st + ll), axis=1)
+    return seg_st, lit_st, bad
+
+
+def _pow2(n: int, lo: int = 1) -> int:
+    p = lo
+    while p < n:
+        p <<= 1
+    return p
