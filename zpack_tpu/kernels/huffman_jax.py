@@ -102,20 +102,16 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     w1 = ((lo4 >> jnp.uint32(1)) >> sh_r) | (hi4 << sh)
     w2 = (hi4 >> jnp.uint32(1)) >> sh_r
     acc = jnp.zeros(n_words, dtype=jnp.uint32)
-    # ONE windowed scatter-add instead of three element scatters: each
-    # quad writes its 3-word contribution as a contiguous (3,) window at
-    # widx (update_window_dims) — scatter cost on this TPU is dominated
-    # by per-INDEX serialization, so one window of 3 beats 3 scattered
-    # elements (round-5 attack on the 22-of-31 ms scatter wall, VERDICT
-    # r4 item 4).  Windows always fit: words_needed pads n_words by +2
-    # beyond the last start word, so no per-element drop is needed.
-    upd = jnp.stack([w0, w1, w2], axis=1)  # (Q, 3)
-    dn = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1,), inserted_window_dims=(),
-        scatter_dims_to_operand_dims=(0,))
-    acc = jax.lax.scatter_add(
-        acc, widx[:, None], upd, dn,
-        mode=jax.lax.GatherScatterMode.FILL_OR_DROP)
+    # (widx is monotone DESCENDING here; XLA's indices_are_sorted hint
+    # means ascending, so it cannot be claimed — measured worth ~11% on
+    # ascending indices, a possible future win via reversed layout.
+    # MEASURED AND REJECTED round 5: one windowed lax.scatter_add of
+    # (Q, 3) rows with update_window_dims — 135x SLOWER on the v5e
+    # (138.6 -> 1.0 MB/s); XLA lowers windowed scatters to a serial
+    # form here.  Element scatters below are the fast shape.)
+    acc = acc.at[widx].add(w0, mode="drop")
+    acc = acc.at[widx + 1].add(w1, mode="drop")
+    acc = acc.at[widx + 2].add(w2, mode="drop")
     # closing sentinel bit (the decoder's start-position marker)
     acc = acc.at[total_bits >> 5].add(
         jnp.uint32(1) << (total_bits.astype(jnp.uint32) & jnp.uint32(31)),
