@@ -49,15 +49,16 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     total_bits - inclusive_cumsum(lens)[i] (symbols after i occupy the low
     bits so the backward reader meets symbol 0 first).
 
-    Scatters are the TPU's scarce resource (~100M elem/s), so adjacent
-    symbols are first combined in two dense tree rounds into one <=44-bit
-    (quad) contribution of two u32 limbs: 3 scatter-adds per QUAD instead
-    of 2 per symbol — 2.67x fewer scatter elements (measured 26.7 -> ~70
-    MB/s on the v5e).  Bit ranges of distinct quads stay disjoint, so
-    scatter-ADD == scatter-OR and never carries.
+    Scatters are the TPU's scarce resource (~140 Melem/s, cost purely
+    per element), so adjacent symbols are first combined in THREE dense
+    tree rounds into one <=88-bit (oct) contribution of three u32 limbs:
+    4 scatter-adds per OCT instead of 2 per symbol — 4x fewer scatter
+    elements (26.7 -> ~70 MB/s at quad granularity in r4, -> measured
+    again at oct granularity in r5).  Bit ranges of distinct octs stay
+    disjoint, so scatter-ADD == scatter-OR and never carries.
     """
     L = syms.shape[0]
-    assert L % 4 == 0, "bucketed stream lengths are multiples of 4"
+    assert L % 8 == 0, "bucketed stream lengths are multiples of 8"
     idx_r = jnp.arange(L, dtype=jnp.int32)
     valid = idx_r < n
     # MXU one-hot lookup: per-stream take_along_axis-style gathers run
@@ -92,26 +93,48 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     lo4 = v23 | (v01 << s)
     hi4 = (v01 >> jnp.uint32(1)) >> (jnp.uint32(31) - s)  # s=0-safe >>32
     l4 = l01 + l23
-    csum4 = jnp.cumsum(l4)  # == csum[3::4] of the per-symbol cumsum
-    total_bits = csum4[-1]  # lens are 0 past n, so this is the stream total
-    off = (total_bits - csum4).astype(jnp.uint32)  # start bit of quad q
+    # tree round 3 — octs (round 5): two u32-limb quads merge into one
+    # <=88-bit three-limb value.  Scatter cost on the v5e is purely
+    # per-ELEMENT (~140 Melem/s; one scatter of Q costs 1/3 of three),
+    # so 4 scatter-adds per OCT beat 3 per quad: 0.5 vs 0.75 scattered
+    # elements per symbol.  Quad A (earlier symbols) occupies the bits
+    # ABOVE quad B; B's length can exceed 31, so the A shift is a
+    # two-step (word-offset k, bit-offset shB) multi-limb shift.
+    hiA, loA, lA = hi4[0::2], lo4[0::2], l4[0::2]
+    hiB, loB, lB = hi4[1::2], lo4[1::2], l4[1::2]
+    lBu = lB.astype(jnp.uint32)
+    shB = lBu & jnp.uint32(31)
+    kB = lBu >> jnp.uint32(5)  # 0 or 1 (lB <= 44)
+    shB_r = jnp.uint32(31) - shB
+    a0 = loA << shB
+    a1 = ((loA >> jnp.uint32(1)) >> shB_r) | (hiA << shB)
+    a2 = (hiA >> jnp.uint32(1)) >> shB_r
+    # kB == 1 shifts limbs up one word; the dropped a2 is provably zero
+    # there (hiA < 2^12 and shB <= 12 when lB >= 32)
+    z = jnp.uint32(0)
+    o0 = loB | jnp.where(kB == 0, a0, z)
+    o1 = hiB | jnp.where(kB == 0, a1, a0)
+    o2 = jnp.where(kB == 0, a2, a1)
+    l8 = lA + lB
+    csum8 = jnp.cumsum(l8)  # == csum[7::8] of the per-symbol cumsum
+    total_bits = csum8[-1]  # lens are 0 past n, so this is the stream total
+    off = (total_bits - csum8).astype(jnp.uint32)  # start bit of oct q
     widx = (off >> 5).astype(jnp.int32)
     sh = off & jnp.uint32(31)
     sh_r = jnp.uint32(31) - sh  # sh=0-safe complement for >>(32-sh)
-    w0 = lo4 << sh
-    w1 = ((lo4 >> jnp.uint32(1)) >> sh_r) | (hi4 << sh)
-    w2 = (hi4 >> jnp.uint32(1)) >> sh_r
+    w0 = o0 << sh
+    w1 = ((o0 >> jnp.uint32(1)) >> sh_r) | (o1 << sh)
+    w2 = ((o1 >> jnp.uint32(1)) >> sh_r) | (o2 << sh)
+    w3 = (o2 >> jnp.uint32(1)) >> sh_r
     acc = jnp.zeros(n_words, dtype=jnp.uint32)
-    # (widx is monotone DESCENDING here; XLA's indices_are_sorted hint
-    # means ascending, so it cannot be claimed — measured worth ~11% on
-    # ascending indices, a possible future win via reversed layout.
-    # MEASURED AND REJECTED round 5: one windowed lax.scatter_add of
-    # (Q, 3) rows with update_window_dims — 135x SLOWER on the v5e
-    # (138.6 -> 1.0 MB/s); XLA lowers windowed scatters to a serial
-    # form here.  Element scatters below are the fast shape.)
+    # (widx is monotone DESCENDING; the ascending indices_are_sorted hint
+    # measured no gain round 5.  A windowed (Q, 3) lax.scatter_add
+    # measured 135x SLOWER — XLA lowers windowed scatters to a serial
+    # form here.  Element scatters are the fast shape.)
     acc = acc.at[widx].add(w0, mode="drop")
     acc = acc.at[widx + 1].add(w1, mode="drop")
     acc = acc.at[widx + 2].add(w2, mode="drop")
+    acc = acc.at[widx + 3].add(w3, mode="drop")
     # closing sentinel bit (the decoder's start-position marker)
     acc = acc.at[total_bits >> 5].add(
         jnp.uint32(1) << (total_bits.astype(jnp.uint32) & jnp.uint32(31)),
@@ -134,8 +157,9 @@ def encode_streams(syms, lens, codes_tab, lens_tab, *, n_words: int):
 
 
 def words_needed(max_len: int) -> int:
-    """u32 words that always hold max_len symbols of <=11 bits + sentinel."""
-    return (max_len * MAX_BITS + 1) // 32 + 2
+    """u32 words that always hold max_len symbols of <=11 bits + sentinel
+    (+3 slack: the oct scatter writes up to widx + 3)."""
+    return (max_len * MAX_BITS + 1) // 32 + 3
 
 
 class DeviceHuffmanEncoder:
