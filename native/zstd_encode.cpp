@@ -973,10 +973,57 @@ static void find_sequences_dfast(const uint8_t* base, size_t start, size_t end,
     // common path runs one match_len instead of up to three best-of
     // candidates.  Acceleration = (literal run >> 8) + 1, the smooth
     // doubleFast step that makes incompressible runs cheap.
+    // Software pipeline over probe positions (libzstd doubleFast's
+    // ip0/ip1 shape, VERDICT r4 item 7): the successor position's hashes
+    // are computed and its two table slots LOADED right after the current
+    // position's table writes, so those random loads are in flight while
+    // the current position runs its rep probe and match_len calls.
+    // Decisions are untouched (loads are issued after the writes they
+    // must observe), so every ratio pin holds by construction; the
+    // pipeline restarts at matches and the +1-skip paths.
+    bool pipe = false;
+    uint32_t p_h8 = 0, p_h4 = 0;
+    int32_t p_c8 = -1, p_c4 = -1;
     while (pos < mf) {
         size_t best_len = 0, best_off = 0;
         bool best_is_rep = false;
         uint32_t ll_now = (uint32_t)(pos - lit_start);
+        bool have8 = pos + 8 <= end;
+        uint32_t h8 = 0, h;
+        int32_t c8 = -1, cand;
+        if (pipe) {
+            h8 = p_h8; h = p_h4; c8 = p_c8; cand = p_c4;
+        } else {
+            if (have8) {
+                h8 = zhash8(rd64e(base + pos), h8b);
+                c8 = h8t[h8];
+            }
+            // 5-byte short hash (libzstd's L3 minMatch=5): 4-byte
+            // candidates on text are mostly "the "-class false positives
+            // whose match_len calls dominate find time; 5-byte keys cut
+            // them ~3x
+            h = have8 ? zhash5(rd64e(base + pos), hash_bits)
+                      : zhash(rd32e(base + pos), hash_bits);
+            cand = h4t[h];
+        }
+        if (have8) h8t[h8] = (int32_t)pos;
+        h4t[h] = (int32_t)pos;
+        // issue the successor's loads NOW (after this position's writes)
+        size_t npos = pos + (ll_now >> 8) + 1;
+        pipe = false;
+        uint32_t nh8 = 0, nh4 = 0;
+        int32_t nc8 = -1, nc4 = -1;
+        bool np_ok = npos < mf;
+        if (np_ok) {
+            bool nhave8 = npos + 8 <= end;
+            if (nhave8) {
+                nh8 = zhash8(rd64e(base + npos), h8b);
+                nc8 = h8t[nh8];
+            }
+            nh4 = nhave8 ? zhash5(rd64e(base + npos), hash_bits)
+                         : zhash(rd32e(base + npos), hash_bits);
+            nc4 = h4t[nh4];
+        }
         {   // rep0 probe (the addressable first repeat for the current ll)
             uint64_t off = ll_now ? ctx.rep[0] : ctx.rep[1];
             if (off && off <= pos &&
@@ -985,11 +1032,7 @@ static void find_sequences_dfast(const uint8_t* base, size_t start, size_t end,
                 if (l >= 4) { best_len = l; best_off = off; best_is_rep = true; }
             }
         }
-        bool have8 = pos + 8 <= end;
         if (have8) {
-            uint32_t h8 = zhash8(rd64e(base + pos), h8b);
-            int32_t c8 = h8t[h8];
-            h8t[h8] = (int32_t)pos;
             if (!best_is_rep && c8 >= 0 && (size_t)c8 < pos &&
                 pos - (size_t)c8 <= max_offset &&
                 rd64e(base + c8) == rd64e(base + pos)) {
@@ -997,13 +1040,6 @@ static void find_sequences_dfast(const uint8_t* base, size_t start, size_t end,
                 best_off = pos - c8;
             }
         }
-        // 5-byte short hash (libzstd's L3 minMatch=5): 4-byte candidates
-        // on text are mostly "the "-class false positives whose match_len
-        // calls dominate find time; 5-byte keys cut them ~3x
-        uint32_t h = have8 ? zhash5(rd64e(base + pos), hash_bits)
-                           : zhash(rd32e(base + pos), hash_bits);
-        int32_t cand = h4t[h];
-        h4t[h] = (int32_t)pos;
         if (best_len < 8 && cand >= 0 && (size_t)cand < pos &&
             pos - (size_t)cand <= max_offset &&
             rd32e(base + cand) == rd32e(base + pos)) {
@@ -1057,7 +1093,11 @@ static void find_sequences_dfast(const uint8_t* base, size_t start, size_t end,
             pos = mend;
             lit_start = pos;
         } else {
-            pos += ((pos - lit_start) >> 8) + 1;
+            pos = npos;
+            if (np_ok) {
+                pipe = true;
+                p_h8 = nh8; p_h4 = nh4; p_c8 = nc8; p_c4 = nc4;
+            }
         }
     }
     lit_tail = end - lit_start;
