@@ -1386,14 +1386,19 @@ struct OptState {
         bt_hash.assign(1u << 22, -1);
         bt.assign(2 * n_total + 2, -1);
         h3.assign(1u << 16, -1);
-        ldm.assign(2u << 21, 0);
+        // LDM buckets scale with content (~4 positions per bucket at the
+        // stride-4 insert rate): small archive blocks stop paying a fixed
+        // 32 MiB table, 16 MiB+ inputs get less eviction churn
+        size_t lb = 16;
+        while ((4ull << lb) < n_total && lb < 23) lb++;
+        ldm.assign(2ull << lb, 0);
     }
 };
 
 // 2-way bucket insert: slot 0 = newest; displaced entries >=1 MiB older
 // than their replacement are promoted to slot 1 (the long-lived anchor)
 static inline void ldm_insert(std::vector<uint64_t>& ldm, uint64_t h, size_t pos) {
-    size_t b = ((uint32_t)h & ((1u << 21) - 1)) * 2;
+    size_t b = ((uint32_t)h & (ldm.size() / 2 - 1)) * 2;
     uint64_t old0 = ldm[b];
     ldm[b] = ((h >> 32) << 32) | (uint64_t)(pos + 1);
     if (old0 && (size_t)(uint32_t)old0 - 1 + (1u << 20) <= pos) ldm[b + 1] = old0;
@@ -1543,9 +1548,9 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
             // far hits with a verified long match
             if (pos + 32 <= n_total) {
                 uint64_t h = ldm_hash32(base + pos);
-                size_t b = ((uint32_t)h & ((1u << 21) - 1)) * 2;
+                size_t b = ((uint32_t)h & (ost.ldm.size() / 2 - 1)) * 2;
                 uint64_t slots[2] = {ost.ldm[b], ost.ldm[b + 1]};
-                if ((pos & 7) == 0) ldm_insert(ost.ldm, h, pos);
+                if ((pos & 3) == 0) ldm_insert(ost.ldm, h, pos);
                 for (int sI = 0; sI < 2 && i < mf; sI++) {
                     uint64_t slot = slots[sI];
                     if (!slot || (slot >> 32) != (h >> 32)) continue;
@@ -1570,11 +1575,11 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
         if (!reachable) continue;
         // literal step (reps inherited, pending run grows)
         {
-            // +1 bit flat literal bias: the entropy estimate underprices
-            // real literal cost (huffman quantization + section overheads);
-            // measured best at +8/8ths across source/text/records/mixed
-            // (source-code L19 1.0082 -> 1.0028 vs libzstd)
-            uint32_t p = cur.price + P.lit8[base[pos]] + 8;
+            // +9/8ths bit flat literal bias: the entropy estimate
+            // underprices real literal cost (huffman quantization +
+            // section overheads); r5 sweep: 9 edges 8/10/11/12 on source
+            // (source-code L19 1.0082 -> 1.0025 vs libzstd with 16 iters)
+            uint32_t p = cur.price + P.lit8[base[pos]] + 9;
             if (p < cells[i + 1].price)
                 cells[i + 1] = OCell{p, 0, 0, cur.rep0, cur.rep1, cur.rep2,
                                      cur.litlen + 1};
@@ -1862,9 +1867,15 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             memcpy(hdr + hlen, &v, 4); hlen += 4;
         }
     } else {
+        // Content-adaptive window at the top levels (the libzstd --long
+        // idea folded into our L19 parameter set): multi-MB-distance
+        // repeats are reachable up to a 32 MiB window while the stream
+        // stays decodable by every standard decoder (wlog <= 27 needs no
+        // opt-in).  Measured: longrange-16MiB 1.0046x -> 0.941x libzstd-19.
+        int wcap = level > 12 ? 25 : 23;
         int wlog = level <= 3 ? 21 : level <= 12 ? 22 : 23;
         while ((1ull << wlog) > n && wlog > 10) wlog--;
-        if ((1ull << wlog) < n && wlog < 23) wlog++;
+        while ((1ull << wlog) < n && wlog < wcap) wlog++;
         hdr[hlen++] = 0x80;  // fcs 4 bytes
         hdr[hlen++] = (uint8_t)((wlog - 10) << 3);
         uint32_t v = (uint32_t)n;
@@ -1886,7 +1897,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
     int h8_bits = 17;
     while (h8_bits > 10 && (1u << h8_bits) > 2 * n) h8_bits--;
     bool lazy = level > 3;
-    size_t max_offset = level <= 3 ? (1u << 21) - 1 : level <= 12 ? (1u << 22) - 1 : (1u << 23) - 1;
+    size_t max_offset = level <= 3 ? (1u << 21) - 1 : level <= 12 ? (1u << 22) - 1 : (1ull << 25) - 1;
     if (max_offset > n) max_offset = n;
     // chain ring is 64K deep; offsets beyond 64K only via htab head
     EncCtx ctx;
@@ -2043,7 +2054,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             std::vector<uint8_t> body3;
             bool ok3 = false;
             size_t opt1_size = 0;
-            for (int iter = 0; iter < 8; iter++) {
+            for (int iter = 0; iter < 16; iter++) {
                 restore();
                 std::vector<Seq> seqs4;
                 size_t lit_tail4 = 0;

@@ -211,3 +211,23 @@ def test_encode_l19_real_elf_and_records_pinned():
         ours = len(native.zstd_compress(blob, 19))
         ref = len(zstandard.ZstdCompressor(level=19).compress(blob))
         assert ours <= ref * cap, f"L19 {shape}: {ours} vs {ref} ({ours/ref:.4f})"
+
+
+def test_l19_longrange_adaptive_window_beats_libzstd():
+    """Round 5: level > 12 uses a content-adaptive window (up to 32 MiB,
+    plain zstd every decoder accepts) — multi-MB-distance repeats that
+    libzstd-19's fixed 8 MiB window cannot reach compress ~6% smaller
+    (16 MiB bench corpus: 1.0046x -> 0.941x libzstd-19).  Pinned on a
+    12 MiB slice with ~10 MiB-distance repeats; also round-trips through
+    libzstd (window acceptance interop)."""
+    from bench import build_longrange
+    from zpack_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native backend unavailable")
+    lr = build_longrange(12 << 20)
+    ours = native.zstd_compress(lr, 19)
+    lib = len(zstandard.ZstdCompressor(level=19).compress(lr))
+    assert zstandard.ZstdDecompressor().decompress(
+        ours, max_output_size=len(lr)) == lr
+    assert len(ours) <= lib * 0.99, f"longrange: {len(ours)} vs {lib}"
