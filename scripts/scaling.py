@@ -210,11 +210,15 @@ def measure(bytes_per_dev: int = 1 << 20, mesh_ns=(1, 2, 4, 8),
         r["device_core_limited_efficiency"] = round(
             d1 * r["n"] / (r["device_seconds"] * ideal), 3)
 
-    # two interleaved rounds per arm, min-merged: the arms run minutes
+    # three interleaved rounds per arm, min-merged: the arms run minutes
     # apart and this box's background load drifts enough to fake
-    # superlinear scaling (a 1.14 "work efficiency" was captured once)
+    # superlinear scaling (a 1.14 "work efficiency" was captured once).
+    # Round-5 variance study (VERDICT r4 item 9): five independent
+    # single-round measurements spanned 0.81-0.97 work efficiency
+    # (median 0.93) — the r3 0.976 vs r4 0.888 "regression" was this
+    # noise, not a code change; min-merging more rounds tightens it.
     best: dict[int, dict] = {}
-    for _ in range(2):
+    for _ in range(3):
         for w in worker_ns:
             r = _run_child(["--child-elastic", str(w), str(elastic_bytes)])
             b = best.get(w)
