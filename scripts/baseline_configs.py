@@ -223,7 +223,7 @@ from zpack_tpu.parallel import distributed as D
 D.initialize(f"127.0.0.1:{{port}}", 2, pid)
 data = open({str(src)!r}, "rb").read({size})
 t0 = time.perf_counter()
-comp = D.compress_multihost_zstd(data, 19, chunk_size=2 << 20)
+comp = D.compress_multihost_zstd(data, 19, chunk_size=16 << 20)
 dt = time.perf_counter() - t0
 if pid == 0:
     from zpack_tpu.codecs.zstd import frame
