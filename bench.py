@@ -238,7 +238,9 @@ def main() -> int:
 
     from zpack_tpu import constants as C
 
-    data = load_corpus(int(os.environ.get("ZPACK_BENCH_BYTES", 8 << 20)))
+    # 64 MiB default (VERDICT r4 weak #6: headline at real-corpus scale;
+    # ZPACK_BENCH_BYTES shrinks it for quick runs)
+    data = load_corpus(int(os.environ.get("ZPACK_BENCH_BYTES", 64 << 20)))
     size_mb = len(data) / 1e6
     _log(f"corpus {len(data)} bytes")
 

@@ -437,7 +437,12 @@ def decompress_zstd_device(data: bytes, max_out: int | None = None,
                 tail = lt - int(sum_ll[slot])
                 if tail < 0:
                     raise DecompressError("literal run overruns literals")
-                total += lt + int(sum_ml[slot])
+                produced = lt + int(sum_ml[slot])
+                if produced > zframe.MAX_BLOCK_SIZE:
+                    # RFC 8878: a block regenerates at most 128 KiB; a
+                    # corrupt sequence section must not drive allocation
+                    raise DecompressError("block regenerated size too large")
+                total += produced
                 nseg += int(nsq[slot]) + (1 if tail else 0)
             metas.append((lit_spec, slot, lt))
             lits_total += lt
