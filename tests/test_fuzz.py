@@ -111,3 +111,49 @@ def test_corruption_never_silent(seed):
         finally:
             buf[pos] = old
         assert out is None or out == data, f"silent corruption at byte {pos}"
+
+
+def test_device_zstd_decode_differential_fuzz():
+    """Differential fuzz of the fully device-resident zstd decode
+    (round 5): for mutated frames, decompress_zstd_device must either
+    raise DecompressError like the host decoder or produce identical
+    bytes — never diverge silently (role: the corruption handling inside
+    ZSTD_decompressDCtx, lib/zpack_read.c:380)."""
+    import numpy as np
+    import zstandard
+
+    from zpack_tpu.codecs.zstd import frame as zframe
+    from zpack_tpu.errors import DecompressError
+    from zpack_tpu.parallel.extract import decompress_zstd_device
+
+    rng = np.random.default_rng(123)
+    words = [rng.integers(65, 90, rng.integers(3, 10)).astype(np.uint8).tobytes()
+             for _ in range(100)]
+    blob = b" ".join(words[rng.integers(0, 100)] for _ in range(20000))[:150000]
+    base = zstandard.ZstdCompressor(level=3).compress(blob)
+    agree = 0
+    for trial in range(40):
+        comp = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            comp[int(rng.integers(12, len(comp)))] ^= int(rng.integers(1, 256))
+        comp = bytes(comp)
+        try:
+            host = zframe.decompress(comp, len(blob))
+            host_err = None
+        except Exception as e:
+            host, host_err = None, e
+        try:
+            dev = decompress_zstd_device(comp, len(blob))
+            dev_err = None
+        except DecompressError as e:
+            dev, dev_err = None, e
+        if host_err is None and dev_err is None:
+            assert dev == host, f"trial {trial}: silent divergence"
+            agree += 1
+        elif host_err is not None:
+            # host rejected; device must reject too (a device ACCEPT of a
+            # frame the host rejects would be a real bug)
+            assert dev_err is not None, (
+                f"trial {trial}: device accepted a frame the host rejects")
+    # sanity: the clean frame itself round-trips on both
+    assert decompress_zstd_device(base, len(blob)) == blob
