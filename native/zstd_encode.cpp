@@ -2057,7 +2057,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             std::vector<uint8_t> body3;
             bool ok3 = false;
             size_t opt1_size = 0;
-            for (int iter = 0; iter < 16; iter++) {
+            for (int iter = 0; iter < 8; iter++) {
                 restore();
                 std::vector<Seq> seqs4;
                 size_t lit_tail4 = 0;
