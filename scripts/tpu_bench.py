@@ -280,12 +280,29 @@ def main(only: set | None = None) -> int:
         nblocks = -(-ns_stripes // XP._SPB)
         nstripes_a = np.zeros((8, XP.LANES), np.int32)
         nstripes_a[0, :] = ns_stripes
-        data_a = rng.integers(0, 2**32, (nblocks, 256, XP.LANES), dtype=np.uint64)
-        data_d = jnp.asarray(data_a.astype(np.uint32))
         nstripes_d = jnp.asarray(nstripes_a)
         interp = jax.default_backend() != "tpu"
-        emit("xxh3", XP.LANES * SLEN / best_call(
-            lambda: XP._run(nstripes_d, *XP._CONSTS, data_d, nblocks, interp)) / 1e6)
+        # Chained dispatches: identical repeat dispatches measured an
+        # impossible 27 TB/s and even distinct operands 1 TB/s — pallas
+        # calls appear to overlap/short-circuit under the axon runtime.
+        # A zero-cost data dependency (prev hash folded into the
+        # nstripes operand as +0) forces true serialization.
+        datas = [jnp.asarray(rng.integers(0, 2**32, (nblocks, 256, XP.LANES),
+                                          dtype=np.uint64).astype(np.uint32))
+                 for _ in range(3)]
+        box = [0, None]
+
+        def run_xxh3():
+            box[0] += 1
+            ns = nstripes_d
+            if box[1] is not None:
+                prev = jax.tree_util.tree_leaves(box[1])[0]
+                ns = ns + (prev.reshape(-1)[0] * 0).astype(ns.dtype)
+            out = XP._run(ns, *XP._CONSTS, datas[box[0] % 3], nblocks, interp)
+            box[1] = out
+            return out
+
+        emit("xxh3", XP.LANES * SLEN / best_call(run_xxh3) / 1e6)
 
     # --- fse: batched sequence-section encode (Mseq/s; 256 blocks x 1024)
     from zpack_tpu.codecs.zstd import seq as zseq
