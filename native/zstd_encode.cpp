@@ -1891,13 +1891,16 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
 
     // r5: 2^16 short-hash entries caused heavy eviction on match-dense
     // text (enwik9-like measured 1.035x libzstd-3; 18/19-bit tables
-    // reach 0.974x and improve every text shape 0.3-1.2%)
-    int hash_bits = level <= 3 ? 18 : 17;
+    // reach 0.974x and improve every text shape 0.3-1.2%).  SIZE-adaptive:
+    // on <=4 MiB calls (the 2 MiB chunk-parallel archive path) the big
+    // tables cost 16% speed for only -0.08% size vs 16/17 — small inputs
+    // can't fill them
+    int hash_bits = level <= 3 ? (n > (4u << 20) ? 18 : 16) : 17;
     int depth = level <= 2 ? 1 : level <= 3 ? 4 : level <= 12 ? 16 : 128;
     // shrink the tables for small inputs: fixed-size table memsets would
     // dominate sub-64KB calls (10k-small-file archives, BASELINE config 4)
     while (hash_bits > 10 && (1u << hash_bits) > 2 * n) hash_bits--;
-    int h8_bits = 19;
+    int h8_bits = n > (4u << 20) ? 19 : 17;
     while (h8_bits > 10 && (1u << h8_bits) > 2 * n) h8_bits--;
     bool lazy = level > 3;
     size_t max_offset = level <= 3 ? (1u << 21) - 1 : level <= 12 ? (1u << 22) - 1 : (1ull << 25) - 1;

@@ -279,9 +279,15 @@ class Writer:
         # match window: at Silesia scale 2 MiB zstd chunks measured 5.3%
         # LARGER than libzstd-3's single stream while 8 MiB reaches
         # 0.9972x (round-5 sweep).  LZ4's window is only 64 KiB, so its
-        # resets are ~free and 2 MiB keeps maximum parallelism; deep
-        # levels get 16 MiB to preserve the adaptive 32 MiB-window gains.
+        # resets are ~free and 2 MiB keeps maximum parallelism.  zstd
+        # chunks are SIZE-adaptive: entries <= 16 MiB keep 2 MiB chunks
+        # (an 8 MiB floor left a whole 8 MiB entry on one worker — encode
+        # measured 2.6x slower; window loss at that size is ~0.6%), larger
+        # entries take 8 MiB (16 MiB at deep levels for the adaptive
+        # 32 MiB window).
         if method == int(C.CompressionMethod.LZ4):
+            chunk = 2 << 20
+        elif n <= (16 << 20):
             chunk = 2 << 20
         else:
             chunk = (8 << 20) if level <= 12 else (16 << 20)
