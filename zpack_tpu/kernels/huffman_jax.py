@@ -37,6 +37,49 @@ MAX_BITS = 11  # zstd huffman code-length limit (RFC 8878 §4.2.1)
 # ---------------------------------------------------------------------------
 
 
+def _shift_limbs(limbs, sh):
+    """Shift a little-endian u32 limb vector left by sh (0..31) bits.
+
+    Returns len(limbs)+1 limbs (the shift spills one word).  sh == 0 is
+    safe: the complement shift is split as (x >> 1) >> (31 - sh).
+    """
+    sh_r = jnp.uint32(31) - sh
+    na = len(limbs)
+    out = [limbs[0] << sh]
+    for t in range(1, na):
+        out.append((limbs[t] << sh) | ((limbs[t - 1] >> jnp.uint32(1)) >> sh_r))
+    out.append((limbs[na - 1] >> jnp.uint32(1)) >> sh_r)
+    return out
+
+
+def _combine_round(limbs, lens, n_out: int, kmax: int):
+    """One tree-combine round: value A (even groups — earlier symbols,
+    higher bits) ORs above value B (odd groups) shifted by B's bit length.
+
+    limbs: list of (Q,) u32 vectors (little-endian), lens: (Q,) int32.
+    Returns (out_limbs: n_out vectors over Q//2 groups, lens: (Q//2,)).
+    Bit ranges of distinct groups stay disjoint throughout, so OR never
+    carries and the final scatter-ADD == scatter-OR.
+    """
+    A = [v[0::2] for v in limbs]
+    B = [v[1::2] for v in limbs]
+    lA = lens[0::2]
+    lB = lens[1::2]
+    lBu = lB.astype(jnp.uint32)
+    base = _shift_limbs(A, lBu & jnp.uint32(31))  # len(limbs)+1 entries
+    k = (lBu >> jnp.uint32(5)).astype(jnp.int32)  # word offset 0..kmax
+    z = jnp.zeros_like(base[0])
+    out = []
+    for t in range(n_out):
+        acc = B[t] if t < len(B) else z
+        for kk in range(kmax + 1):
+            j = t - kk
+            if 0 <= j < len(base):
+                acc = acc | jnp.where(k == kk, base[j], z)
+        out.append(acc)
+    return out, lA + lB
+
+
 def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     """One backward-read huffman stream from a padded symbol row.
 
@@ -50,36 +93,46 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     bits so the backward reader meets symbol 0 first).
 
     Scatters are the TPU's scarce resource (~140 Melem/s, cost purely
-    per element), so adjacent symbols are first combined in THREE dense
-    tree rounds into one <=88-bit (oct) contribution of three u32 limbs:
-    4 scatter-adds per OCT instead of 2 per symbol — 4x fewer scatter
-    elements (26.7 -> ~70 MB/s at quad granularity in r4, -> measured
-    again at oct granularity in r5).  Bit ranges of distinct octs stay
-    disjoint, so scatter-ADD == scatter-OR and never carries.
+    per element), so adjacent symbols are first combined in FIVE dense
+    tree rounds into one <=352-bit (32-symbol) contribution of eleven
+    u32 limbs: 12 scatter-adds per 32 symbols (0.375 elements/symbol vs
+    0.5 at oct granularity; phase split round 5: scatter was 16 of the
+    20.4 ms at oct).  The tree rounds themselves are nearly free
+    (~0.06 ms of 20.4 at 256x16K) and the generic multi-limb combine
+    (`_combine_round`) is plain VPU select/shift work.  Bit ranges of
+    distinct groups stay disjoint, so scatter-ADD == scatter-OR.
     """
     L = syms.shape[0]
-    assert L % 8 == 0, "bucketed stream lengths are multiples of 8"
+    assert L % 32 == 0, "bucketed stream lengths are multiples of 32"
     idx_r = jnp.arange(L, dtype=jnp.int32)
     valid = idx_r < n
     # MXU one-hot lookup: per-stream take_along_axis-style gathers run
     # ~100-175 Melem/s on the v5e and were 76% of this kernel's time
-    # (83 of 109 ms at 256x16K); a one-hot (L, 256) f32 matmul against
-    # the two tables is sub-millisecond and exact (values < 2^24).
-    # Chunked along L: one (C, 256) one-hot serves BOTH tables (stacked
-    # into (256, 2)), and live HBM stays O(S*C*256) instead of O(S*L*256)
-    # — the unchunked form is multiple GB at the 65536 bucket if XLA
-    # does not fuse the one-hot into the dot.
-    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-    tab2 = jnp.stack(
-        [lens_tab.astype(jnp.float32), codes_tab.astype(jnp.float32)], axis=1
-    )  # (256, 2)
-    C = min(L, 4096)
-    lut = jax.lax.map(
-        lambda chunk: mm(jax.nn.one_hot(chunk, 256, dtype=jnp.float32), tab2),
-        syms.astype(jnp.int32).reshape(L // C, C),
-    ).reshape(L, 2)
-    lens = jnp.where(valid, lut[:, 0].astype(jnp.int32), 0)
-    vals = jnp.where(valid, lut[:, 1].astype(jnp.uint32), 0)
+    # (83 of 109 ms at 256x16K); a one-hot matmul against the tables is
+    # exact and fast.  int8 one-hot x int8 table -> int32 (the MXU's
+    # native int8 path) halves the f32 version's time again (4.3 ->
+    # 2.3 ms at 256x16K): the one-hot materialization is the HBM cost,
+    # and int8 is 4x smaller.  Codes (<= 11 bits) split into two base-128
+    # limbs so every table entry fits int8.  Chunked along L so live HBM
+    # stays O(S*C*256) at the 65536 bucket (advisor round-4 finding).
+    tab3 = jnp.stack(
+        [lens_tab, codes_tab & 0x7F, codes_tab >> 7], axis=1
+    ).astype(jnp.int8)  # (256, 3)
+    C = min(L, 16384)
+    sym_chunks = syms.astype(jnp.int32).reshape(L // C, C)
+    # unrolled python loop: lax.map's per-chunk dispatch measured slower
+    # than straight-line chunks (3.1 vs 2.3 ms at 256x16K)
+    lut = jnp.concatenate([
+        jax.lax.dot_general(
+            jax.nn.one_hot(sym_chunks[i], 256, dtype=jnp.int8), tab3,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        for i in range(L // C)
+    ]) if L > C else jax.lax.dot_general(
+        jax.nn.one_hot(sym_chunks[0], 256, dtype=jnp.int8), tab3,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    lens = jnp.where(valid, lut[:, 0], 0)
+    vals = jnp.where(valid, (lut[:, 1] | (lut[:, 2] << 7)).astype(jnp.uint32),
+                     jnp.uint32(0))
     # tree round 1 — pairs: symbol 2i occupies bits ABOVE symbol 2i+1
     # (backward stream: later symbols live at lower bit offsets)
     l0, l1, l2, l3 = lens[0::4], lens[1::4], lens[2::4], lens[3::4]
@@ -93,48 +146,25 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     lo4 = v23 | (v01 << s)
     hi4 = (v01 >> jnp.uint32(1)) >> (jnp.uint32(31) - s)  # s=0-safe >>32
     l4 = l01 + l23
-    # tree round 3 — octs (round 5): two u32-limb quads merge into one
-    # <=88-bit three-limb value.  Scatter cost on the v5e is purely
-    # per-ELEMENT (~140 Melem/s; one scatter of Q costs 1/3 of three),
-    # so 4 scatter-adds per OCT beat 3 per quad: 0.5 vs 0.75 scattered
-    # elements per symbol.  Quad A (earlier symbols) occupies the bits
-    # ABOVE quad B; B's length can exceed 31, so the A shift is a
-    # two-step (word-offset k, bit-offset shB) multi-limb shift.
-    hiA, loA, lA = hi4[0::2], lo4[0::2], l4[0::2]
-    hiB, loB, lB = hi4[1::2], lo4[1::2], l4[1::2]
-    lBu = lB.astype(jnp.uint32)
-    shB = lBu & jnp.uint32(31)
-    kB = lBu >> jnp.uint32(5)  # 0 or 1 (lB <= 44)
-    shB_r = jnp.uint32(31) - shB
-    a0 = loA << shB
-    a1 = ((loA >> jnp.uint32(1)) >> shB_r) | (hiA << shB)
-    a2 = (hiA >> jnp.uint32(1)) >> shB_r
-    # kB == 1 shifts limbs up one word; the dropped a2 is provably zero
-    # there (hiA < 2^12 and shB <= 12 when lB >= 32)
-    z = jnp.uint32(0)
-    o0 = loB | jnp.where(kB == 0, a0, z)
-    o1 = hiB | jnp.where(kB == 0, a1, a0)
-    o2 = jnp.where(kB == 0, a2, a1)
-    l8 = lA + lB
-    csum8 = jnp.cumsum(l8)  # == csum[7::8] of the per-symbol cumsum
-    total_bits = csum8[-1]  # lens are 0 past n, so this is the stream total
-    off = (total_bits - csum8).astype(jnp.uint32)  # start bit of oct q
+    # tree rounds 3-5 — generic multi-limb combines up to 32-symbol
+    # groups: octs (<=88 bits, 3 limbs), 16s (<=176, 6), 32s (<=352, 11)
+    limbs, glens = _combine_round([lo4, hi4], l4, n_out=3, kmax=1)
+    limbs, glens = _combine_round(limbs, glens, n_out=6, kmax=2)
+    limbs, glens = _combine_round(limbs, glens, n_out=11, kmax=5)
+    csum = jnp.cumsum(glens)  # == csum[31::32] of the per-symbol cumsum
+    total_bits = csum[-1]  # lens are 0 past n, so this is the stream total
+    off = (total_bits - csum).astype(jnp.uint32)  # start bit of group q
     widx = (off >> 5).astype(jnp.int32)
-    sh = off & jnp.uint32(31)
-    sh_r = jnp.uint32(31) - sh  # sh=0-safe complement for >>(32-sh)
-    w0 = o0 << sh
-    w1 = ((o0 >> jnp.uint32(1)) >> sh_r) | (o1 << sh)
-    w2 = ((o1 >> jnp.uint32(1)) >> sh_r) | (o2 << sh)
-    w3 = (o2 >> jnp.uint32(1)) >> sh_r
+    words = _shift_limbs(limbs, off & jnp.uint32(31))  # 12 aligned words
     acc = jnp.zeros(n_words, dtype=jnp.uint32)
     # (widx is monotone DESCENDING; the ascending indices_are_sorted hint
-    # measured no gain round 5.  A windowed (Q, 3) lax.scatter_add
+    # measured no gain round 5.  A windowed (Q, 12) lax.scatter_add
     # measured 135x SLOWER — XLA lowers windowed scatters to a serial
-    # form here.  Element scatters are the fast shape.)
-    acc = acc.at[widx].add(w0, mode="drop")
-    acc = acc.at[widx + 1].add(w1, mode="drop")
-    acc = acc.at[widx + 2].add(w2, mode="drop")
-    acc = acc.at[widx + 3].add(w3, mode="drop")
+    # form here.  Element scatters are the fast shape.  Limbs past a
+    # group's true bit length are zero, so out-of-range indices carry
+    # nothing and mode="drop" is safe.)
+    for t, w in enumerate(words):
+        acc = acc.at[widx + t].add(w, mode="drop")
     # closing sentinel bit (the decoder's start-position marker)
     acc = acc.at[total_bits >> 5].add(
         jnp.uint32(1) << (total_bits.astype(jnp.uint32) & jnp.uint32(31)),
@@ -158,7 +188,8 @@ def encode_streams(syms, lens, codes_tab, lens_tab, *, n_words: int):
 
 def words_needed(max_len: int) -> int:
     """u32 words that always hold max_len symbols of <=11 bits + sentinel
-    (+3 slack: the oct scatter writes up to widx + 3)."""
+    (+3 slack; group limbs past the payload are zero and scatter with
+    mode="drop", so the 32-symbol groups' widx + 11 reach needs no room)."""
     return (max_len * MAX_BITS + 1) // 32 + 3
 
 
