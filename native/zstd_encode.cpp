@@ -614,16 +614,32 @@ static size_t huf_encode_stream(const uint8_t* d, size_t n, const HufEnc& t,
 
 struct Seq { uint32_t ll, ml, ov; };
 
-// Per-frame literal-table state: a block may reuse the previous Huffman
-// table ("treeless", literals type 3) when it covers the block's symbols
-// and re-describing a fresh tree wouldn't pay (RFC 8878 §3.1.1.3.1.4).
-struct LitState {
+// Previous sequence-table state for FSE Repeat_Mode (RFC 8878
+// §3.1.1.3.2.1.1): wire mode 3 reuses the previous sequence-bearing
+// block's table with ZERO description bytes.  kind mirrors what the
+// decoder's "previous table" is after each mode: 0 none (frame start),
+// 1 predefined, 2 RLE, 3 custom.
+struct SeqPrev {
+    int kind = 0;
+    int rle_sym = -1;
+    FseEnc enc;             // valid when kind == 3
+    std::vector<int> norm;  // its normalized counts (repeat pricing)
+    int al = 0;
+};
+
+// Per-frame entropy-table state threaded through the block loop (and
+// backed up / restored by the L19 strategy tournament + splitter): a
+// block may reuse the previous Huffman table ("treeless", literals
+// type 3, RFC 8878 §3.1.1.3.1.4) and/or the previous FSE sequence
+// tables (Repeat_Mode) when re-describing fresh tables wouldn't pay.
+struct EntState {
     HufEnc prev;
     bool valid = false;
+    SeqPrev ll, of, ml;
 };
 
 static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>& out,
-                            LitState& ls) {
+                            EntState& ls) {
     out.clear();
     if (rs == 0) { out.push_back(0); return; }
     // RLE literals
@@ -777,43 +793,67 @@ static void encode_literals(const uint8_t* lits, size_t rs, std::vector<uint8_t>
     out.insert(out.end(), lits, lits + rs);
 }
 
-// pick sequence-table mode: 0 predefined / 1 RLE / 2 custom; fills desc
+// pick sequence-table mode: 0 predefined / 1 RLE / 2 custom / 3 repeat;
+// fills desc and updates prev to what the decoder's "previous table"
+// becomes after this block (so a later block can price Repeat_Mode).
 template <typename CodeFn>
 static int pick_mode(const std::vector<Seq>& seqs, CodeFn code_of,
                      const int* def_dist, int def_n, int def_al,
                      int max_code, int max_al,
-                     FseEnc& custom, std::vector<uint8_t>& desc, int& rle_sym) {
+                     FseEnc& custom, std::vector<uint8_t>& desc, int& rle_sym,
+                     SeqPrev& prev) {
     uint32_t hist[64] = {0};
     for (const Seq& s : seqs) hist[code_of(s)]++;
     int nz = 0, last = 0;
     for (int c = 0; c <= max_code; c++) if (hist[c]) { nz++; last = c; }
-    if (nz == 1) { rle_sym = last; desc.assign(1, (uint8_t)last); return 1; }
+    if (nz == 1) {
+        // RLE (1 desc byte) — unless the previous table IS this RLE
+        // symbol, where Repeat_Mode saves the byte (libzstd-19 leans on
+        // this on code-like shapes: half its blocks repeat ML tables).
+        if (prev.kind == 2 && prev.rle_sym == last) { desc.clear(); return 3; }
+        rle_sym = last;
+        desc.assign(1, (uint8_t)last);
+        prev.kind = 2;
+        prev.rle_sym = last;
+        return 1;
+    }
     uint32_t total = (uint32_t)seqs.size();
     int al = optimal_al(total, last, max_al);
     std::vector<int> norm;
-    double c_pre = 0, c_cus = 1e30;
-    for (int c = 0; c <= def_n - 1; c++) {
-        if (!hist[c]) continue;
-        int p = def_dist[c] == -1 ? 1 : def_dist[c];
-        c_pre += hist[c] * (def_al - (p > 0 ? (31 - __builtin_clz((uint32_t)p)) : 0));
-    }
-    std::vector<uint8_t> d2;
-    if (normalize_counts(hist, last + 1, al, total, norm) && write_ncount(norm, al, d2)) {
+    // fractional expected-bits pricing (al - log2(p)): the integer
+    // per-symbol upper bound (al - highbit(p)) is too coarse to separate
+    // close candidates — with it, Repeat_Mode picks cost MORE actual
+    // bitstream than the saved description bytes (measured +103 bits vs
+    // -45 desc on the source corpus)
+    auto table_bits = [&](const std::vector<int>& counts, int tal) -> double {
         double bits = 0;
-        bool ok = true;
         for (int c = 0; c <= last; c++) {
             if (!hist[c]) continue;
-            int p = norm[c] == -1 ? 1 : norm[c];
-            if (p == 0) { ok = false; break; }
-            bits += hist[c] * (al - highbit32((uint32_t)p));
+            if (c >= (int)counts.size() || counts[c] == 0) return 1e30;
+            int p = counts[c] == -1 ? 1 : counts[c];
+            bits += hist[c] * (tal - __builtin_log2((double)p));
         }
-        if (ok) c_cus = bits / 8 + d2.size();
-    }
-    if (c_cus < c_pre / 8 && custom.init(norm, al)) {
+        return bits;
+    };
+    static thread_local std::vector<int> defv;
+    defv.assign(def_dist, def_dist + def_n);
+    double c_pre = table_bits(defv, def_al) / 8;
+    double c_rep = prev.kind == 3 ? table_bits(prev.norm, prev.al) / 8 : 1e30;
+    double c_cus = 1e30;
+    std::vector<uint8_t> d2;
+    if (normalize_counts(hist, last + 1, al, total, norm) && write_ncount(norm, al, d2))
+        c_cus = table_bits(norm, al) / 8 + d2.size();
+    desc.clear();
+    if (c_rep <= c_cus && c_rep < c_pre) return 3;  // prev unchanged
+    if (c_cus < c_pre && custom.init(norm, al)) {
         desc = std::move(d2);
+        prev.kind = 3;
+        prev.norm = std::move(norm);
+        prev.al = al;
+        prev.enc = custom;
         return 2;
     }
-    desc.clear();
+    prev.kind = 1;  // decoder's previous table becomes the predefined one
     return 0;
 }
 
@@ -1752,7 +1792,7 @@ static void find_sequences_opt(const uint8_t* base, size_t blk_start, size_t blk
 
 static bool encode_block_body(const uint8_t* block, size_t bsize,
                               const std::vector<Seq>& seqs, size_t lit_tail,
-                              std::vector<uint8_t>& out, LitState& ls) {
+                              std::vector<uint8_t>& out, EntState& ls) {
     // collect literals
     std::vector<uint8_t> lits;
     lits.reserve(bsize);
@@ -1780,12 +1820,16 @@ static bool encode_block_body(const uint8_t* block, size_t bsize,
     FseEnc ll_cus, of_cus, ml_cus;
     std::vector<uint8_t> ll_d, of_d, ml_d;
     int ll_rle = 0, of_rle = 0, ml_rle = 0;
+    // mode-3 (repeat) encoding needs the incoming prev tables; pick_mode
+    // mutates ls.* to the post-block state, so snapshot the repeat table
+    // each kind would reuse BEFORE its pick_mode call
+    SeqPrev ll_in = ls.ll, of_in = ls.of, ml_in = ls.ml;
     int ll_mode = pick_mode(seqs, [](const Seq& s){ return ll_code(s.ll); },
-                            LL_DEF, 36, 6, 35, 9, ll_cus, ll_d, ll_rle);
+                            LL_DEF, 36, 6, 35, 9, ll_cus, ll_d, ll_rle, ls.ll);
     int of_mode = pick_mode(seqs, [](const Seq& s){ return highbit32(s.ov); },
-                            OF_DEF, 29, 5, 31, 8, of_cus, of_d, of_rle);
+                            OF_DEF, 29, 5, 31, 8, of_cus, of_d, of_rle, ls.of);
     int ml_mode = pick_mode(seqs, [](const Seq& s){ return ml_code(s.ml); },
-                            ML_DEF, 53, 6, 52, 9, ml_cus, ml_d, ml_rle);
+                            ML_DEF, 53, 6, 52, 9, ml_cus, ml_d, ml_rle, ls.ml);
     out.push_back((uint8_t)((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2)));
     out.insert(out.end(), ll_d.begin(), ll_d.end());
     out.insert(out.end(), of_d.begin(), of_d.end());
@@ -1827,9 +1871,18 @@ static bool encode_block_body(const uint8_t* block, size_t bsize,
         int encode(BitW& w, int st, int s) const { return kind == 1 ? 0 : fse->encode(w, st, s); }
         void flush(BitW& w, int st) const { if (kind != 1) fse->flush(w, st); }
     };
-    AnyT llt{ll_mode == 1 ? 1 : 0, ll_mode == 2 ? &ll_cus : &g_ll_pre};
-    AnyT oft{of_mode == 1 ? 1 : 0, of_mode == 2 ? &of_cus : &g_of_pre};
-    AnyT mlt{ml_mode == 1 ? 1 : 0, ml_mode == 2 ? &ml_cus : &g_ml_pre};
+    // mode 3 repeats the incoming prev table (custom enc, or RLE when the
+    // previous table was an RLE one — both are legal decoder states)
+    auto any_of = [](int mode, const FseEnc* cus, const FseEnc* pre,
+                     const SeqPrev& in) -> AnyT {
+        if (mode == 1) return AnyT{1, nullptr};
+        if (mode == 2) return AnyT{0, cus};
+        if (mode == 3) return in.kind == 2 ? AnyT{1, nullptr} : AnyT{0, &in.enc};
+        return AnyT{0, pre};
+    };
+    AnyT llt = any_of(ll_mode, &ll_cus, &g_ll_pre, ll_in);
+    AnyT oft = any_of(of_mode, &of_cus, &g_of_pre, of_in);
+    AnyT mlt = any_of(ml_mode, &ml_cus, &g_ml_pre, ml_in);
     enc_with(llt, oft, mlt);
     w.finish();
     out.insert(out.end(), w.out.begin(), w.out.end());
@@ -1925,7 +1978,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
 
     std::vector<Seq> seqs;
     std::vector<uint8_t> body;
-    LitState lit_state;
+    EntState lit_state;
     OptState opt_state;
     if (level > 12) opt_state.init(n);
     for (size_t off = 0; off < n; off += BS) {
@@ -1945,7 +1998,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
         }
         size_t lit_tail = 0;
         uint64_t rep_backup[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
-        LitState lit_backup = lit_state;
+        EntState lit_backup = lit_state;
         // crude per-block byte entropy (bits/byte) for match-vs-literal costs
         int lit_bits;
         {
@@ -2000,7 +2053,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             // same incoming rep state; the smallest actual encoded body
             // wins and its rep evolution carries to the next block
             uint64_t rep_win[3] = {ctx.rep[0], ctx.rep[1], ctx.rep[2]};
-            LitState lit_win = lit_state;
+            EntState lit_win = lit_state;
             const std::vector<Seq>* seed_seqs = &seqs;  // stats source for opt
             std::vector<Seq> best_seqs = seqs;  // winning parse (splitter input)
             size_t best_lit_tail = lit_tail;
@@ -2077,7 +2130,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                     // the best opt body for the improvement test
                     ok3 = true;
                     std::vector<uint8_t> tmp;
-                    LitState scratch = lit_backup;
+                    EntState scratch = lit_backup;
                     encode_block_body(src + off, bsize, seqs4, lit_tail4, tmp, scratch);
                     body3.swap(tmp);
                 }
@@ -2106,11 +2159,11 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                 // emission order; all candidates encode the SAME sequences
                 struct Piece { size_t bytes; std::vector<uint8_t> body; };
                 std::function<bool(size_t, size_t, const Seq*, size_t, size_t,
-                                   LitState&, std::vector<Piece>&, int)> layout =
+                                   EntState&, std::vector<Piece>&, int)> layout =
                     [&](size_t o, size_t bs, const Seq* sq, size_t nsq,
-                        size_t ltail, LitState& ls, std::vector<Piece>& outp,
+                        size_t ltail, EntState& ls, std::vector<Piece>& outp,
                         int depth) -> bool {
-                    LitState ls1 = ls;
+                    EntState ls1 = ls;
                     std::vector<uint8_t> one;
                     std::vector<Seq> tmp(sq, sq + nsq);
                     if (!encode_block_body(src + o, bs, tmp, ltail, one, ls1) ||
@@ -2134,14 +2187,14 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                         int nfr = depth > 3 ? 3 : 1;
                         size_t best_tot = (size_t)-1;
                         std::vector<Piece> best_sub;
-                        LitState best_ls = ls;
+                        EntState best_ls = ls;
                         for (int fi = 0; fi < nfr; fi++) {
                             size_t target = bs * (size_t)fr3[fi] / 6;
                             size_t acc = 0, k = 0;
                             while (k < nsq && acc < target)
                                 acc += sq[k].ll + sq[k].ml, k++;
                             if (k == 0 || k >= nsq || acc >= bs) continue;
-                            LitState ls2 = ls;
+                            EntState ls2 = ls;
                             std::vector<Piece> sub;
                             if (layout(o, acc, sq, k, 0, ls2, sub, depth - 1) &&
                                 layout(o + acc, bs - acc, sq + k, nsq - k,
@@ -2166,7 +2219,7 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                     outp.push_back(Piece{bs, std::move(one)});
                     return true;
                 };
-                LitState ls = lit_backup;
+                EntState ls = lit_backup;
                 std::vector<Piece> pieces;
                 if (layout(off, bsize, best_seqs.data(), best_seqs.size(),
                            best_lit_tail, ls, pieces, 5) &&
