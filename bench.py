@@ -120,53 +120,75 @@ def _roundtrip(data: bytes, method, level: int, reps: int = 1):
     return enc, dec, len(buf)
 
 
-def _reference_cli_rates(data: bytes) -> dict | None:
-    """Time the reference CLI (built by scripts/build_reference_cli.py) on
-    the bench corpus: archive create + extract wall time for lz4:1 and
-    zstd:3, plus archive sizes.  None when the binary can't be built."""
-    import shutil
-    import subprocess
-    import tempfile
+class _RefCli:
+    """The reference CLI (built by scripts/build_reference_cli.py) as a
+    single-rep timing oracle, so the headline phase can INTERLEAVE our
+    reps with its reps: cross-invocation CPU drift on this box moves
+    whole-phase numbers by up to 2x (CLAUDE.md round-3 methodology), and
+    a sequential ours-then-reference layout measured rt ratios 0.93 and
+    1.15 on back-to-back otherwise-identical runs."""
 
-    try:
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    def __init__(self, data: bytes):
+        import tempfile
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
         from build_reference_cli import build as _build_ref
 
-        binary = _build_ref()
-    except Exception as e:  # pragma: no cover - defensive
-        _log(f"reference CLI build failed: {type(e).__name__}")
-        return None
-    if not binary:
-        _log("reference CLI unavailable; skipping baseline phase")
-        return None
-    out: dict = {}
-    size_mb = len(data) / 1e6
-    with tempfile.TemporaryDirectory(dir="/dev/shm" if os.path.isdir("/dev/shm") else None) as td:
-        src = os.path.join(td, "bench.bin")
-        with open(src, "wb") as f:
+        self.binary = _build_ref()
+        if not self.binary:
+            raise RuntimeError("reference CLI unavailable")
+        self.td = tempfile.TemporaryDirectory(
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+        self.src = os.path.join(self.td.name, "bench.bin")
+        with open(self.src, "wb") as f:
             f.write(data)
-        for mname, m in [("lz4", "lz4:1"), ("zstd3", "zstd:3")]:
-            arch = os.path.join(td, f"{mname}.zpk")
-            best_c = best_x = float("inf")
-            for k in range(2):
-                if os.path.exists(arch):
-                    os.unlink(arch)
-                t0 = time.perf_counter()
-                subprocess.run([binary, "c", "-m", m, arch, src], check=True,
-                               capture_output=True, timeout=300)
-                best_c = min(best_c, time.perf_counter() - t0)
-                xdir = os.path.join(td, f"x{mname}{k}")
-                os.mkdir(xdir)
-                t0 = time.perf_counter()
-                subprocess.run([binary, "x", arch, "-o", xdir], check=True,
-                               capture_output=True, timeout=300)
-                best_x = min(best_x, time.perf_counter() - t0)
-                shutil.rmtree(xdir)
-            out[f"{mname}_create_MBps"] = round(size_mb / best_c, 2)
-            out[f"{mname}_extract_MBps"] = round(size_mb / best_x, 2)
-            out[f"{mname}_archive_bytes"] = os.path.getsize(arch)
-    _log(f"reference CLI baseline: {out}")
-    return out
+        self.size_mb = len(data) / 1e6
+        self.best: dict = {}
+        self._k = 0
+
+    @classmethod
+    def try_create(cls, data: bytes):
+        try:
+            return cls(data)
+        except Exception as e:  # pragma: no cover - defensive
+            _log(f"reference CLI build failed: {type(e).__name__}")
+            return None
+
+    def rep(self, mname: str, m: str) -> None:
+        """One create + extract rep; folds best-of into self.best."""
+        import shutil
+        import subprocess
+
+        arch = os.path.join(self.td.name, f"{mname}.zpk")
+        if os.path.exists(arch):
+            os.unlink(arch)
+        t0 = time.perf_counter()
+        subprocess.run([self.binary, "c", "-m", m, arch, self.src],
+                       check=True, capture_output=True, timeout=300)
+        c_s = time.perf_counter() - t0
+        self._k += 1
+        xdir = os.path.join(self.td.name, f"x{mname}{self._k}")
+        os.mkdir(xdir)
+        t0 = time.perf_counter()
+        subprocess.run([self.binary, "x", arch, "-o", xdir],
+                       check=True, capture_output=True, timeout=300)
+        x_s = time.perf_counter() - t0
+        shutil.rmtree(xdir)
+        b = self.best.setdefault(mname, [float("inf"), float("inf"), 0])
+        b[0] = min(b[0], c_s)
+        b[1] = min(b[1], x_s)
+        b[2] = os.path.getsize(arch)
+
+    def results(self) -> dict:
+        out: dict = {}
+        for mname, (c_s, x_s, size) in self.best.items():
+            out[f"{mname}_create_MBps"] = round(self.size_mb / c_s, 2)
+            out[f"{mname}_extract_MBps"] = round(self.size_mb / x_s, 2)
+            out[f"{mname}_archive_bytes"] = size
+        self.td.cleanup()
+        _log(f"reference CLI baseline: {out}")
+        return out
 
 
 def _tpu_kernel_rates() -> dict:
@@ -244,19 +266,33 @@ def main() -> int:
     size_mb = len(data) / 1e6
     _log(f"corpus {len(data)} bytes")
 
-    # --- headline: LZ4 archive round-trip, fastest engine
+    # --- headline: LZ4 archive round-trip, fastest engine, with our reps
+    # INTERLEAVED against the reference CLI's (ours/ref/ours/ref...):
+    # cross-invocation CPU drift on this box moves whole phases by up to
+    # 2x, and the vs-reference ratio is the judged quantity
     from zpack_tpu.utils.observe import metrics as _metrics
 
+    ref = _RefCli.try_create(data)
     _roundtrip(data[: 1 << 20], C.CompressionMethod.LZ4, 1)  # warm caches
     _metrics.reset()  # per-phase counters cover the measured work only
-    enc, dec, csize = _roundtrip(data, C.CompressionMethod.LZ4, 1, reps=3)
+    enc = dec = float("inf")
+    for _ in range(3):
+        e1, d1, csize = _roundtrip(data, C.CompressionMethod.LZ4, 1)
+        enc, dec = min(enc, e1), min(dec, d1)
+        if ref:
+            ref.rep("lz4", "lz4:1")
     value = 2 * size_mb / (enc + dec)
     _log(f"lz4 rt: enc {size_mb/enc:.0f} MB/s dec {size_mb/dec:.0f} MB/s")
 
     # --- zstd ratios/speeds on the SAME full corpus as the reference-CLI
     # phase (apples-to-apples; VERDICT r3 Weak #7)
     zslice = data
-    z3_enc, z3_dec, z3_size = _roundtrip(zslice, C.CompressionMethod.ZSTD, 3, reps=3)
+    z3_enc = z3_dec = float("inf")
+    for _ in range(3):
+        e1, d1, z3_size = _roundtrip(zslice, C.CompressionMethod.ZSTD, 3)
+        z3_enc, z3_dec = min(z3_enc, e1), min(z3_dec, d1)
+        if ref:
+            ref.rep("zstd3", "zstd:3")
     _log(f"zstd3 rt: enc {len(zslice)/1e6/z3_enc:.0f} MB/s "
          f"dec {len(zslice)/1e6/z3_dec:.0f} MB/s")
     # per-phase counters for the NATIVE-engine phases only (the baseline's
@@ -300,12 +336,10 @@ def main() -> int:
         except Exception as e:
             _log(f"zstd19 longrange skipped: {type(e).__name__}")
 
-    # --- REAL reference CLI baseline (BASELINE.md's oracle): build the
-    # reference binary from /root/reference against system codec libs and
-    # time its create/extract on the same corpus — the numbers "match or
-    # beat the reference" is judged against.  Skips cleanly when the
-    # environment can't build it.
-    ref_cli = _reference_cli_rates(data)
+    # --- REAL reference CLI baseline (BASELINE.md's oracle): the reps ran
+    # interleaved with ours above — the numbers "match or beat the
+    # reference" is judged against.  None when it couldn't be built.
+    ref_cli = ref.results() if ref else None
 
     # --- TPU kernel device rates (scripts/tpu_bench.py), isolated in a
     # subprocess with a hard timeout: the dev-environment device tunnel
@@ -313,7 +347,9 @@ def main() -> int:
     # each metric line the moment it is measured, so a stall mid-run still
     # yields every earlier metric (parsed out of TimeoutExpired.stdout);
     # one retry reuses the jax compilation cache the first attempt warmed.
-    tpu = _tpu_kernel_rates()
+    # ZPACK_BENCH_TPU=0 skips the phase for quick CPU-side iterations.
+    tpu = (_tpu_kernel_rates()
+           if os.environ.get("ZPACK_BENCH_TPU", "1") != "0" else {})
 
     # --- scaling efficiency (VERDICT r1 item 6): mesh weak-scaling on
     # 1/2/4/8 virtual CPU devices + 2-process elastic strong scaling.
