@@ -1,6 +1,7 @@
 """Property/fuzz tests: randomized round-trips across methods, levels,
 sizes, and APIs, plus corruption-rejection sweeps.  Seeded → reproducible."""
 
+import os
 import random
 
 import pytest
@@ -113,6 +114,9 @@ def test_corruption_never_silent(seed):
         assert out is None or out == data, f"silent corruption at byte {pos}"
 
 
+@pytest.mark.skipif(os.environ.get("ZPACK_SANITIZE_RUN") == "1",
+                    reason="XLA compile aborts under sanitizer preload; "
+                           "the native .so is the sanitizer's subject")
 def test_device_zstd_decode_differential_fuzz():
     """Differential fuzz of the fully device-resident zstd decode
     (round 5): for mutated frames, decompress_zstd_device must either
