@@ -66,9 +66,13 @@ class _HeapSink:
         self.buf = bytearray()
 
     def write_at(self, offset: int, data: bytes) -> None:
+        n = len(self.buf)
+        if offset == n:  # pure append (the hot path): one copy, no zero-fill
+            self.buf += data
+            return
         end = offset + len(data)
-        if end > len(self.buf):
-            self.buf.extend(b"\0" * (end - len(self.buf)))
+        if end > n:
+            self.buf.extend(b"\0" * (end - n))
         self.buf[offset:end] = data
 
     def flush(self):
