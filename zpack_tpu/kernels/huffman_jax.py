@@ -80,7 +80,8 @@ def _combine_round(limbs, lens, n_out: int, kmax: int):
     return out, lA + lB
 
 
-def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
+def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int,
+                       chunk_cols: int = 16384):
     """One backward-read huffman stream from a padded symbol row.
 
     syms: (L,) uint8 symbols in ORIGINAL order (first n valid).
@@ -118,7 +119,7 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int):
     tab3 = jnp.stack(
         [lens_tab, codes_tab & 0x7F, codes_tab >> 7], axis=1
     ).astype(jnp.int8)  # (256, 3)
-    C = min(L, 16384)
+    C = chunk_cols
     sym_chunks = syms.astype(jnp.int32).reshape(L // C, C)
     # unrolled python loop: lax.map's per-chunk dispatch measured slower
     # than straight-line chunks (3.1 vs 2.3 ms at 256x16K)
@@ -181,8 +182,16 @@ def encode_streams(syms, lens, codes_tab, lens_tab, *, n_words: int):
     codes_tab/lens_tab: (S, 256) int32 per-stream canonical code tables.
     Returns (words (S, n_words) uint32, total_bits (S,) int32).
     """
+    S, L = syms.shape
+    # bound the vmapped one-hot's live HBM to ~1 GB: S * C * 256 int8.
+    # C=16384 measured best at S=256 (no chunk loop at the 16K bucket);
+    # larger batches shrink the chunk instead of risking OOM at the
+    # 65536 bucket (advisor round-4 finding).
+    C = min(L, 4096)
+    while C < min(L, 16384) and S * (C << 1) * 256 <= (1 << 30):
+        C <<= 1
     return jax.vmap(
-        lambda s, n, c, l: _encode_one_stream(s, n, c, l, n_words)
+        lambda s, n, c, l: _encode_one_stream(s, n, c, l, n_words, C)
     )(syms, lens, codes_tab, lens_tab)
 
 
