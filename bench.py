@@ -156,7 +156,9 @@ class _RefCli:
             return None
 
     def rep(self, mname: str, m: str) -> None:
-        """One create + extract rep; folds best-of into self.best."""
+        """One create + extract rep; folds best-of into self.best.
+        A failing rep must not kill the (interleaved) headline phase —
+        callers guard with try_rep."""
         import shutil
         import subprocess
 
@@ -179,6 +181,14 @@ class _RefCli:
         b[0] = min(b[0], c_s)
         b[1] = min(b[1], x_s)
         b[2] = os.path.getsize(arch)
+
+    def try_rep(self, mname: str, m: str) -> bool:
+        try:
+            self.rep(mname, m)
+            return True
+        except Exception as e:  # pragma: no cover - defensive
+            _log(f"reference CLI rep failed: {type(e).__name__}")
+            return False
 
     def results(self) -> dict:
         out: dict = {}
@@ -279,8 +289,8 @@ def main() -> int:
     for _ in range(3):
         e1, d1, csize = _roundtrip(data, C.CompressionMethod.LZ4, 1)
         enc, dec = min(enc, e1), min(dec, d1)
-        if ref:
-            ref.rep("lz4", "lz4:1")
+        if ref and not ref.try_rep("lz4", "lz4:1"):
+            ref = None
     value = 2 * size_mb / (enc + dec)
     _log(f"lz4 rt: enc {size_mb/enc:.0f} MB/s dec {size_mb/dec:.0f} MB/s")
 
@@ -291,8 +301,8 @@ def main() -> int:
     for _ in range(3):
         e1, d1, z3_size = _roundtrip(zslice, C.CompressionMethod.ZSTD, 3)
         z3_enc, z3_dec = min(z3_enc, e1), min(z3_dec, d1)
-        if ref:
-            ref.rep("zstd3", "zstd:3")
+        if ref and not ref.try_rep("zstd3", "zstd:3"):
+            ref = None
     _log(f"zstd3 rt: enc {len(zslice)/1e6/z3_enc:.0f} MB/s "
          f"dec {len(zslice)/1e6/z3_dec:.0f} MB/s")
     # per-phase counters for the NATIVE-engine phases only (the baseline's
