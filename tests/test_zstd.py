@@ -300,3 +300,55 @@ def test_fse_repeat_mode_fires_and_interops():
         if last:
             break
     assert saw_repeat, "no block chose FSE Repeat_Mode on a stable shape"
+
+
+def test_fse_rle_repeat_mode_roundtrips():
+    """Repeat_Mode after an RLE table (the decoder's previous table may be
+    an RLE one — RFC 8878 §3.1.1.3.2.1.1): a periodic pattern makes every
+    128 KiB block one giant rep match, so all three code histograms are
+    single-symbol; block 1 emits RLE tables, later blocks must repeat
+    them at zero description bytes.  libzstd and the native decoder must
+    both accept."""
+    from zpack_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native backend unavailable")
+    blob = (b"\x07\x3a\x91\xc4 zpack rle-repeat probe \x11\x22" * 40000)[: 640 * 1024]
+    comp = native.zstd_compress(blob, 3)
+    assert zstandard.ZstdDecompressor().decompress(
+        comp, max_output_size=len(blob)) == blob
+    assert native.zstd_decompress(comp, len(blob)) == blob
+    from zpack_tpu.codecs.zstd import seq as SEQ
+    from zpack_tpu.codecs.zstd.frame import (FrameDecoder, decode_literals,
+                                             parse_frame_header)
+    hdr = parse_frame_header(comp, 4)
+    pos = 4 + hdr.header_size
+    dec = FrameDecoder(hdr)
+    modes = []
+    while True:
+        b0 = int.from_bytes(comp[pos:pos + 3], "little")
+        last, btype, bsize = b0 & 1, (b0 >> 1) & 3, b0 >> 3
+        pos += 3
+        payload = comp[pos:pos + (1 if btype == 1 else bsize)]
+        if btype == 2:
+            lits, p1 = decode_literals(payload, 0, dec.lit_state)
+            nb, p2 = SEQ.parse_nb_sequences(payload, p1)
+            if nb:
+                modes.append(payload[p2])
+                lls, mls, ofs, _ = SEQ.decode_sequences(payload, p1,
+                                                        dec.seq_tables)
+                SEQ.execute_sequences(lits, lls, mls, ofs, dec.rep,
+                                      dec.window)
+            else:
+                dec.window += lits
+        elif btype == 1:
+            dec.window += payload * bsize
+        else:
+            dec.window += payload
+        pos += len(payload) if btype != 1 else 1
+        if last:
+            break
+    assert len(modes) >= 3
+    ml_kinds = [(m >> 2) & 3 for m in modes]
+    assert ml_kinds[0] == 1, "first sequence block should emit an RLE table"
+    assert 3 in ml_kinds[1:], "later blocks should repeat the RLE table"
