@@ -83,11 +83,13 @@ def main() -> int:
     env["TSAN_OPTIONS"] = "halt_on_error=1:abort_on_error=1:report_bugs=1"
     if asan:
         env["LD_PRELOAD"] = asan
-    # JAX-device tests JIT-compile XLA programs; the XLA compiler aborts
-    # under the sanitizer preload (uninstrumented code under an ASan
-    # allocator) — the sanitizer's subject is the native .so, so those
-    # tests opt out via this marker (see tests/test_fuzz.py).
-    env["ZPACK_SANITIZE_RUN"] = "1"
+        # JAX-device tests JIT-compile XLA programs; the XLA compiler
+        # aborts under the sanitizer preload (uninstrumented code under
+        # an ASan allocator) — the sanitizer's subject is the native
+        # .so, so those tests opt out via this marker (test_fuzz.py).
+        # Only set when the preload is actually applied: without it the
+        # device tests run fine and should keep their coverage.
+        env["ZPACK_SANITIZE_RUN"] = "1"
     tests = sys.argv[1:] or DEFAULT_TESTS
     proc = subprocess.run([sys.executable, "-m", "pytest", "-x", "-q", *tests],
                           cwd=REPO, env=env)

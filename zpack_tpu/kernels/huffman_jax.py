@@ -128,9 +128,7 @@ def _encode_one_stream(syms, n, codes_tab, lens_tab, n_words: int,
             jax.nn.one_hot(sym_chunks[i], 256, dtype=jnp.int8), tab3,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
         for i in range(L // C)
-    ]) if L > C else jax.lax.dot_general(
-        jax.nn.one_hot(sym_chunks[0], 256, dtype=jnp.int8), tab3,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    ])
     lens = jnp.where(valid, lut[:, 0], 0)
     vals = jnp.where(valid, (lut[:, 1] | (lut[:, 2] << 7)).astype(jnp.uint32),
                      jnp.uint32(0))
@@ -184,12 +182,13 @@ def encode_streams(syms, lens, codes_tab, lens_tab, *, n_words: int):
     """
     S, L = syms.shape
     # bound the vmapped one-hot's live HBM to ~1 GB: S * C * 256 int8.
-    # C=16384 measured best at S=256 (no chunk loop at the 16K bucket);
-    # larger batches shrink the chunk instead of risking OOM at the
+    # C=16384 measured best at S=256 (no chunk loop at the 16K bucket,
+    # exactly at the 1 GB cap); larger padded batches shrink the chunk —
+    # all the way down to a 512 floor — instead of risking OOM at the
     # 65536 bucket (advisor round-4 finding).
-    C = min(L, 4096)
-    while C < min(L, 16384) and S * (C << 1) * 256 <= (1 << 30):
-        C <<= 1
+    C = min(L, 16384)
+    while C > 512 and S * C * 256 > (1 << 30):
+        C >>= 1
     return jax.vmap(
         lambda s, n, c, l: _encode_one_stream(s, n, c, l, n_words, C)
     )(syms, lens, codes_tab, lens_tab)
