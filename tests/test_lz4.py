@@ -143,7 +143,11 @@ def test_lz4f_linked_size_parity_vs_liblz4():
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_void_p]
 
-    sys.path.insert(0, ".")
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     from bench import build_corpus
 
     data = build_corpus(2 << 20)

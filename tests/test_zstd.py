@@ -112,9 +112,12 @@ def test_encode_ratio_parity_pinned():
     corpus (native encoder — the engine the CLI uses).  These caps are the
     project's actual claims, not loose guardrails: a regression to 1.1x
     must fail CI.  (BASELINE: ratio <= reference per level.)"""
+    import os
     import sys
 
-    sys.path.insert(0, ".")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     from bench import build_corpus
 
     from zpack_tpu import native
@@ -135,9 +138,12 @@ def test_encode_l19_prose_slice_pinned():
     iteration, mml=3 candidates and the recursive block splitter; now
     0.9999).  Kept as its own pin so a mixed-corpus win can never mask a
     prose regression."""
+    import os
     import sys
 
-    sys.path.insert(0, ".")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     from bench import build_corpus
 
     from zpack_tpu import native
@@ -157,9 +163,12 @@ def test_encode_l19_longrange_pinned():
     1.0046 at 16 MiB after the BT window-eviction fix — out-of-window
     exact duplicates used to eat the walk byte-budget and starve the DP
     of near candidates — plus the 2-way aged LDM buckets)."""
+    import os
     import sys
 
-    sys.path.insert(0, ".")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     from bench import build_longrange
 
     from zpack_tpu import native
