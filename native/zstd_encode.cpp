@@ -2048,6 +2048,95 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
         }
         body.clear();
         bool ok = encode_block_body(src + off, bsize, seqs, lit_tail, body, lit_state);
+        // recursive split layout (role: btultra2's ZSTD_splitBlock, also
+        // used gated at fast levels below): re-encode a span of the
+        // ALREADY-FOUND sequences as multiple blocks so each gets its own
+        // entropy tables; sequence order, rep evolution and the decoder's
+        // view are unchanged.  The treeless-literal state is threaded in
+        // emission order.
+        struct Piece { size_t bytes; std::vector<uint8_t> body; };
+        std::function<bool(size_t, size_t, const Seq*, size_t, size_t,
+                           EntState&, std::vector<Piece>&, int)> layout =
+            [&](size_t o, size_t bs, const Seq* sq, size_t nsq,
+                size_t ltail, EntState& ls, std::vector<Piece>& outp,
+                int depth) -> bool {
+            EntState ls1 = ls;
+            std::vector<uint8_t> one;
+            std::vector<Seq> tmp(sq, sq + nsq);
+            if (!encode_block_body(src + o, bs, tmp, ltail, one, ls1) ||
+                one.size() >= bs)
+                return false;
+            if (depth > 0 && nsq >= 8) {
+                // Top two levels weigh three split fractions (ELF
+                // code/data and record-table boundaries rarely sit
+                // at byte midpoints); deeper levels midpoint-only.
+                // The two 3-way levels cost ~9 subtree explorations
+                // (~40*bs of encode_block_body work vs ~3*bs for the
+                // old depth-2 midpoint splitter) — acceptable only
+                // because depth > 3 is used only at level > 12 where
+                // the DP dominates.
+                // Measured on the real corpus: L19 binary 1.0077 ->
+                // 1.0028x lib, records 1.0111 -> 1.0067, markup
+                // 1.0023, at no wall-clock cost vs the old depth-2
+                // midpoint splitter (libzstd emits 2-5x more blocks
+                // than we did; this recovers most of that edge).
+                static const int fr3[] = {3, 2, 4};  // sixths of bs
+                int nfr = depth > 3 ? 3 : 1;
+                size_t best_tot = (size_t)-1;
+                std::vector<Piece> best_sub;
+                EntState best_ls = ls;
+                for (int fi = 0; fi < nfr; fi++) {
+                    size_t target = bs * (size_t)fr3[fi] / 6;
+                    size_t acc = 0, k = 0;
+                    while (k < nsq && acc < target)
+                        acc += sq[k].ll + sq[k].ml, k++;
+                    if (k == 0 || k >= nsq || acc >= bs) continue;
+                    EntState ls2 = ls;
+                    std::vector<Piece> sub;
+                    if (layout(o, acc, sq, k, 0, ls2, sub, depth - 1) &&
+                        layout(o + acc, bs - acc, sq + k, nsq - k,
+                               ltail, ls2, sub, depth - 1)) {
+                        size_t tot = 0;
+                        for (auto& pc : sub) tot += 3 + pc.body.size();
+                        if (tot < best_tot) {
+                            best_tot = tot;
+                            best_sub = std::move(sub);
+                            best_ls = ls2;
+                        }
+                    }
+                }
+                if (best_tot < 3 + one.size()) {
+                    ls = best_ls;
+                    for (auto& pc : best_sub)
+                        outp.push_back(std::move(pc));
+                    return true;
+                }
+            }
+            ls = ls1;
+            outp.push_back(Piece{bs, std::move(one)});
+            return true;
+        };
+        // emit a multi-piece layout if it beats the single body; returns
+        // true when the whole block was emitted (caller continues)
+        auto emit_pieces = [&](std::vector<Piece>& pieces, EntState& ls,
+                               bool& io_err) -> bool {
+            size_t tot = 0;
+            for (auto& pc : pieces) tot += 3 + pc.body.size();
+            if (tot >= 3 + body.size()) return false;
+            for (size_t pi = 0; pi < pieces.size(); pi++) {
+                uint32_t lastp = (pi + 1 == pieces.size()) ? (uint32_t)last : 0u;
+                uint32_t bh = lastp | (2u << 1) |
+                              ((uint32_t)pieces[pi].body.size() << 3);
+                uint8_t hb[3] = {(uint8_t)bh, (uint8_t)(bh >> 8), (uint8_t)(bh >> 16)};
+                if (!emit(hb, 3) ||
+                    !emit(pieces[pi].body.data(), pieces[pi].body.size())) {
+                    io_err = true;
+                    return true;
+                }
+            }
+            lit_state = ls;
+            return true;
+        };
         if (level > 12) {
             // per-block strategy tournament: each candidate runs from the
             // same incoming rep state; the smallest actual encoded body
@@ -2147,97 +2236,65 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
                         t_s2 - t_blk, t_s3 - t_s2, t_s4 - t_s3, zn_now() - t_s4);
             ctx.rep[0] = rep_win[0]; ctx.rep[1] = rep_win[1]; ctx.rep[2] = rep_win[2];
             lit_state = lit_win;
-            // block splitter (role: btultra2's ZSTD_splitBlock): re-encode
-            // the WINNING parse as two blocks split at the sequence
-            // boundary nearest the byte midpoint — sequence order, rep
-            // evolution and the decoder's view are unchanged; each half
-            // just gets its own entropy tables.  Wins on heterogeneous
-            // 128 KiB blocks (source text, format boundaries).
+            // block splitter: re-encode the WINNING parse via the hoisted
+            // recursive layout (depth 5, 3-fraction top levels).  Wins on
+            // heterogeneous 128 KiB blocks (source text, format boundaries).
             if (ok && body.size() < bsize && best_seqs.size() >= 8) {
-                // recursive best layout: min(single body, best(A) + best(B))
-                // with the treeless-literal state threaded exactly in
-                // emission order; all candidates encode the SAME sequences
-                struct Piece { size_t bytes; std::vector<uint8_t> body; };
-                std::function<bool(size_t, size_t, const Seq*, size_t, size_t,
-                                   EntState&, std::vector<Piece>&, int)> layout =
-                    [&](size_t o, size_t bs, const Seq* sq, size_t nsq,
-                        size_t ltail, EntState& ls, std::vector<Piece>& outp,
-                        int depth) -> bool {
-                    EntState ls1 = ls;
-                    std::vector<uint8_t> one;
-                    std::vector<Seq> tmp(sq, sq + nsq);
-                    if (!encode_block_body(src + o, bs, tmp, ltail, one, ls1) ||
-                        one.size() >= bs)
-                        return false;
-                    if (depth > 0 && nsq >= 8) {
-                        // Top two levels weigh three split fractions (ELF
-                        // code/data and record-table boundaries rarely sit
-                        // at byte midpoints); deeper levels midpoint-only.
-                        // The two 3-way levels cost ~9 subtree explorations
-                        // (~40*bs of encode_block_body work vs ~3*bs for the
-                        // old depth-2 midpoint splitter) — acceptable only
-                        // because the splitter is gated to level > 12 where
-                        // the DP dominates.
-                        // Measured on the real corpus: L19 binary 1.0077 ->
-                        // 1.0028x lib, records 1.0111 -> 1.0067, markup
-                        // 1.0023, at no wall-clock cost vs the old depth-2
-                        // midpoint splitter (libzstd emits 2-5x more blocks
-                        // than we did; this recovers most of that edge).
-                        static const int fr3[] = {3, 2, 4};  // sixths of bs
-                        int nfr = depth > 3 ? 3 : 1;
-                        size_t best_tot = (size_t)-1;
-                        std::vector<Piece> best_sub;
-                        EntState best_ls = ls;
-                        for (int fi = 0; fi < nfr; fi++) {
-                            size_t target = bs * (size_t)fr3[fi] / 6;
-                            size_t acc = 0, k = 0;
-                            while (k < nsq && acc < target)
-                                acc += sq[k].ll + sq[k].ml, k++;
-                            if (k == 0 || k >= nsq || acc >= bs) continue;
-                            EntState ls2 = ls;
-                            std::vector<Piece> sub;
-                            if (layout(o, acc, sq, k, 0, ls2, sub, depth - 1) &&
-                                layout(o + acc, bs - acc, sq + k, nsq - k,
-                                       ltail, ls2, sub, depth - 1)) {
-                                size_t tot = 0;
-                                for (auto& pc : sub) tot += 3 + pc.body.size();
-                                if (tot < best_tot) {
-                                    best_tot = tot;
-                                    best_sub = std::move(sub);
-                                    best_ls = ls2;
-                                }
-                            }
-                        }
-                        if (best_tot < 3 + one.size()) {
-                            ls = best_ls;
-                            for (auto& pc : best_sub)
-                                outp.push_back(std::move(pc));
-                            return true;
-                        }
-                    }
-                    ls = ls1;
-                    outp.push_back(Piece{bs, std::move(one)});
-                    return true;
-                };
                 EntState ls = lit_backup;
                 std::vector<Piece> pieces;
                 if (layout(off, bsize, best_seqs.data(), best_seqs.size(),
                            best_lit_tail, ls, pieces, 5) &&
                     pieces.size() > 1) {
-                    size_t tot = 0;
-                    for (auto& pc : pieces) tot += 3 + pc.body.size();
-                    if (tot < 3 + body.size()) {
-                        for (size_t pi = 0; pi < pieces.size(); pi++) {
-                            uint32_t lastp = (pi + 1 == pieces.size()) ? (uint32_t)last : 0u;
-                            uint32_t bh = lastp | (2u << 1) |
-                                          ((uint32_t)pieces[pi].body.size() << 3);
-                            uint8_t hb[3] = {(uint8_t)bh, (uint8_t)(bh >> 8), (uint8_t)(bh >> 16)};
-                            if (!emit(hb, 3) ||
-                                !emit(pieces[pi].body.data(), pieces[pi].body.size()))
-                                return (size_t)-1;
-                        }
-                        lit_state = ls;
+                    bool io_err = false;
+                    if (emit_pieces(pieces, ls, io_err)) {
+                        if (io_err) return (size_t)-1;
                         continue;  // all pieces emitted; next 128 KiB block
+                    }
+                }
+            }
+        } else if (ok && body.size() < bsize && seqs.size() >= 16 &&
+                   bsize >= (32 << 10) && body.size() * 25 > bsize * 7) {
+            // fast-level gated splitter (role: libzstd's always-on
+            // split-after-sequences — it emits ~40 KB blocks on ELF at L3
+            // and beat us 0.9% there): a trial split costs ~2 extra
+            // entropy passes, so fire only when (a) the block compressed
+            // poorly (density > 0.28 — ELF blocks sit at 0.24-0.63, text
+            // at 0.07-0.25, so homogeneous shapes never pay) and (b) a
+            // SAMPLED half-vs-half literal histogram L1 divergence says
+            // the block straddles heterogeneous regions (ELF blocks
+            // measure 0.25-0.83, text/source/records 0.07-0.33).
+            // Adoption stays size-gated, so a loose gate costs speed,
+            // never ratio.  Unlike the L19 path there is no root-level
+            // re-encode: the halves race the already-built single body.
+            uint32_t h1[256] = {0}, h2[256] = {0};
+            size_t half = bsize / 2;
+            uint32_t n1 = 0, n2 = 0;
+            for (size_t q = 0; q < half; q += 8) h1[src[off + q]]++, n1++;
+            for (size_t q = half; q < bsize; q += 8) h2[src[off + q]]++, n2++;
+            int64_t l1 = 0;  // sum |p1-p2| scaled by 2^20
+            for (int q = 0; q < 256; q++) {
+                int64_t a = ((int64_t)h1[q] << 20) / n1;
+                int64_t b = ((int64_t)h2[q] << 20) / n2;
+                l1 += a > b ? a - b : b - a;
+            }
+            if (l1 > (int64_t)(0.24 * (1 << 20))) {
+                size_t acc = 0, k = 0;
+                const Seq* sq = seqs.data();
+                size_t nsq = seqs.size();
+                while (k < nsq && acc < half)
+                    acc += sq[k].ll + sq[k].ml, k++;
+                if (k > 0 && k < nsq && acc < bsize) {
+                    EntState ls = lit_backup;
+                    std::vector<Piece> pieces;
+                    if (layout(off, acc, sq, k, 0, ls, pieces, 1) &&
+                        layout(off + acc, bsize - acc, sq + k, nsq - k,
+                               lit_tail, ls, pieces, 1) &&
+                        pieces.size() > 1) {
+                        bool io_err = false;
+                        if (emit_pieces(pieces, ls, io_err)) {
+                            if (io_err) return (size_t)-1;
+                            continue;
+                        }
                     }
                 }
             }
