@@ -2266,22 +2266,60 @@ static size_t zn_zstd_compress_one(const uint8_t* src, size_t n, uint8_t* dst, s
             // Adoption stays size-gated, so a loose gate costs speed,
             // never ratio.  Unlike the L19 path there is no root-level
             // re-encode: the halves race the already-built single body.
-            uint32_t h1[256] = {0}, h2[256] = {0};
-            size_t half = bsize / 2;
+            // 16 slice histograms (one strided pass): the half-vs-half L1
+            // gates, and the best of 9 candidate boundaries (4/16..12/16,
+            // max left-vs-right divergence) picks the split TARGET —
+            // libzstd's residual ELF edge is splits landing on section
+            // boundaries, which seq-midpoints miss.
+            uint32_t hs[16][256] = {{0}};
+            size_t slice = bsize / 16;
+            for (size_t q = 0; q < bsize; q += 8) {
+                size_t si = q / slice;
+                hs[si > 15 ? 15 : si][src[off + q]]++;
+            }
+            uint32_t left[256] = {0}, right[256] = {0};
             uint32_t n1 = 0, n2 = 0;
-            for (size_t q = 0; q < half; q += 8) h1[src[off + q]]++, n1++;
-            for (size_t q = half; q < bsize; q += 8) h2[src[off + q]]++, n2++;
-            int64_t l1 = 0;  // sum |p1-p2| scaled by 2^20
+            for (int si = 0; si < 8; si++)
+                for (int q = 0; q < 256; q++) left[q] += hs[si][q];
+            for (int si = 8; si < 16; si++)
+                for (int q = 0; q < 256; q++) right[q] += hs[si][q];
+            for (int q = 0; q < 256; q++) n1 += left[q], n2 += right[q];
+            int64_t l1 = 0;  // half-vs-half sum |p1-p2| scaled by 2^20
             for (int q = 0; q < 256; q++) {
-                int64_t a = ((int64_t)h1[q] << 20) / n1;
-                int64_t b = ((int64_t)h2[q] << 20) / n2;
+                int64_t a = ((int64_t)left[q] << 20) / n1;
+                int64_t b = ((int64_t)right[q] << 20) / n2;
                 l1 += a > b ? a - b : b - a;
             }
             if (l1 > (int64_t)(0.24 * (1 << 20))) {
+                // change-point scan: rebuild left/right at each boundary
+                int best_cut = 8;
+                int64_t best_div = -1;
+                for (int q = 0; q < 256; q++) { left[q] = 0; right[q] = 0; }
+                for (int si = 0; si < 4; si++)
+                    for (int q = 0; q < 256; q++) left[q] += hs[si][q];
+                for (int si = 4; si < 16; si++)
+                    for (int q = 0; q < 256; q++) right[q] += hs[si][q];
+                for (int cut = 4; cut <= 12; cut++) {
+                    uint32_t m1 = 0, m2 = 0;
+                    for (int q = 0; q < 256; q++) m1 += left[q], m2 += right[q];
+                    int64_t div = 0;
+                    for (int q = 0; q < 256; q++) {
+                        int64_t a = ((int64_t)left[q] << 20) / (m1 ? m1 : 1);
+                        int64_t b = ((int64_t)right[q] << 20) / (m2 ? m2 : 1);
+                        div += a > b ? a - b : b - a;
+                    }
+                    if (div > best_div) { best_div = div; best_cut = cut; }
+                    if (cut < 12)
+                        for (int q = 0; q < 256; q++) {
+                            left[q] += hs[cut][q];
+                            right[q] -= hs[cut][q];
+                        }
+                }
+                size_t target = bsize * (size_t)best_cut / 16;
                 size_t acc = 0, k = 0;
                 const Seq* sq = seqs.data();
                 size_t nsq = seqs.size();
-                while (k < nsq && acc < half)
+                while (k < nsq && acc < target)
                     acc += sq[k].ll + sq[k].ml, k++;
                 if (k > 0 && k < nsq && acc < bsize) {
                     EntState ls = lit_backup;
